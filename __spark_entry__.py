@@ -1,38 +1,516 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for each. Column names/aliases match exactly between both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.analytics import (
+    argmax_row_per_group,
+    calendar_densify,
+    keep_first_dedup,
+    mode_per_group,
+    net_exposure,
+    topk_per_group,
+    zscore_per_series,
+)
+from bigdata_cookbook_spark.sources.testdata import load_table
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_hit_count_monthly_topk(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics queries (SURVEY.md §2.5-2.7) over driver testdata
+# ---------------------------------------------------------------------------
+
+
+def q_hit_count_monthly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+W1+W5 spine (SURVEY §7 step 1): distinct-order "hit count" per
+    (market segment, month), top-3 months per segment.
+
+    Mirrors reference hit-count time series (tool.py:1219-1263) + top-k per
+    sector (tool.py:121-128) on the relational testdata.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+    return topk_per_group(
+        monthly,
+        ["c_mktsegment"],
+        [F.col("n_orders").desc(), F.col("month").asc()],
+        k=3,
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + aggregate arithmetic: TPC-H Q1-style pricing summary — the
+    bench headline scan→agg query (full lineitem pass, map-side partial
+    aggregation, 4-group output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_count_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: distinct-customer count per nation with a having filter,
+    broadcast-joined to the nation dim (reference tool.py:115-119)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .filter(F.col("n_customers") >= 3)
+    )
+    return (
+        per_nation.join(F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey)
+        .select("n_name", "n_customers", "total_acctbal")
+    )
+
+
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-3 parts by revenue within each brand (reference top-5
+    companies per sector, tool.py:121-128)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return topk_per_group(
+        rev, ["p_brand"], [F.col("revenue").desc(), F.col("l_partkey").asc()], k=3
+    )
+
+
+def q_argmax_day_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: day with the max order count per order priority (reference
+    "peak day per entity", tool.py:49-91, visualization_tools.py:94-110)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return argmax_row_per_group(
+        daily, ["o_orderpriority"], [F.col("n_orders").desc(), F.col("day").asc()]
+    )
+
+
+def q_calendar_densify_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: daily event counts per event_type densified over the full
+    calendar with zero fill (reference tool.py:708-753)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = calendar_densify(
+        daily,
+        date_col="day",
+        entity_cols=["event_type"],
+        value_cols={"cnt": F.coalesce(F.col("cnt"), F.lit(0))},
+    )
+    return dense
+
+
+def q_weekly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+W6: weekly event counts per type, z-scored per series
+    (reference Narrative_Miners/src/tool.py:37-68)."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = (
+        events.groupBy(
+            "event_type", F.date_trunc("week", "ts").cast("date").alias("week")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    z = zscore_per_series(weekly, ["event_type"], "cnt", out_col="zscore")
+    return z.select("event_type", "week", "cnt", F.round("zscore", 4).alias("zscore"))
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: earliest order per customer kept, dup remainder dropped
+    (reference tools.py:69-79 keep-first dedup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    kept, _rest = keep_first_dedup(
+        orders,
+        dup_keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return kept.select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("first_order_date"), "o_totalprice"
+    )
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: most frequent event_type per user, ties broken by value asc
+    (reference visualization_tools.py:608-612)."""
+    events = load_table(spark, sf_dir, "events")
+    return mode_per_group(events, ["user_id"], "event_type", out_col="top_event_type")
+
+
+def q_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A8: per-user sorted distinct event types joined with '; '
+    (reference mind_map_tools.py:448-454, report_generator.py:112-134)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), "; ").alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_net_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A11+A12: per-customer open vs finished order counts, shares and
+    net exposure (reference tool.py:298-319,1073)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("pos_cnt"))
+    )
+    neg = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("neg_cnt"))
+    )
+    return net_exposure(pos, neg, keys=["o_custkey"])
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: per-event-type record count, date span, distinct users
+    (reference Narrative_Miners/src/tool.py:735-751)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.to_date(F.min("ts")).alias("min_date"),
+        F.to_date(F.max("ts")).alias("max_date"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis / dedup / similarity (LLM-data-pipeline tier) over documents
+# and embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: canonical doc (min doc_id) per distinct text +
+    duplicate count. Hash-groupBy — one shuffle on the text hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select("canonical_doc_id", "n_dups")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + dup flag via a
+    fingerprint-count window."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn("n_same", F.count(F.lit(1)).over(w)).withColumn(
+        "is_dup", (F.col("n_same") > 1).cast("boolean")
+    )
+
+
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, char count, stopword count /
+    ratio per document — all JVM-side built-ins, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in)\b"))
+    return docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars_text"),
+        n_tokens.cast("int").alias("n_tokens"),
+        stop.cast("int").alias("n_stopwords"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(stop.cast("double") / n_tokens), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search against the embedding of
+    vec_id=0 (baseline ANN path; LSH-bucketed variant is the scale path).
+
+    All double math JVM-side via zip_with/aggregate — no UDF, broadcastable
+    single-row query side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            dot(F.col("e"), F.col("qe"))
+            / (F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe"))))
+        ).alias("cos"),
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", F.round("cos", 4).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract exports
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hit_count_monthly_topk": q_hit_count_monthly_topk,
+        "pricing_summary": q_pricing_summary,
+        "count_distinct_having": q_count_distinct_having,
+        "topk_parts_per_brand": q_topk_parts_per_brand,
+        "argmax_day_per_priority": q_argmax_day_per_priority,
+        "calendar_densify_daily": q_calendar_densify_daily,
+        "weekly_zscore": q_weekly_zscore,
+        "dedup_keep_first": q_dedup_keep_first,
+        "mode_event_type": q_mode_event_type,
+        "collect_concat": q_collect_concat,
+        "net_exposure": q_net_exposure,
+        "summary_stats": q_summary_stats,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_quality": q_token_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hit_count_monthly_topk": """
+            WITH monthly AS (
+                SELECT c_mktsegment,
+                       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       COUNT(DISTINCT o_orderkey) AS n_orders
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, month, n_orders
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c_mktsegment ORDER BY n_orders DESC, month ASC
+                ) AS rn FROM monthly
+            ) WHERE rn <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 2) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "count_distinct_having": """
+            SELECT n_name, n_customers, total_acctbal
+            FROM (
+                SELECT c_nationkey,
+                       COUNT(DISTINCT c_custkey) AS n_customers,
+                       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+                FROM customer GROUP BY c_nationkey
+                HAVING COUNT(DISTINCT c_custkey) >= 3
+            ) JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "topk_parts_per_brand": """
+            WITH rev AS (
+                SELECT p_brand, l_partkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_brand, l_partkey, revenue
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY p_brand ORDER BY revenue DESC, l_partkey ASC
+                ) AS rn FROM rev
+            ) WHERE rn <= 3
+        """,
+        "argmax_day_per_priority": """
+            WITH daily AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, day, n_orders
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderpriority ORDER BY n_orders DESC, day ASC
+                ) AS rn FROM daily
+            ) WHERE rn = 1
+        """,
+        "calendar_densify_daily": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            calendar AS (
+                SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds
+            ),
+            types AS (SELECT DISTINCT event_type FROM daily)
+            SELECT c.day, t.event_type, COALESCE(d.cnt, 0) AS cnt
+            FROM calendar c CROSS JOIN types t
+            LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+        """,
+        "weekly_zscore": """
+            WITH weekly AS (
+                SELECT event_type,
+                       CAST(date_trunc('week', ts) AS DATE) AS week,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, week, cnt,
+                   ROUND(CASE WHEN COALESCE(STDDEV_SAMP(cnt) OVER (PARTITION BY event_type), 0) = 0
+                         THEN 0.0
+                         ELSE (cnt - AVG(cnt) OVER (PARTITION BY event_type))
+                              / STDDEV_SAMP(cnt) OVER (PARTITION BY event_type)
+                    END, 4) AS zscore
+            FROM weekly
+        """,
+        "dedup_keep_first": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS first_order_date, o_totalprice
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ) AS rn FROM orders
+            ) WHERE rn = 1
+        """,
+        "mode_event_type": """
+            WITH counts AS (
+                SELECT user_id, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, event_type AS top_event_type
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+                ) AS rn FROM counts
+            ) WHERE rn = 1
+        """,
+        "collect_concat": """
+            SELECT user_id,
+                   STRING_AGG(DISTINCT event_type, '; ' ORDER BY event_type) AS event_types,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "net_exposure": """
+            WITH pos AS (
+                SELECT o_custkey, COUNT(*) AS pos_cnt FROM orders
+                WHERE o_orderstatus = 'O' GROUP BY 1
+            ),
+            neg AS (
+                SELECT o_custkey, COUNT(*) AS neg_cnt FROM orders
+                WHERE o_orderstatus = 'F' GROUP BY 1
+            )
+            SELECT COALESCE(p.o_custkey, n.o_custkey) AS o_custkey,
+                   COALESCE(pos_cnt, 0) AS pos_cnt,
+                   COALESCE(neg_cnt, 0) AS neg_cnt,
+                   COALESCE(pos_cnt, 0) + COALESCE(neg_cnt, 0) AS total_cnt,
+                   ROUND(COALESCE(pos_cnt, 0) * 100.0
+                         / (COALESCE(pos_cnt, 0) + COALESCE(neg_cnt, 0)), 2) AS pos_pct,
+                   ROUND(COALESCE(neg_cnt, 0) * 100.0
+                         / (COALESCE(pos_cnt, 0) + COALESCE(neg_cnt, 0)), 2) AS neg_pct,
+                   ABS(COALESCE(pos_cnt, 0)) - ABS(COALESCE(neg_cnt, 0)) AS net_exposure
+            FROM pos p FULL OUTER JOIN neg n ON p.o_custkey = n.o_custkey
+        """,
+        "summary_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_records,
+                   CAST(MIN(ts) AS DATE) AS min_date,
+                   CAST(MAX(ts) AS DATE) AS max_date,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprint": """
+            WITH fp AS (
+                SELECT doc_id, MD5(LOWER(TRIM(text))) AS fingerprint
+                FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   COUNT(*) OVER (PARTITION BY fingerprint) AS n_same,
+                   (COUNT(*) OVER (PARTITION BY fingerprint)) > 1 AS is_dup
+            FROM fp
+        """,
+        "token_quality": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_text,
+                   CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS INT) AS n_tokens,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|and|of|to|in)\\b')) AS INT) AS n_stopwords,
+                   ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                        ELSE CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE)
+                             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END, 4) AS stopword_ratio
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+            ),
+            sims AS (
+                SELECT e.vec_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qe)
+                       / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))) AS cos
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT vec_id, ROUND(cos, 4) AS cosine_sim
+            FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 20
+        """,
+    }

@@ -1,0 +1,56 @@
+"""Loaders for the driver-provided parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings. One parquet file per table under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB the fact tables (lineitem/orders/events/documents) would be
+date-partitioned parquet/Delta directories; `spark.read.parquet` on a
+directory plus Catalyst partition pruning covers that without code changes
+here — loaders take a directory and never collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions we always hint for broadcast in joins (≪ fact tables at
+# any scale factor; at 100 TB these stay ~KB-MB sized).
+BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) -> read as long nanos (see
+        # session.py nanosAsLong); convert to a proper timestamp at
+        # microsecond precision (Spark's native resolution).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators can be expressed in spark.sql too."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
