@@ -13,14 +13,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_cookbook_spark.functions.text import lang_id_expr, quality_exprs
 from bigdata_cookbook_spark.operators.analytics import (
     argmax_row_per_group,
     calendar_densify,
+    gaussian_kernel,
+    gaussian_smooth,
     keep_first_dedup,
     mode_per_group,
     net_exposure,
+    pivot_composite,
     topk_per_group,
     zscore_per_series,
+)
+from bigdata_cookbook_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
 )
 from bigdata_cookbook_spark.sources.testdata import load_table
 
@@ -297,6 +306,182 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_composite_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A14: order counts per (market segment × order status) pivoted to
+    columns with a row-sum composite score (reference
+    mind_map_tools.py:559-578 generate_pivot_table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return pivot_composite(
+        joined,
+        group_by=["c_mktsegment"],
+        pivot_col="o_orderstatus",
+        pivot_values=["O", "F", "P"],
+        agg=F.count(F.lit(1)),
+    )
+
+
+def q_gaussian_smooth_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: Gaussian smoothing (sigma=2) of weekly event counts per type
+    (reference Narrative_Miners/src/tool.py:50,67)."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = (
+        events.groupBy(
+            "event_type", F.date_trunc("week", "ts").cast("date").alias("week")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sm = gaussian_smooth(weekly, ["event_type"], [F.col("week").asc()], "cnt", sigma=2.0)
+    return sm.select("event_type", "week", "cnt", F.round("smoothed", 4).alias("smoothed"))
+
+
+def q_last_purchase_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: forward-fill of the most recent purchase value within each user
+    stream (reference tools.py:81-90 group-wise ffill)."""
+    events = load_table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(pv, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
+    )
+
+
+def q_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-supplier volume normalized by the global mean (reference
+    report_generator.py:344-348 score = n_docs / mean)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return per_supp.select(
+        "l_suppkey",
+        "n_items",
+        F.round(F.col("n_items") / F.avg("n_items").over(Window.partitionBy()), 4).alias("score"),
+    )
+
+
+def q_source_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: top-3 document sources by count (reference
+    Board_Management_Monitoring/src/tool.py:687)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("source").asc())
+        .limit(3)
+    )
+
+
+def q_quarterly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: quarterly order counts with quarter-start date (reference
+    Board_Management_Monitoring/src/tool.py:386-407)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: set difference via left-anti join — customers never ordering
+    (reference tool.py:719-724 all − present)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5+O7: distinct union of customer and supplier nation keys
+    (reference tool.py:302 set(pos) ∪ set(neg))."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+Q4: keyword-OR filter with a source whitelist, aggregated per
+    (source, lang) (reference query_builder.py:187,190 Keyword/Any +
+    Source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("text").contains("spark") | F.col("text").contains("vector"))
+            & F.col("source").isin("src0", "src1", "src2")
+        )
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_events_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9+P4: date-range predicate (inclusive start, exclusive end) with a
+    type filter, daily counts (reference query_builder.py:410-485 date
+    ranges as BETWEEN filters)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-data tier): CJK detection + marker
+    stopword scoring, plus agreement flag vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("boolean").alias("lang_match"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring feature set (training-data tier): token/char counts,
+    stopword and punctuation ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_exprs(F.col("text"))
+    return docs.select("doc_id", *[expr.alias(name) for name, expr in feats.items()])
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: doc pairs with word-3-gram Jaccard >= 0.5 via
+    inverted-index self-join (exact verification tier of MinHash/LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from MinHash(12 hashes) + LSH(6 bands × 2):
+    pairs sharing any band bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (near-dup fingerprint tier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -320,7 +505,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "pivot_composite_status": q_pivot_composite_status,
+        "gaussian_smooth_weekly": q_gaussian_smooth_weekly,
+        "last_purchase_ffill": q_last_purchase_ffill,
+        "score_normalization": q_score_normalization,
+        "source_topn": q_source_topn,
+        "quarterly_counts": q_quarterly_counts,
+        "customers_without_orders": q_customers_without_orders,
+        "union_distinct_nations": q_union_distinct_nations,
+        "keyword_search": q_keyword_search,
+        "events_daterange": q_events_daterange,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash": q_simhash,
     }
+
+
+def _gaussian_smooth_sql(sigma: float = 2.0) -> str:
+    radius = int(4.0 * sigma + 0.5)
+    kernel = gaussian_kernel(sigma, radius)
+    num_terms, den_terms = [], []
+    for i, wt in zip(range(-radius, radius + 1), kernel):
+        if i == 0:
+            nb = "cnt"
+        elif i < 0:
+            nb = f"LAG(cnt, {-i}) OVER w"
+        else:
+            nb = f"LEAD(cnt, {i}) OVER w"
+        num_terms.append(f"CASE WHEN {nb} IS NOT NULL THEN {wt!r} * {nb} ELSE 0 END")
+        den_terms.append(f"CASE WHEN {nb} IS NOT NULL THEN {wt!r} ELSE 0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        WITH weekly AS (
+            SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, cnt, ROUND(({num}) / ({den}), 4) AS smoothed
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+    """
+
+
+_SHINGLES_CTE = """
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM idx
+        )
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 12, band_size: int = 2) -> str:
+    sig_cols = ",\n                   ".join(
+        f"MIN(MD5(shingle || '#' || '{i}')) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, MD5({cols}) AS bucket FROM sig"
+        )
+    banded = "\n            UNION ALL\n            ".join(band_selects)
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            {banded}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    votes = ",\n                   ".join(
+        "SUM(CASE WHEN substr(h, {j}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS v{j}".format(j=j)
+        for j in range(1, 17)
+    )
+    bits = " || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(1, 17))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, MD5(tok) AS h FROM toks WHERE length(tok) > 0
+        ),
+        v AS (
+            SELECT doc_id,
+                   {votes}
+            FROM f GROUP BY doc_id
+        )
+        SELECT doc_id, {bits} AS simhash FROM v
+    """
+
+
+_LANG_SCORES = {
+    "en": "(the|a|of|and|is)",
+    "es": "(el|la|de|los|es)",
+    "fr": "(le|la|les|des|est)",
+    "de": "(der|die|das|und|ist)",
+}
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n                   ".join(
+        f"LEN(REGEXP_EXTRACT_ALL(lower(text), '\\b{pat}\\b')) AS s_{lang}"
+        for lang, pat in _LANG_SCORES.items()
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   REGEXP_MATCHES(text, '[\\x{{4E00}}-\\x{{9FFF}}]') AS has_cjk,
+                   {score_cols}
+            FROM documents
+        ),
+        pred AS (
+            SELECT doc_id, lang,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS pred_lang
+            FROM scored
+        )
+        SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -513,4 +842,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ROUND(cos, 4) AS cosine_sim
             FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 20
         """,
+        "pivot_composite_status": """
+            SELECT c_mktsegment,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS "P",
+                   COUNT(*) FILTER (o_orderstatus IN ('O','F','P')) AS composite_score
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "gaussian_smooth_weekly": _gaussian_smooth_sql(2.0),
+        "last_purchase_ffill": """
+            SELECT event_id, user_id,
+                   ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS last_purchase_value
+            FROM events
+        """,
+        "score_normalization": """
+            WITH per_supp AS (
+                SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+            )
+            SELECT l_suppkey, n_items,
+                   ROUND(n_items / AVG(n_items) OVER (), 4) AS score
+            FROM per_supp
+        """,
+        "source_topn": """
+            SELECT source, COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+            ORDER BY n_docs DESC, source ASC LIMIT 3
+        """,
+        "quarterly_counts": """
+            SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "union_distinct_nations": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "keyword_search": """
+            SELECT source, lang, COUNT(*) AS n_docs
+            FROM documents
+            WHERE (text LIKE '%spark%' OR text LIKE '%vector%')
+              AND source IN ('src0', 'src1', 'src2')
+            GROUP BY source, lang
+        """,
+        "events_daterange": """
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+              AND event_type IN ('purchase', 'click')
+            GROUP BY 1, 2
+        """,
+        "lang_id": _lang_id_sql(),
+        "quality_score": """
+            WITH feats AS (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars_text,
+                       CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS INT) AS n_tokens,
+                       CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|and|of|to|in)\\b')) AS INT) AS n_stopwords,
+                       LEN(REGEXP_EXTRACT_ALL(text, '[.,;:!?]')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, n_chars_text, n_tokens, n_stopwords,
+                   ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END, 4) AS stopword_ratio,
+                   ROUND(CASE WHEN n_chars_text = 0 THEN 0.0
+                        ELSE CAST(n_punct AS DOUBLE) / n_chars_text END, 4) AS punct_ratio
+            FROM feats
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
+        "simhash": _simhash_sql(),
     }

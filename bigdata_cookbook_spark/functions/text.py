@@ -1,0 +1,96 @@
+"""Text-analysis scalar expressions (training-data pipeline tier).
+
+All pure Column expressions — JVM-side, inside whole-stage codegen, no
+Python UDFs. Each has an equivalent ANSI-SQL formulation used by the
+DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# marker word sets for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+CJK_RANGE = "一-鿿"
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0."""
+    trimmed = F.trim(text)
+    return (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("int")
+    )
+
+
+def marker_count(text: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Marker-stopword language ID: CJK chars dominate, else the marker set
+    with the highest hit count, ties broken by fixed priority en>es>fr>de.
+
+    A real corpus would swap in a char-n-gram model via pandas_udf; the
+    heuristic keeps the operator SQL-expressible for the oracle.
+    """
+    cjk = F.regexp_count(text, F.lit(f"[{CJK_RANGE}]"))
+    scores = {lang: marker_count(text, words) for lang, words in LANG_MARKERS.items()}
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # strict > means the first language set keeps the crown on ties, so
+    # iterate in priority order en > es > fr > de
+    for lang in ["en", "es", "fr", "de"]:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature set: lengths, token stats, stopword and
+    punctuation ratios."""
+    n_tokens = token_count_expr(text)
+    stop = marker_count(text, STOPWORDS)
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?]"))
+    nchars = F.length(text)
+    return {
+        "n_chars_text": nchars,
+        "n_tokens": n_tokens,
+        "n_stopwords": stop.cast("int"),
+        "stopword_ratio": F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(stop.cast("double") / n_tokens), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(nchars == 0, F.lit(0.0)).otherwise(punct.cast("double") / nchars), 4
+        ),
+    }
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (MinHash/Jaccard
+    input). Docs with < n tokens produce an empty array.
+
+    transform(sequence(...)) keeps shingling JVM-side — no UDF, and the
+    array never materializes on the driver.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(
+        (F.length(F.trim(text)) == 0) | (count <= 0), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))

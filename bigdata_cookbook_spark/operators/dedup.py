@@ -1,0 +1,174 @@
+"""Near-duplicate detection operators (training-data pipeline tier).
+
+Four tiers, all shuffle-planned for 100 TB:
+
+- exact: hash-groupBy on normalized text (one shuffle on text hash).
+- n-gram Jaccard: exact pairwise Jaccard restricted to candidate pairs that
+  share >= 1 shingle (inverted-index self-join). Correct but O(pairs) —
+  the verification stage after LSH at scale.
+- MinHash + LSH: md5-string min-hashing -> banded signatures -> bucket
+  join. Only docs sharing a band bucket are paired; cost is bounded by
+  bucket sizes, not n^2. md5-as-string keeps the hash family identical in
+  Spark and the DuckDB oracle; a production deployment would swap
+  xxhash64 ints (same semantics, cheaper) — the band/bucket algebra is
+  unchanged.
+- SimHash: per-bit majority vote over token md5 bits -> 16-bit signature;
+  exact-signature buckets are near-dup candidates.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.text import shingles_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical (min id) per distinct text + dup count."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select("canonical_doc_id", "n_dups")
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded inverted-index rows; empty-shingle docs drop."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), shingles_expr(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Doc pairs with word-n-gram Jaccard >= threshold.
+
+    Inverted-index self-join on shingle (only co-shingled pairs are ever
+    materialized), then |A∩B| via pair count and |A∪B| = |A|+|B|-|A∩B|.
+    At 100 TB, run after LSH banding (minhash_lsh_candidates) to bound the
+    join; high-frequency shingles should additionally be dropped by a
+    document-frequency cap.
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Per-doc MinHash signature: component i = min over shingles of
+    md5(shingle || '#' || i) (string order). One aggregation per doc —
+    single shuffle on doc_id; signature width is a column count, not rows.
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat_ws("#", F.col("shingle"), F.lit(str(i))), "UTF-8"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Bands of ``band_size`` signature components are md5-combined into a
+    bucket key; a self-join per bucket yields candidates. Distinct at the
+    end dedups pairs that collide in multiple bands.
+    """
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("|", *cols), "UTF-8")).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over whitespace tokens as a '0'/'1' string.
+
+    Bit j = majority vote of (high bit of hex digit j of md5(token)),
+    weighting every token occurrence. Pure expressions (explode + groupBy)
+    so Spark and the SQL oracle share the bit definition exactly; a scale
+    deployment would pack the same votes into a long with bit ops.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.md5(F.encode(F.col("tok"), "UTF-8")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)])
+    return agg.select("doc_id", bits.alias("simhash"))
