@@ -482,6 +482,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(docs)
 
 
+def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+F1+F2: the chunk-explode screening normalizer with offset-based
+    entity masking, run in discovery mode over the deterministic corpus
+    fixtures (FIXTURES.md §1-4). Non-SQL-expressible (nested higher-order
+    masking) -> rows-only driver check; full semantics are pinned by
+    tests/test_normalize_masking.py incl. mask/unmask round-trip."""
+    from bigdata_cookbook_spark.operators.normalize import normalize_screening
+    from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+
+    ents, docs, chunks = fixture_frames(spark, n_docs=200, seed=7)
+    scr = normalize_screening(docs, chunks, ents, mode="discovery")
+    # project to flat columns so the driver's schema/hash check is stable
+    return scr.select(
+        "sentence_id",
+        "entity_id",
+        "document_type",
+        "is_reporting_entity",
+        "entity_name",
+        "masked_text",
+        F.size("entities").alias("n_mentions"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -520,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
+        "screening_normalize": q_screening_normalize,
     }
 
 
