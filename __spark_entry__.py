@@ -505,6 +505,20 @@ def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end: normalize -> stub-label -> top providers per
+    sector (W1 over L1 output). Deterministic via the stub backend;
+    non-SQL-expressible (mapInPandas stage) -> rows-only driver check;
+    semantics pinned in tests/test_query_llm_workflows.py."""
+    from bigdata_cookbook_spark.llm.stub import stub_backend
+    from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+    from bigdata_cookbook_spark.workflows import dual_role_analysis
+
+    ents, docs, chunks = fixture_frames(spark, n_docs=200, seed=7)
+    out = dual_role_analysis(docs, chunks, ents, backend=stub_backend)
+    return out["top_by_sector"]
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -544,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "screening_normalize": q_screening_normalize,
+        "dual_role_workflow": q_dual_role_workflow,
     }
 
 

@@ -1,0 +1,199 @@
+"""Query algebra (Q1-Q11), LLM stage combinators (L1), graph ops (J8),
+and workflow recomposition golden tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.llm.stage import llm_label_stage, pack_token_budget
+from bigdata_cookbook_spark.llm.stub import stub_backend
+from bigdata_cookbook_spark.operators.graph import co_mention_pairs, company_topic_bipartite
+from bigdata_cookbook_spark.operators.normalize import normalize_screening
+from bigdata_cookbook_spark.query.algebra import (
+    Any,
+    DateRange,
+    Entity,
+    Keyword,
+    QuerySpec,
+    Similarity,
+    Source,
+    run_search,
+    unified_chunk_frame,
+)
+from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+from bigdata_cookbook_spark.workflows import (
+    dual_role_analysis,
+    narrative_timeseries,
+    thematic_screener,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    ents, docs, chunks = fixture_frames(spark, n_docs=120, seed=7)
+    for df in (ents, docs, chunks):
+        df.cache().count()
+    return ents, docs, chunks
+
+
+@pytest.fixture(scope="module")
+def frame(corpus):
+    ents, docs, chunks = corpus
+    return unified_chunk_frame(docs, chunks)
+
+
+def test_keyword_and_source(frame):
+    spec = QuerySpec(
+        "q1",
+        filters=(Any(Keyword("cost"), Keyword("regulators")),),
+    )
+    hits = run_search(frame, [spec])
+    assert hits.count() > 0
+    bad = hits.filter(~(F.col("text").contains("cost") | F.col("text").contains("regulators")))
+    assert bad.count() == 0
+    assert hits.select("query_id").distinct().collect()[0].query_id == "q1"
+
+
+def test_entity_predicate(frame, corpus):
+    ents, _, _ = corpus
+    some = ents.filter("entity_type = 'COMP'").limit(50).collect()
+    found = None
+    for e in some:
+        spec = QuerySpec("qe", filters=(Entity(e.entity_id),))
+        n = run_search(frame, [spec]).count()
+        if n > 0:
+            found = (e.entity_id, n)
+            break
+    assert found, "no COMP entity produced hits"
+    eid, n = found
+    hits = run_search(frame, [QuerySpec("qe", filters=(Entity(eid),))])
+    assert hits.filter(~F.exists("entities", lambda x: x["key"] == F.lit(eid))).count() == 0
+
+
+def test_daterange_pushdown(frame):
+    spec = QuerySpec("qd", filters=(DateRange("2024-03-01", "2024-06-01"),))
+    hits = run_search(frame, [spec])
+    out = hits.filter(
+        (F.col("timestamp_utc") < "2024-03-01") | (F.col("timestamp_utc") >= "2024-06-01")
+    )
+    assert out.count() == 0
+
+
+def test_similarity_topk_and_rerank(frame):
+    spec = QuerySpec(
+        "qs",
+        similarity=Similarity("cost cutting initiatives and automation plans"),
+        document_limit=10,
+    )
+    hits = run_search(frame, [spec]).orderBy(F.col("relevance").desc())
+    rows = hits.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0].relevance >= rows[-1].relevance
+    # threshold run is a subset
+    spec2 = QuerySpec(
+        "qs2",
+        similarity=Similarity("cost cutting initiatives and automation plans"),
+        rerank_threshold=rows[0].relevance,
+    )
+    top = run_search(frame, [spec2])
+    assert top.count() <= len(rows) or rows[0].relevance == rows[-1].relevance
+
+
+def test_multi_query_union(frame):
+    specs = [
+        QuerySpec("a", filters=(Keyword("cloud"),)),
+        QuerySpec("b", filters=(Keyword("regulators"),)),
+    ]
+    hits = run_search(frame, specs)
+    ids = {r.query_id for r in hits.select("query_id").distinct().collect()}
+    assert ids == {"a", "b"}
+
+
+def test_llm_stage_dedup_and_joinback(spark, corpus):
+    ents, docs, chunks = corpus
+    scr = normalize_screening(docs, chunks, ents, mode="discovery")
+    labeled = llm_label_stage(scr, stub_backend, batch_size=7)
+    assert labeled.count() == scr.count()
+    assert labeled.filter(F.col("label").isNull()).count() == 0
+    # determinism: same (entity_id, text) -> same label
+    dup_check = labeled.groupBy("entity_id", "text").agg(
+        F.countDistinct("label").alias("nl")
+    )
+    assert dup_check.filter(F.col("nl") > 1).count() == 0
+    # guardrail: rows whose motivation lacks 'Target Company' are 'U'
+    bad = labeled.filter(
+        ~F.col("motivation").contains("Target Company") & (F.col("label") != "U")
+    )
+    assert bad.count() == 0
+
+
+def test_pack_token_budget(spark):
+    rows = [("g", f"id{i:03d}", "x" * 400) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, id string, text string")
+    packed = pack_token_budget(df, ["grp"], "text", max_tokens=250, order_cols=["id"])
+    agg = packed.groupBy("grp", "pack_id").agg(F.sum("est_tokens").alias("tot"))
+    # each pack except possibly the last stays under budget + one row slack
+    assert packed.select(F.max("pack_id")).collect()[0][0] > 0
+    assert agg.filter(F.col("tot") > 250 + 100).count() == 0
+
+
+def test_co_mention_pairs(spark, corpus):
+    ents, docs, chunks = corpus
+    scr = normalize_screening(docs, chunks, ents, mode="discovery")
+    labeled = llm_label_stage(scr, stub_backend, guardrail=False)
+    net = co_mention_pairs(labeled)
+    rows = net.collect()
+    if rows:  # depends on label distribution; stub guarantees spread
+        r = rows[0]
+        assert r.weight >= 1 and r.src_id != r.dst_id
+
+
+def test_bipartite(spark, corpus):
+    ents, docs, chunks = corpus
+    scr = normalize_screening(docs, chunks, ents, mode="discovery")
+    labeled = llm_label_stage(scr, stub_backend, guardrail=False)
+    bp = company_topic_bipartite(labeled)
+    assert bp.filter(F.col("topic_type") == "COMP").count() if "topic_type" in bp.columns else True
+    assert bp.count() > 0
+    assert bp.filter(F.col("majority_label").isNull()).count() == 0
+
+
+def test_thematic_screener_golden(spark, corpus):
+    ents, docs, chunks = corpus
+    out = thematic_screener(
+        docs, chunks, ents, theme_labels=["P", "A", "N"], backend=stub_backend
+    )
+    bc = out["by_company"]
+    assert set(["entity_name", "entity_sector", "P", "A", "N", "composite_score"]) <= set(bc.columns)
+    row = bc.orderBy(F.col("composite_score").desc(), "entity_name").limit(1).collect()[0]
+    assert row.composite_score == row.P + row.A + row.N
+    # determinism golden: same run twice -> identical result hash
+    h1 = sorted(map(str, bc.collect()))
+    out2 = thematic_screener(docs, chunks, ents, theme_labels=["P", "A", "N"], backend=stub_backend)
+    h2 = sorted(map(str, out2["by_company"].collect()))
+    assert h1 == h2
+
+
+def test_dual_role_analysis(spark, corpus):
+    ents, docs, chunks = corpus
+    out = dual_role_analysis(docs, chunks, ents, backend=stub_backend)
+    assert out["top_by_sector"].count() > 0
+    dense = out["weekly_net"]
+    assert dense.filter(F.col("pos_cnt").isNull() | F.col("neg_cnt").isNull()).count() == 0
+    # densification: every entity has every week
+    weeks = dense.select("week").distinct().count()
+    per_entity = dense.groupBy("entity_name").count()
+    assert per_entity.filter(F.col("count") != weeks).count() == 0
+
+
+def test_narrative_timeseries(spark, corpus):
+    ents, docs, chunks = corpus
+    scr = normalize_screening(docs, chunks, ents, mode="discovery")
+    labeled = llm_label_stage(scr, stub_backend, guardrail=False)
+    ts = narrative_timeseries(labeled)
+    assert set(["label", "week", "cnt", "zscore", "smoothed"]) <= set(ts.columns)
+    # z-scores within each label have ~0 mean
+    m = ts.groupBy("label").agg(F.avg("zscore").alias("mz")).collect()
+    for r in m:
+        assert abs(r.mz) < 1e-6 or r.mz == 0.0
