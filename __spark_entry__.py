@@ -505,6 +505,199 @@ def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: co-mention pair self-join — parts co-occurring within an order,
+    edge weight = co-occurrence count (reference
+    network_analysis.py:129-201). High-cardinality join key (orderkey) so
+    the shuffle partitions evenly at scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= 2)
+    )
+
+
+def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
+    reference summary.py:424-429) applied to order priorities."""
+    orders = load_table(spark, sf_dir, "orders")
+    level = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+    )
+    return (
+        orders.select("o_orderpriority", level.alias("risk_level"))
+        .groupBy("o_orderpriority", "risk_level")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_argmax_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+W2: peak (priority, day) keys joined back to the fact rows to
+    fetch the latest order that day (reference
+    visualization_tools.py:94-110 max-coverage merge-back)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    peak = argmax_row_per_group(
+        daily, ["o_orderpriority"], [F.col("n_orders").desc(), F.col("day").asc()]
+    )
+    facts = orders.select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = peak.join(facts, ["o_orderpriority", "day"])
+    return argmax_row_per_group(
+        joined, ["o_orderpriority"], [F.col("o_orderkey").desc()]
+    ).select("o_orderpriority", "day", "n_orders", "o_orderkey", "o_totalprice")
+
+
+def q_cross_source_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: union of two series' date indices, full-outer join, forward-fill
+    both sides (reference Narrative_Miners/src/tool.py:79-88)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("cnt").alias("purchase_cnt")
+    )
+    e = daily.filter(F.col("event_type") == "error").select(
+        "day", F.col("cnt").alias("error_cnt")
+    )
+    joined = p.join(e, "day", "full_outer")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "day",
+        F.last("purchase_cnt", ignorenulls=True).over(w).alias("purchase_cnt"),
+        F.last("error_cnt", ignorenulls=True).over(w).alias("error_cnt"),
+    )
+
+
+def q_date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: date formatting family — '%b %Y' month labels and '2023Q1'
+    quarter labels (reference tool.py:1130, Board tool.py:357-365)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "MMM yyyy").alias("month_label"),
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("Q"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("quarter_label"),
+        )
+        .groupBy("month_label", "quarter_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_log_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: log transform with clipping (reference
+    Report_Generator_AI_Threats/src/tool.py:114-128)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    return per_part.select(
+        "l_partkey",
+        F.round(F.log(F.greatest(F.col("sum_qty") - 100.0, F.lit(0.01))), 4).alias("log_excess_qty"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F13: declared-schema JSON parsing (never eval) — extract props.k
+    and bucket it (reference from_json stance, SURVEY §7 quirks)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        events.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: order-pinned collect-list — first 5 event values per user by
+    event_id (reference mind_map_tools.py:522-529; pandas relies on frame
+    order, we sort explicitly inside the array)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                lambda s: s["value"],
+            ),
+            1,
+            5,
+        ).alias("first_values")
+    )
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data tier): all
+    pairs with cosine >= 0.8. Brute-force n^2 at correctness tier; the
+    scale path buckets by hyperplane LSH first (q_ann_lsh_buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= 0.8
+    )
+
+
+def _hyperplanes(n: int = 8, dim: int = 64, seed: int = 123) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0, 1), 6) for _ in range(dim)] for _ in range(n)]
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing for ANN (scale path of similarity
+    search): 8 sign bits of dot(embedding, r_i) -> bucket string. Vectors
+    sharing a bucket are ANN candidates; the hyperplanes are seeded
+    literals so Spark and the SQL oracle agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    planes = _hyperplanes()
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    bits = [
+        F.when(dot(F.col("e"), F.array(*[F.lit(v) for v in p])) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
 def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: normalize -> stub-label -> top providers per
     sector (W1 over L1 output). Deterministic via the stub backend;
@@ -559,6 +752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "screening_normalize": q_screening_normalize,
         "dual_role_workflow": q_dual_role_workflow,
+        "comention_parts": q_comention_parts,
+        "risk_level_mapping": q_risk_level_mapping,
+        "argmax_joinback": q_argmax_joinback,
+        "cross_source_alignment": q_cross_source_alignment,
+        "date_parse_format": q_date_parse_format,
+        "log_clip": q_log_clip,
+        "json_props": q_json_props,
+        "collect_list_ordered": q_collect_list_ordered,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
     }
 
 
@@ -689,6 +892,16 @@ def _lang_id_sql() -> str:
         )
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
     """
+
+
+def _ann_lsh_sql() -> str:
+    planes = _hyperplanes()
+    bits = " || ".join(
+        "CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"SELECT vec_id, {bits} AS bucket FROM embeddings"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -977,4 +1190,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
+        "comention_parts": """
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS weight
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "risk_level_mapping": """
+            SELECT o_orderpriority,
+                   CASE o_orderpriority WHEN '1-URGENT' THEN 3 WHEN '2-HIGH' THEN 2
+                        WHEN '3-MEDIUM' THEN 1 ELSE 0 END AS risk_level,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "argmax_joinback": """
+            WITH daily AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1, 2
+            ),
+            peak AS (
+                SELECT o_orderpriority, day, n_orders
+                FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY o_orderpriority ORDER BY n_orders DESC, day ASC
+                    ) AS rn FROM daily
+                ) WHERE rn = 1
+            ),
+            joined AS (
+                SELECT p.o_orderpriority, p.day, p.n_orders, o.o_orderkey, o.o_totalprice
+                FROM peak p JOIN orders o
+                  ON o.o_orderpriority = p.o_orderpriority
+                 AND CAST(o.o_orderdate AS DATE) = p.day
+            )
+            SELECT o_orderpriority, day, n_orders, o_orderkey, o_totalprice
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderpriority ORDER BY o_orderkey DESC
+                ) AS rn FROM joined
+            ) WHERE rn = 1
+        """,
+        "cross_source_alignment": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+                FROM events WHERE event_type IN ('purchase', 'error')
+                GROUP BY 1, 2
+            ),
+            p AS (SELECT day, cnt AS purchase_cnt FROM daily WHERE event_type = 'purchase'),
+            e AS (SELECT day, cnt AS error_cnt FROM daily WHERE event_type = 'error'),
+            j AS (
+                SELECT COALESCE(p.day, e.day) AS day, purchase_cnt, error_cnt
+                FROM p FULL OUTER JOIN e ON p.day = e.day
+            )
+            SELECT day,
+                   LAST_VALUE(purchase_cnt IGNORE NULLS) OVER (
+                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS purchase_cnt,
+                   LAST_VALUE(error_cnt IGNORE NULLS) OVER (
+                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS error_cnt
+            FROM j
+        """,
+        "date_parse_format": """
+            SELECT strftime(o_orderdate, '%b %Y') AS month_label,
+                   CAST(YEAR(o_orderdate) AS VARCHAR) || 'Q' ||
+                       CAST(QUARTER(o_orderdate) AS VARCHAR) AS quarter_label,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "log_clip": """
+            WITH per_part AS (
+                SELECT l_partkey, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey,
+                   ROUND(LN(GREATEST(sum_qty - 100.0, 0.01)), 4) AS log_excess_qty
+            FROM per_part
+        """,
+        "json_props": """
+            SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "collect_list_ordered": """
+            SELECT user_id,
+                   (LIST(value ORDER BY event_id ASC))[1:5] AS first_values
+            FROM events GROUP BY user_id
+        """,
+        "embedding_neardup_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                         / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))),
+                         4) AS cosine_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 4) >= 0.8
+        """,
+        "ann_lsh_buckets": _ann_lsh_sql(),
     }
