@@ -698,6 +698,29 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming extension (§2.10): event-time tumbling-window
+    counts with watermark, drained via availableNow into a memory sink.
+    The oracle is the equivalent *batch* SQL — proving stream==batch parity
+    once the stream is drained."""
+    import uuid
+
+    from bigdata_cookbook_spark.streaming.events import stream_events, windowed_counts
+
+    name = f"bcs_win_{uuid.uuid4().hex[:8]}"
+    stream = stream_events(spark, sf_dir)
+    q = (
+        windowed_counts(stream, "1 day")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT day, event_type, cnt FROM {name}")
+
+
 def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: normalize -> stub-label -> top providers per
     sector (W1 over L1 output). Deterministic via the stub backend;
@@ -762,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_list_ordered": q_collect_list_ordered,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
     }
 
 
@@ -1287,4 +1311,8 @@ def oracle_sql() -> dict[str, str]:
                   / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 4) >= 0.8
         """,
         "ann_lsh_buckets": _ann_lsh_sql(),
+        "streaming_windowed_counts": """
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
     }

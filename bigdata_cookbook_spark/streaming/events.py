@@ -1,0 +1,77 @@
+"""Structured Streaming tier (SURVEY.md §2.10 — extension, not parity).
+
+The reference is batch-only; this tier re-expresses the W5 bucketing
+family on event-time with watermarks so the same analytics run over a
+live stream. Declared engine semantics:
+
+- event time = ``ts``; late data beyond the watermark is dropped;
+- tumbling windows via ``window(ts, size)``; results identical to the
+  batch date_trunc aggregation once the stream is drained (tested with
+  availableNow + memory sink vs the batch plan);
+- streaming dedup = dropDuplicates on event_id within the watermark.
+
+At scale the source is Kafka/Delta instead of parquet-file streaming; the
+transformations are unchanged (that's the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str | None = None) -> DataFrame:
+    """readStream over an events parquet directory with the same ts
+    normalization as the batch loader (nanos -> timestamp).
+
+    Spark's file streaming source requires a *directory* (it tails new
+    files); ``stream_dir`` points at one containing events-schema parquet
+    files. Defaults to staging the sf events file into a local spool dir —
+    at scale the spool is the landing zone files arrive into.
+    """
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    batch_schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if stream_dir is None:
+        import os
+        import tempfile
+
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), "bcs_stream", sf_dir.strip("/").replace("/", "_")
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    assert stream.schema == batch_schema
+    return stream
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window_size: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """W5 on event time: tumbling-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """O4 on a stream: exactly-once rows per event_id within the
+    watermark horizon (state bounded by the watermark)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -1,0 +1,90 @@
+"""Streaming tier parity tests (stream == batch when drained) and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.sources.multimodal import (
+    extract_features,
+    fake_media_frame,
+    frame_sample_plan,
+)
+from bigdata_cookbook_spark.sources.testdata import load_table
+from bigdata_cookbook_spark.streaming.events import (
+    stream_events,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+def _drain(stream_df, name: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup_sink" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    out = _drain(windowed_counts(stream, "1 day"), "win_sink", spark)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(str(r.day), r.event_type): r.cnt for r in out.collect()}
+    want = {(str(r.day), r.event_type): r.cnt for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    out = _drain(streaming_dedup(stream), "dedup_sink", spark)
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_batch
+
+
+def test_media_features_deterministic(spark):
+    media = fake_media_frame(spark, n=48)
+    f1 = extract_features(media).orderBy("media_id").collect()
+    f2 = extract_features(media).orderBy("media_id").collect()
+    assert f1 == f2
+    assert len(f1) == 48
+    assert all(r.feature_ok and r.n_bytes == 256 for r in f1)
+
+
+def test_media_partitioning_preserved(spark):
+    media = fake_media_frame(spark, n=48).repartition(6)
+    feats = extract_features(media)
+    assert feats.rdd.getNumPartitions() == 6
+    assert feats.count() == 48
+
+
+def test_real_decoder_raises(spark):
+    media = fake_media_frame(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_decoder_validation(spark):
+    media = fake_media_frame(spark, n=3)
+    with pytest.raises(ValueError):
+        extract_features(media, decoder="png")
+
+
+def test_frame_sample_plan(spark):
+    media = fake_media_frame(spark, n=30)
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    # videos have 30 frames -> sampled idx 0,10,20
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert per and all(sorted(v) == [0, 10, 20] for v in per.values())
