@@ -651,7 +651,7 @@ def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data tier): all
-    pairs with cosine >= 0.8. Brute-force n^2 at correctness tier; the
+    pairs with cosine >= 0.4. Brute-force n^2 at correctness tier; the
     scale path buckets by hyperplane LSH first (q_ann_lsh_buckets)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -666,7 +666,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
     )
     return pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim")).filter(
-        F.col("cosine_sim") >= 0.8
+        F.col("cosine_sim") >= 0.4
     )
 
 
@@ -696,6 +696,219 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in planes
     ]
     return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+def q_min_occurrence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: min-occurrence row filter — keep only lineitem rows of parts
+    with >= 25 lineitems (window count, no groupBy+join), then summarize
+    per surviving part (reference network_analysis.py:97-107)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    kept = li.withColumn("n_rows", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_rows") >= 25
+    )
+    return kept.groupBy("l_partkey", "n_rows").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def q_dedup_joinback_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: dedup -> expensive stage -> join-back. Labels are computed once
+    per distinct text (the reference dedups before the LLM call,
+    labeling.py:263-264,312-322) and merged back onto every row. The
+    "label" here is a deterministic md5 prefix standing in for the LLM."""
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = docs.select("text").distinct()
+    labeled = uniq.select(
+        "text",
+        F.substring(F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")), 1, 2).alias("label"),
+    )
+    return docs.join(labeled, "text", "left").select("doc_id", "label")
+
+
+def q_multi_source_daily_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: N-way reduce outer merge — per-label daily volume frames merged
+    on the date key (reference visualization_tools.py:293-297), 0-filled."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def series(et: str, name: str) -> DataFrame:
+        return daily.filter(F.col("event_type") == et).select(
+            "day", F.col("cnt").alias(name)
+        )
+
+    merged = (
+        series("click", "click_cnt")
+        .join(series("view", "view_cnt"), "day", "full_outer")
+        .join(series("purchase", "purchase_cnt"), "day", "full_outer")
+    )
+    return merged.select(
+        "day",
+        F.coalesce("click_cnt", F.lit(0)).alias("click_cnt"),
+        F.coalesce("view_cnt", F.lit(0)).alias("view_cnt"),
+        F.coalesce("purchase_cnt", F.lit(0)).alias("purchase_cnt"),
+    )
+
+
+def q_fallback_coalesce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: fallback join — primary per-user purchase average, filled from
+    the click average where absent (reference report_generator.py:453-470
+    filings-response fillna news-response)."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+
+    def avg_of(et: str, name: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.avg("value").alias(name))
+        )
+
+    return (
+        users.join(avg_of("purchase", "purchase_avg"), "user_id", "left")
+        .join(avg_of("click", "click_avg"), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("purchase_avg", "click_avg", F.lit(0.0)).alias("engagement"),
+        )
+    )
+
+
+def q_sector_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: sector ranking — market segments dense-ranked by summed order
+    value (reference tool.py:131-134,795-799 sectors by summed counts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    totals = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+    return totals.select(
+        "c_mktsegment",
+        "total_price",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("total_price").desc(), F.col("c_mktsegment").asc()))
+        .alias("sector_rank"),
+    )
+
+
+def q_peak_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: peak detection and cross-series lag — argmax day per event_type
+    and the day-lag of each series' peak vs the purchase peak (reference
+    Narrative_Miners/src/tool.py:694-719 news-vs-filings peak lag)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    peaks = argmax_row_per_group(
+        daily, ["event_type"], [F.col("cnt").desc(), F.col("day").asc()]
+    ).select("event_type", F.col("day").alias("peak_day"), F.col("cnt").alias("peak_cnt"))
+    ref = peaks.filter(F.col("event_type") == "purchase").select(
+        F.col("peak_day").alias("ref_day")
+    )
+    return peaks.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "peak_day",
+        "peak_cnt",
+        F.datediff("peak_day", "ref_day").alias("lag_days_vs_purchase"),
+    )
+
+
+def q_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: first/last per group with a pinned ordering — per-user earliest
+    and latest event value by event_id (reference tool.py:714,
+    visualization_tools.py:108,270; pandas relies on frame order, we pin
+    the order via min_by/max_by on a unique key)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.round(F.min_by("value", "event_id"), 4).alias("first_value"),
+        F.round(F.max_by("value", "event_id"), 4).alias("last_value"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
+
+
+def q_keyword_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: text truncation around a keyword hit — 65-char window starting
+    30 chars before the first 'spark' occurrence (reference
+    network_analysis.py:141-151 co-mention text windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.locate("spark", F.col("text"))
+    return docs.filter(pos > 0).select(
+        "doc_id",
+        F.substring(F.col("text"), F.greatest(pos - 30, F.lit(1)), 65).alias("snippet"),
+    )
+
+
+def q_token_pack_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: token-budget packing as a relational plan — chars/4 token
+    estimate, cumulative sum per source ordered by doc_id, bucket id =
+    floor(start_offset / budget). Start-offset packing is this engine's
+    declared semantics (the reference packs greedily in a Python loop,
+    token_manager.py:58-94 — same budget envelope, order-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 500
+    tok = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", "source", tok.alias("tok")
+    ).withColumn("cum_tok", F.sum("tok").over(w))
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.floor((F.col("cum_tok") - F.col("tok")) / budget).cast("int").alias("bucket"),
+    )
+
+
+def q_llm_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: LLM cost estimator — chars/4 ~= tokens, $0.15/1K input and
+    $0.60/1K output at ~100 output tokens/row (reference
+    labeling.py:411-432), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.length("text") / 4.0), 2).alias("input_tokens"),
+        (
+            F.sum(F.length("text") / 4.0) * 0.15 / 1000.0
+            + F.count(F.lit(1)) * 100 * 0.60 / 1000.0
+        ).alias("est_cost_usd"),
+    )
+
+
+def q_similarity_multiquery_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q11: multi-query similarity retrieval with rerank threshold —
+    three query vectors (vec_id 0,1,2), cosine vs the full corpus, keep
+    score >= 0.2, top-5 per query (reference Similarity + rerank_threshold
+    + document_limit, query_builder.py:59-82, search.py:40-73). The query
+    side is broadcast; corpus side scans once for all queries."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 4).alias("score"))
+        .filter(F.col("score") >= 0.2)
+    )
+    return topk_per_group(
+        sims, ["query_id"], [F.col("score").desc(), F.col("vec_id").asc()], k=5
+    )
 
 
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +999,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "min_occurrence_filter": q_min_occurrence_filter,
+        "dedup_joinback_labels": q_dedup_joinback_labels,
+        "multi_source_daily_volumes": q_multi_source_daily_volumes,
+        "fallback_coalesce_join": q_fallback_coalesce_join,
+        "sector_rank": q_sector_rank,
+        "peak_lag": q_peak_lag,
+        "first_last_per_group": q_first_last_per_group,
+        "keyword_context_window": q_keyword_context_window,
+        "token_pack_buckets": q_token_pack_buckets,
+        "llm_cost_estimate": q_llm_cost_estimate,
+        "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
     }
 
 
@@ -1308,11 +1532,144 @@ def oracle_sql() -> dict[str, str]:
                          4) AS cosine_sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 4) >= 0.8
+                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 4) >= 0.4
         """,
         "ann_lsh_buckets": _ann_lsh_sql(),
         "streaming_windowed_counts": """
             SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "min_occurrence_filter": """
+            WITH kept AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY l_partkey) AS n_rows
+                FROM lineitem
+            )
+            SELECT l_partkey, n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM kept WHERE n_rows >= 25
+            GROUP BY l_partkey, n_rows
+        """,
+        "dedup_joinback_labels": """
+            WITH labeled AS (
+                SELECT text, SUBSTR(MD5(LOWER(TRIM(text))), 1, 2) AS label
+                FROM (SELECT DISTINCT text FROM documents)
+            )
+            SELECT d.doc_id, l.label
+            FROM documents d LEFT JOIN labeled l ON d.text = l.text
+        """,
+        "multi_source_daily_volumes": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            c AS (SELECT day, cnt FROM daily WHERE event_type = 'click'),
+            v AS (SELECT day, cnt FROM daily WHERE event_type = 'view'),
+            p AS (SELECT day, cnt FROM daily WHERE event_type = 'purchase')
+            SELECT COALESCE(c.day, v.day, p.day) AS day,
+                   COALESCE(c.cnt, 0) AS click_cnt,
+                   COALESCE(v.cnt, 0) AS view_cnt,
+                   COALESCE(p.cnt, 0) AS purchase_cnt
+            FROM c
+            FULL OUTER JOIN v ON c.day = v.day
+            FULL OUTER JOIN p ON COALESCE(c.day, v.day) = p.day
+        """,
+        "fallback_coalesce_join": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            pa AS (
+                SELECT user_id, AVG(value) AS purchase_avg
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            ca AS (
+                SELECT user_id, AVG(value) AS click_avg
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            )
+            SELECT u.user_id,
+                   COALESCE(purchase_avg, click_avg, 0.0) AS engagement
+            FROM users u
+            LEFT JOIN pa ON u.user_id = pa.user_id
+            LEFT JOIN ca ON u.user_id = ca.user_id
+        """,
+        "sector_rank": """
+            WITH totals AS (
+                SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1
+            )
+            SELECT c_mktsegment, total_price,
+                   DENSE_RANK() OVER (ORDER BY total_price DESC, c_mktsegment ASC)
+                       AS sector_rank
+            FROM totals
+        """,
+        "peak_lag": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            peaks AS (
+                SELECT event_type, day AS peak_day, cnt AS peak_cnt
+                FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY event_type ORDER BY cnt DESC, day ASC
+                    ) AS rn FROM daily
+                ) WHERE rn = 1
+            ),
+            ref AS (SELECT peak_day AS ref_day FROM peaks WHERE event_type = 'purchase')
+            SELECT event_type, peak_day, peak_cnt,
+                   DATEDIFF('day', ref_day, peak_day) AS lag_days_vs_purchase
+            FROM peaks CROSS JOIN ref
+        """,
+        "first_last_per_group": """
+            SELECT user_id,
+                   ROUND(ARG_MIN(value, event_id), 4) AS first_value,
+                   ROUND(ARG_MAX(value, event_id), 4) AS last_value,
+                   ARG_MIN(event_type, event_id) AS first_event_type
+            FROM events GROUP BY user_id
+        """,
+        "keyword_context_window": """
+            SELECT doc_id,
+                   SUBSTR(text, GREATEST(STRPOS(text, 'spark') - 30, 1), 65) AS snippet
+            FROM documents WHERE STRPOS(text, 'spark') > 0
+        """,
+        "token_pack_buckets": """
+            WITH t AS (
+                SELECT doc_id, source, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS tok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, tok,
+                       SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tok
+                FROM t
+            )
+            SELECT doc_id, source, tok,
+                   CAST(FLOOR((cum_tok - tok) / 500.0) AS INT) AS bucket
+            FROM c
+        """,
+        "llm_cost_estimate": """
+            SELECT source,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(LENGTH(text) / 4.0), 2) AS input_tokens,
+                   SUM(LENGTH(text) / 4.0) * 0.15 / 1000.0
+                       + COUNT(*) * 100 * 0.60 / 1000.0 AS est_cost_usd
+            FROM documents GROUP BY source
+        """,
+        "similarity_multiquery_rerank": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(LIST_DOT_PRODUCT(e.v, q.qv)
+                             / (SQRT(LIST_DOT_PRODUCT(e.v, e.v))
+                                * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 4) AS score
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, score
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+                ) AS rn FROM sims
+                WHERE score >= 0.2
+            ) WHERE rn <= 5
         """,
     }
