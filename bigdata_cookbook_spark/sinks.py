@@ -1,0 +1,91 @@
+"""Report sinks (SURVEY.md §2.1 S6/S7).
+
+These are edge operators: results reaching a sink are small (post-
+aggregation), so collection to the driver is by design — the engine never
+collects fact tables (BASELINE.md north star). Reference:
+
+- S7 HTML report: Tracking_Inflation_Drivers/src/summarize.py:222-285 and
+  Report_Generator_AI_Threats/src/tool.py:131-351 assemble f-string HTML
+  grouped by label, one section per group with quote/motivation blocks.
+- S6 Excel workbook: Thematic_Screener/ThematicScreener.ipynb cell 34
+  writes a multi-sheet workbook of result frames. openpyxl is not part of
+  this engine's pinned deps, so the workbook sink degrades to one CSV per
+  sheet under a directory — identical information, dependency-free; a real
+  xlsx writer can be plugged in where available.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+_MAX_SINK_ROWS = 100_000  # guardrail: sinks are for post-aggregation results
+
+
+def _collect_small(df: DataFrame, limit: int = _MAX_SINK_ROWS) -> list[dict]:
+    rows = [r.asDict() for r in df.limit(limit + 1).collect()]
+    if len(rows) > limit:
+        raise ValueError(
+            f"sink input exceeds {limit} rows — aggregate before sinking; "
+            "fact-table exports belong in df.write.parquet"
+        )
+    return rows
+
+
+def html_report(
+    df: DataFrame,
+    group_col: str,
+    title: str,
+    body_cols: Sequence[str],
+    heading_col: str | None = None,
+) -> str:
+    """S7: one <section> per distinct ``group_col`` value, each row
+    rendered as a block of the requested body columns. Deterministic
+    ordering (group, then row order by the body columns) so the output is
+    byte-stable for golden tests."""
+    rows = _collect_small(df)
+    groups: dict[str, list[dict]] = {}
+    for r in rows:
+        groups.setdefault(str(r.get(group_col)), []).append(r)
+
+    out = [
+        "<!DOCTYPE html>",
+        "<html><head><meta charset='utf-8'>",
+        f"<title>{html.escape(title)}</title></head><body>",
+        f"<h1>{html.escape(title)}</h1>",
+    ]
+    for g in sorted(groups):
+        out.append("<section>")
+        out.append(f"<h2>{html.escape(g)}</h2>")
+        grows = sorted(
+            groups[g], key=lambda r: tuple(str(r.get(c)) for c in body_cols)
+        )
+        for r in grows:
+            out.append("<div class='item'>")
+            if heading_col is not None:
+                out.append(f"<h3>{html.escape(str(r.get(heading_col)))}</h3>")
+            for c in body_cols:
+                out.append(
+                    f"<p><b>{html.escape(c)}:</b> {html.escape(str(r.get(c)))}</p>"
+                )
+            out.append("</div>")
+        out.append("</section>")
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
+def workbook_sink(sheets: Mapping[str, DataFrame], out_dir: str) -> dict[str, str]:
+    """S6: multi-sheet workbook of result frames -> one CSV per sheet
+    under ``out_dir`` (driver-side, small results only). Returns
+    {sheet_name: file_path}."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+    for name, df in sheets.items():
+        safe = "".join(ch if ch.isalnum() or ch in "-_" else "_" for ch in name)
+        path = os.path.join(out_dir, f"{safe}.csv")
+        df.limit(_MAX_SINK_ROWS + 1).toPandas().to_csv(path, index=False)
+        paths[name] = path
+    return paths

@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the properties that matter at 100 TB.
+
+Each test pins an .explain("formatted") property the engine relies on at
+scale: predicate/column pushdown into the parquet scan, broadcast joins
+for dimension tables, map-side partial aggregation, and whole-stage
+codegen. A regression here is a silent 10-100x slowdown at the 1000-
+executor tier even if correctness stays green.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from bigdata_cookbook_spark.plans.explain import explain_str
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        return explain_str(qs[name](spark, sf_dir))
+
+    return plan_of
+
+
+def test_scan_column_pruning(plans):
+    # pricing_summary reads 7 of lineitem's 16 columns; the scan's
+    # ReadSchema must not include untouched wide columns like l_comment
+    p = plans("pricing_summary")
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m, p
+    assert "l_comment" not in m.group(1)
+    assert "l_quantity" in m.group(1)
+
+
+def test_filter_pushdown_to_scan(plans):
+    # keyword_search's source IN (...) filter must reach the parquet scan
+    p = plans("keyword_search")
+    m = re.search(r"PushedFilters: \[(.*?)\]", p)
+    assert m, p
+    assert "In(source" in m.group(1) or "EqualTo(source" in m.group(1)
+
+
+def test_dim_joins_are_broadcast(plans):
+    # customer/nation/part are dimension tables: joins must be broadcast
+    # hash joins, never shuffle the fact side on the join key
+    for q in ("hit_count_monthly_topk", "count_distinct_having", "topk_parts_per_brand"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, f"{q} lost its broadcast join:\n{p}"
+        assert "SortMergeJoin" not in p, f"{q} degraded to sort-merge:\n{p}"
+
+
+def test_partial_aggregation(plans):
+    # groupBy aggregates must combine map-side (two HashAggregate nodes
+    # with a partial_ first pass) so the shuffle carries group rows, not
+    # raw fact rows
+    p = plans("pricing_summary")
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_" in p, p
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # the scan->filter->agg hot path must sit inside WholeStageCodegen —
+    # "simple" mode marks codegen'd nodes with "*(n)". AQE only finalizes
+    # the physical plan on execution, so run the query first.
+    df = entry.queries()["pricing_summary"](spark, sf_dir)
+    df.collect()
+    p = explain_str(df, mode="simple")
+    assert "isFinalPlan=true" in p, p
+    assert "*(" in p, p
+
+
+def test_comention_join_keyed_not_cartesian(plans):
+    # the co-mention self-join is an equi-join on l_orderkey; it must plan
+    # as a keyed join (broadcast at this SF, shuffle join at scale), never
+    # a cartesian product with the key as a post-filter
+    p = plans("comention_parts")
+    assert "CartesianProduct" not in p, p
+
+
+def test_ann_topk_takeordered(plans):
+    # global top-k must be TakeOrderedAndProject (per-partition heap +
+    # final merge), never a full global sort followed by limit
+    p = plans("ann_cosine_topk")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_events_daterange_partition_filters(plans):
+    # the ts BETWEEN filter must be pushed to the events scan
+    p = plans("events_daterange")
+    m = re.search(r"PushedFilters: \[(.*?)\]", p)
+    assert m, p
+    assert "ts" in m.group(1) or "GreaterThanOrEqual" in m.group(1), m.group(1)
