@@ -175,3 +175,40 @@ def normalize_screening(
     )
     out = out.withColumnRenamed("text_clean", "text")
     return out.dropDuplicates(["sentence_id", "entity_id"]).select(*SCREENING_COLUMNS)
+
+
+def doc_level_annotations(chunks: DataFrame, entities_dim: DataFrame) -> DataFrame:
+    """S8 — doc-level annotated view (reference
+    Board_Management_Monitoring/src/tool.py:183-238): per document, the
+    distinct mentioned entity names grouped by entity type into sorted
+    comma-joined strings, pivoted to one column per type.
+
+    Plan shape: explode mentions -> broadcast join entity dim -> one
+    groupBy(document_id) with conditional collect_sets — a single shuffle
+    keyed by document_id (near-unique, skew-free at 100 TB).
+    """
+    m = chunks.select("document_id", F.explode("entities").alias("e"))
+    dim = F.broadcast(
+        entities_dim.select(
+            F.col("entity_id").alias("__eid"),
+            F.col("name").alias("__name"),
+            F.col("entity_type").alias("__etype"),
+        )
+    )
+    joined = m.join(dim, m["e.key"] == F.col("__eid"), "inner")
+
+    def names_of(etype: str) -> F.Column:
+        return F.array_join(
+            F.array_sort(
+                F.collect_set(F.when(F.col("__etype") == etype, F.col("__name")))
+            ),
+            ", ",
+        )
+
+    return joined.groupBy("document_id").agg(
+        names_of("COMP").alias("companies"),
+        names_of("PEOP").alias("people"),
+        names_of("TOPI").alias("topics"),
+        names_of("PLCE").alias("places"),
+        F.countDistinct("__eid").alias("n_entities"),
+    )

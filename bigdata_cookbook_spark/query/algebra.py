@@ -142,6 +142,31 @@ class Not(Predicate):
 
 
 @dataclass
+class PersonVariations(Predicate):
+    """Q10: person-name variation query (reference
+    Board_Management_Monitoring/src/tool.py:73-159) — OR over name
+    variants matched in text, optionally ANDed with a company entity
+    mention ("strict" mode). Variant matching is word-boundary rlike so
+    'Ann Lee' doesn't hit 'Annabelle Leeds'."""
+
+    variations: tuple[str, ...]
+    strict_company_id: str | None = None
+
+    def __init__(self, *variations: str, strict_company_id: str | None = None):
+        self.variations = tuple(variations)
+        self.strict_company_id = strict_company_id
+
+    def to_column(self) -> Column:
+        import re as _re
+
+        pattern = "(?i)\\b(" + "|".join(_re.escape(v) for v in self.variations) + ")\\b"
+        col = F.col("text").rlike(pattern)
+        if self.strict_company_id is not None:
+            col = col & Entity(self.strict_company_id).to_column()
+        return col
+
+
+@dataclass
 class Similarity:
     """Q1: embedding cosine similarity of chunk text vs a query sentence.
 

@@ -75,3 +75,48 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """O4 on a stream: exactly-once rows per event_id within the
     watermark horizon (state bounded by the watermark)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window_size: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in size/slide
+    overlapping windows (window_size must be a multiple of slide)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            F.col("w.end").cast("date").alias("win_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-user session windows: events within ``gap`` of each other merge
+    into one session (F.session_window — state bounded by watermark)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            F.round("session_value", 2).alias("session_value"),
+        )
+    )

@@ -88,3 +88,47 @@ def test_frame_sample_plan(spark):
     for r in rows:
         per.setdefault(r.media_id, []).append(r.frame_idx)
     assert per and all(sorted(v) == [0, 10, 20] for v in per.values())
+
+
+def test_sliding_counts_match_batch(spark, sf_dir):
+    from bigdata_cookbook_spark.streaming.events import sliding_counts
+
+    stream = stream_events(spark, sf_dir)
+    out = _drain(sliding_counts(stream, "2 days", "1 day"), "slide_sink", spark)
+    # batch equivalent: each event contributes to 2 overlapping windows
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.date_sub(F.to_date("ts"), 1),
+                    F.to_date("ts"),
+                )
+            ).alias("win_start"),
+            "event_type",
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(str(r.win_start), r.event_type): r.cnt for r in out.collect()}
+    want = {(str(r.win_start), r.event_type): r.cnt for r in batch.collect()}
+    assert got == want
+
+
+def test_session_windows_merge_by_gap(spark, sf_dir):
+    from bigdata_cookbook_spark.streaming.events import session_windows
+
+    stream = stream_events(spark, sf_dir)
+    out = _drain(session_windows(stream, gap="6 hours"), "sess_sink", spark)
+    rows = out.collect()
+    assert rows, "no sessions produced"
+    ev_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == ev_total  # every event in exactly one session
+    # sessions for one user never overlap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2

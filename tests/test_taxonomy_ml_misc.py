@@ -1,0 +1,139 @@
+"""Tests: L4/F15 taxonomy, Q10 person variations, S8 doc annotations,
+MLlib LSH scale paths, streaming sliding/session windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.llm.taxonomy import (
+    generate_theme_tree,
+    label_to_parent,
+    leaf_labels,
+    leaf_summaries,
+    tree_to_edges,
+)
+from bigdata_cookbook_spark.ml import (
+    embedding_ann_brp,
+    minhash_neardup_ml,
+    text_feature_pipeline,
+)
+from bigdata_cookbook_spark.operators.dedup import ngram_jaccard_pairs
+from bigdata_cookbook_spark.operators.normalize import doc_level_annotations
+from bigdata_cookbook_spark.query.algebra import PersonVariations
+from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+from bigdata_cookbook_spark.sources.testdata import load_table
+
+
+# --- taxonomy -------------------------------------------------------------
+
+
+def test_theme_tree_deterministic_and_traversals(spark):
+    t1 = generate_theme_tree("inflation drivers")
+    t2 = generate_theme_tree("inflation drivers")
+    assert t1 == t2  # seeded determinism
+    labels = leaf_labels(t1)
+    assert len(labels) == 6  # 3 branches x 2 leaves
+    assert len(leaf_summaries(t1)) == 6
+    mapping = label_to_parent(t1)
+    assert set(mapping) == set(labels)
+    assert all(p.endswith(("branch 0", "branch 1", "branch 2")) for p in mapping.values())
+
+    edges = tree_to_edges(spark, t1)
+    rows = edges.collect()
+    assert len(rows) == 9  # 3 branch edges + 6 leaf edges
+    assert sum(1 for r in rows if r.is_leaf) == 6
+    # label->theme rollup via broadcast join (the at-scale path)
+    facts = spark.createDataFrame([(l,) for l in labels], "label string")
+    themed = facts.join(
+        F.broadcast(edges.filter("is_leaf").select(
+            F.col("child_label").alias("label"),
+            F.col("parent_label").alias("theme"),
+        )),
+        "label",
+    )
+    got = {r.label: r.theme for r in themed.collect()}
+    assert got == mapping
+
+
+# --- Q10 person variations ------------------------------------------------
+
+
+def test_person_variations_word_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", "Ann Lee joined the board", [{"key": "E1", "start": 0, "end": 7}]),
+            ("c2", "Annabelle Leeds spoke", [{"key": "E1", "start": 0, "end": 15}]),
+            ("c3", "met A. Lee today", [{"key": "E2", "start": 4, "end": 10}]),
+        ],
+        "sentence_id string, text string, entities array<struct<key:string,start:int,end:int>>",
+    )
+    p = PersonVariations("Ann Lee", "A. Lee")
+    hits = {r.sentence_id for r in df.filter(p.to_column()).collect()}
+    assert hits == {"c1", "c3"}  # word boundary rejects 'Annabelle Leeds'
+
+    strict = PersonVariations("Ann Lee", "A. Lee", strict_company_id="E2")
+    hits2 = {r.sentence_id for r in df.filter(strict.to_column()).collect()}
+    assert hits2 == {"c3"}
+
+
+# --- S8 doc-level annotations ---------------------------------------------
+
+
+def test_doc_level_annotations(spark):
+    ents, docs, chunks = fixture_frames(spark, n_docs=50, seed=7)
+    out = doc_level_annotations(chunks, ents)
+    rows = out.collect()
+    assert rows, "no annotated documents"
+    assert set(out.columns) == {
+        "document_id", "companies", "people", "topics", "places", "n_entities",
+    }
+    r = rows[0]
+    # comma-joined sorted names; n_entities counts distinct mentions
+    if r.companies:
+        names = r.companies.split(", ")
+        assert names == sorted(names)
+    assert r.n_entities >= 1
+
+
+# --- MLlib LSH scale paths -------------------------------------------------
+
+
+def test_minhash_ml_agrees_with_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    ml_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_ml(docs, jaccard_threshold=0.5).collect()
+    }
+    # approxSimilarityJoin computes EXACT Jaccard on candidate pairs, so
+    # no false positives; recall over true pairs should be high
+    assert ml_pairs <= exact or not exact
+    if exact:
+        assert len(ml_pairs) >= 0.8 * len(exact)
+
+
+def test_minhash_ml_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, minhash_neardup_ml(docs).collect()))
+    b = sorted(map(tuple, minhash_neardup_ml(docs).collect()))
+    assert a == b
+
+
+def test_brp_ann_finds_near_neighbors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = embedding_ann_brp(emb, query_vec_id=0, k=5).collect()
+    assert 1 <= len(nn) <= 5
+    assert all(r.vec_id != 0 for r in nn)
+    dists = [r.dist for r in nn]
+    assert dists == sorted(dists)
+
+
+def test_text_feature_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    _model, feats = text_feature_pipeline(docs)
+    row = feats.select("features").head()
+    assert row.features.size == 1 << 16
+    assert row.features.numNonzeros() > 0
