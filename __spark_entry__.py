@@ -911,6 +911,30 @@ def q_similarity_multiquery_rerank(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands) — the batch twin of the
+    streaming session_window operator: per user, a new session starts
+    when the gap to the previous event exceeds 6 hours; emit per-session
+    start/end/count/value. One shuffle on user_id; both windows share the
+    same (user_id, ts) sort so Spark plans a single Sort+Exchange."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 6 * 3600,
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("new_sess", gap_flag).withColumn(
+        "session_no", F.sum("new_sess").over(wc)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming extension (§2.10): event-time tumbling-window
     counts with watermark, drained via availableNow into a memory sink.
@@ -1010,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack_buckets": q_token_pack_buckets,
         "llm_cost_estimate": q_llm_cost_estimate,
         "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1671,5 +1696,27 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM sims
                 WHERE score >= 0.2
             ) WHERE rn <= 5
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 6 * 3600 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            numbered AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_no
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   date_trunc('second', MIN(ts)) AS session_start,
+                   date_trunc('second', MAX(ts)) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM numbered GROUP BY user_id, session_no
         """,
     }

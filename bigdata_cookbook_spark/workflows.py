@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_cookbook_spark.llm.stage import Backend, llm_label_stage
@@ -134,3 +134,129 @@ def narrative_timeseries(
     ).agg(F.count(F.lit(1)).alias("cnt"))
     z = zscore_per_series(weekly, [label_col], "cnt", out_col="zscore")
     return gaussian_smooth(z, [label_col], [F.col("week").asc()], "zscore", sigma=sigma)
+
+
+def report_generator(
+    documents: DataFrame,
+    chunks: DataFrame,
+    entities: DataFrame,
+    backend: Backend,
+    summarize_backend=None,
+    risk_levels: dict[str, int] | None = None,
+) -> dict[str, DataFrame]:
+    """§3 Report_Generator skeleton (Report_Generator_AI_Threats/
+    src/report_generator.py, Report_Generator_Regulatory_Issues_in_Tech):
+    normalize -> label -> drop unassigned (P3) -> per-(entity, label)
+    hierarchical summaries (L5) -> risk mapping (A13/L6) -> doc-volume
+    score normalized by global mean (A10) -> fallback coalesce of
+    filings-vs-news summaries (J10) -> HTML-ready frame (S7 input)."""
+    from bigdata_cookbook_spark.llm.summarize import (
+        hierarchical_summarize,
+        stub_summarizer,
+    )
+
+    summarize_backend = summarize_backend or stub_summarizer
+    risk_levels = risk_levels or {"P": 3, "A": 2, "N": 1}
+
+    screening = normalize_screening(documents, chunks, entities, mode="discovery")
+    labeled = llm_label_stage(screening, backend).filter(
+        ~F.col("label").isin("", "unassigned", "unclear", "U")
+    )
+
+    # L5 per (entity, label) from the two document populations
+    filings = labeled.filter(F.col("document_type").isin("filings", "transcripts"))
+    news = labeled.filter(F.col("document_type") == "news")
+
+    def summaries(df: DataFrame, out: str) -> DataFrame:
+        return hierarchical_summarize(
+            df,
+            keys=["entity_name", "label"],
+            text_col="masked_text",
+            doc_col="document_id",
+            backend=summarize_backend,
+        ).withColumnRenamed("summary", out)
+
+    f_sum = summaries(filings, "filings_summary")
+    n_sum = summaries(news, "news_summary")
+
+    # J10: filings summary preferred, news fallback
+    merged = (
+        f_sum.select("entity_name", "label", "filings_summary")
+        .join(
+            n_sum.select(
+                "entity_name", "label", "news_summary",
+                F.col("n_documents").alias("n_news_docs"),
+            ),
+            ["entity_name", "label"],
+            "full_outer",
+        )
+        .withColumn(
+            "summary", F.coalesce("filings_summary", "news_summary")
+        )
+    )
+
+    # A13 risk mapping + A10 score = n_docs / mean(n_docs)
+    level = F.lit(0)
+    for lab, lv in sorted(risk_levels.items()):
+        level = F.when(F.col("label") == lab, lv).otherwise(level)
+    volumes = labeled.groupBy("entity_name").agg(
+        F.countDistinct("document_id").alias("n_docs")
+    )
+    scored = volumes.withColumn(
+        "score", F.col("n_docs") / F.avg("n_docs").over(Window.partitionBy())
+    )
+
+    report = (
+        merged.withColumn("risk_level", level)
+        .join(F.broadcast(scored), "entity_name", "left")
+        .select(
+            "entity_name", "label", "risk_level", "summary",
+            "n_docs", F.round("score", 4).alias("score"),
+        )
+    )
+    return {"labeled": labeled, "summaries": merged, "report": report}
+
+
+def board_monitoring(
+    documents: DataFrame,
+    chunks: DataFrame,
+    entities: DataFrame,
+    person_variations: Sequence[str],
+    strict_company_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """§3 Board_Management_Monitoring workflow (src/tool.py:573-667):
+    person-variation query (Q10) -> doc-id dedup across hits (O4) ->
+    doc-level annotated view (S8) -> quarterly doc counts (A15) and
+    top sources (A16). Explicit query-id provenance replaces the
+    reference's positional result indexing (tool.py:262-274)."""
+    from bigdata_cookbook_spark.operators.normalize import doc_level_annotations
+    from bigdata_cookbook_spark.query.algebra import PersonVariations
+
+    frame = unified_chunk_frame(documents, chunks)
+    pred = PersonVariations(
+        *person_variations, strict_company_id=strict_company_id
+    )
+    hits = frame.filter(pred.to_column())
+
+    # O4: first chunk hit per document wins
+    doc_hits = hits.dropDuplicates(["document_id"]).select(
+        "document_id", "timestamp_utc", "source_id", "document_type"
+    )
+    annotated = doc_hits.join(
+        doc_level_annotations(chunks, entities), "document_id", "left"
+    )
+    quarterly = doc_hits.groupBy(
+        F.date_trunc("quarter", "timestamp_utc").cast("date").alias("quarter_start")
+    ).agg(F.countDistinct("document_id").alias("n_docs"))
+    top_sources = (
+        doc_hits.groupBy("source_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("source_id").asc())
+        .limit(5)
+    )
+    return {
+        "doc_hits": doc_hits,
+        "annotated": annotated,
+        "quarterly": quarterly,
+        "top_sources": top_sources,
+    }
