@@ -443,8 +443,11 @@ def q_events_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (training-data tier): CJK detection + marker
-    stopword scoring, plus agreement flag vs the labeled lang column."""
+    stopword scoring, plus agreement flag vs the labeled lang column.
+    Repartitions first: the regex battery is CPU-bound and the source is
+    one parquet row group — spread it across cores."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     pred = lang_id_expr(F.col("text"))
     return docs.select(
         "doc_id",
@@ -506,22 +509,35 @@ def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: co-mention pair self-join — parts co-occurring within an order,
-    edge weight = co-occurrence count (reference
-    network_analysis.py:129-201). High-cardinality join key (orderkey) so
-    the shuffle partitions evenly at scale."""
+    """J8: co-mention pairs — parts co-occurring within an order, edge
+    weight = co-occurrence count (reference network_analysis.py:129-201).
+
+    Implemented as groupBy(orderkey) -> in-array pair expansion instead
+    of a self-join: one shuffle of the compact fact rows (keyed by the
+    high-cardinality orderkey, even at scale), pairs expand inside each
+    group (bounded by per-order cardinality), then one shuffle of the
+    pairs. The self-join formulation shuffles the same data but
+    materializes the joined rows through an extra exchange — measured
+    ~40% slower. Semantics identical (strict < ordering on part keys)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.transform(
+                        F.filter("ps", lambda y: y > x),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= 2)
     )
@@ -651,23 +667,15 @@ def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data tier): all
-    pairs with cosine >= 0.4. Brute-force n^2 at correctness tier; the
-    scale path buckets by hyperplane LSH first (q_ann_lsh_buckets)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
-    return pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim")).filter(
-        F.col("cosine_sim") >= 0.4
-    )
+    pairs with cosine >= 0.4, via block-partitioned NumPy GEMM inside
+    mapInPandas (operators/similarity.py — the n^2 expression plan is
+    ~100x slower because higher-order array functions evaluate
+    interpreted). At 100 TB, LSH bucketing (q_ann_lsh_buckets) prunes
+    candidates before this verification kernel."""
+    from bigdata_cookbook_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(emb, threshold=0.4)
 
 
 def _hyperplanes(n: int = 8, dim: int = 64, seed: int = 123) -> list[list[float]]:

@@ -29,7 +29,8 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 # Headline set: every family that matters at scale — scan+agg, join+window
-# top-k, densification, z-score, dedup, text analysis, similarity search.
+# top-k, densification, z-score, sessionization, co-occurrence pairs,
+# exact + MinHash/SimHash/Jaccard dedup, text analysis, similarity search.
 HEADLINE = [
     "pricing_summary",
     "hit_count_monthly_topk",
@@ -44,7 +45,37 @@ HEADLINE = [
     "doc_fingerprint",
     "token_quality",
     "ann_cosine_topk",
+    "sessionize",
+    "comention_parts",
+    "simhash",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "similarity_multiquery_rerank",
+    "lang_id",
 ]
+
+
+def duckdb_reference(sf_dir: str) -> dict[str, float]:
+    """Run each headline query's DuckDB oracle on the same parquet —
+    the in-situ single-node columnar reference the 2x bound compares to."""
+    import duckdb
+
+    from bigdata_cookbook_spark.sources.testdata import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = entrymod.oracle_sql()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def small_input_session() -> SparkSession:
@@ -54,6 +85,9 @@ def small_input_session() -> SparkSession:
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.locality.wait", "0")  # local mode: never wait for locality
+        .config("spark.shuffle.compress", "false")  # KB-scale shuffles: skip codec
+        .config("spark.shuffle.spill.compress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -83,6 +117,8 @@ def main() -> None:
         cold[name] = round(run(name), 3)
         steady[name] = round(min(cold[name], run(name)), 3)
     total = sum(steady.values())
+    duck = duckdb_reference(sf_dir)
+    duck_total = round(sum(duck.values()), 3)
     print(
         json.dumps(
             {
@@ -91,6 +127,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": steady,
                 "queries_cold": cold,
+                "duckdb_ref_total": duck_total,
+                "duckdb_ref_queries": duck,
+                "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

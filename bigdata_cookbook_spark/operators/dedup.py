@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_cookbook_spark.functions.text import shingles_expr
+from bigdata_cookbook_spark.functions.text import shingles_from_tokens, tokens_expr
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -35,11 +35,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded inverted-index rows; empty-shingle docs drop."""
+    """(id, shingle) exploded inverted-index rows; empty-shingle docs drop.
+
+    Repartitions by doc_id BEFORE shingling: (a) shingling cost spreads
+    over all cores even when the source is one parquet row group, and
+    (b) the output inherits hashpartitioning(doc_id), so the per-doc
+    aggregations downstream (minhash_signature's groupBy) reuse it —
+    the shuffle moves compact documents, never the ~50x larger exploded
+    shingle rows.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("doc_id"), shingles_expr(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        df.repartition(par, id_col)
+        # stage the token array as a bound column BEFORE the higher-order
+        # shingle transform, and guard short docs with a FILTER, not a
+        # when() around the transform (see shingles_from_tokens contract)
+        .select(F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        # explode FUSED over the transform: an intermediate aliased array
+        # projection re-routes the HOF through the interpreted path
+        # (measured 8 s vs 0.3 s at 5 k docs)
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
     )
 
 
@@ -58,27 +74,33 @@ def ngram_jaccard_pairs(
     join; high-frequency shingles should additionally be dropped by a
     document-frequency cap.
     """
+    from pyspark.sql import Window
+
     sh = doc_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # carry |shingles(doc)| on every row via a window (input is already
+    # hash-partitioned by doc_id, so this is sort-only, no shuffle) — the
+    # two size lookups then ride along the join instead of needing two
+    # extra joins, and both self-join sides share ONE identical exchange
+    # on shingle, which Spark's exchange reuse computes once.
+    wsz = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    a = wsz.alias("a")
+    b = wsz.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ).alias("jaccard"),
-        )
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 
@@ -117,19 +139,28 @@ def minhash_lsh_candidates(
     end dedups pairs that collide in multiple bands.
     """
     sig = minhash_signature(df, text_col, id_col, n, num_hashes)
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.encode(F.concat_ws("|", *cols), "UTF-8")).alias("bucket"),
-            )
+    # one explode instead of a union of per-band branches: the signature
+    # aggregation is computed once, not num_bands times; and the self-join
+    # sides then share one identical exchange on (band, bucket) which
+    # exchange reuse evaluates a single time.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    ),
+                    "UTF-8",
+                )
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+        for b in range(num_hashes // band_size)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
@@ -152,8 +183,10 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     so Spark and the SQL oracle share the bit definition exactly; a scale
     deployment would pack the same votes into a long with bit ops.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
-        df.select(
+        df.repartition(par, id_col)  # parallelize + pre-align with groupBy(doc_id)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
         )

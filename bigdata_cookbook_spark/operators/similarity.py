@@ -1,0 +1,111 @@
+"""Embedding similarity operators (training-data pipeline tier).
+
+Three execution tiers for pairwise-cosine work over an embedding column:
+
+1. expression tier (__spark_entry__ ann_cosine_topk): zip_with/aggregate
+   dot products — fine for one query vector vs the corpus (O(n) rows),
+   and SQL-oracle-checkable.
+2. blocked GEMM tier (here): all-pairs similarity via block-partitioned
+   matrix multiply inside Arrow-batched mapInPandas. Rationale: Spark's
+   higher-order array functions evaluate interpreted per element, so an
+   n^2-pairs x dim expression plan is ~100x slower than BLAS; NumPy matmul
+   per block pair is the vectorized path (measured 73 s -> <1 s at
+   n=5000, dim=64 locally). Each unordered pair is computed in exactly
+   one block-pair task; memory per task is bounded by block_size^2.
+3. LSH tier (ann_lsh_buckets / ml.embedding_ann_brp): at 100 TB all-pairs
+   is never run raw — hyperplane or BRP bucketing prunes candidates
+   first, then tier-2 verifies within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_size: int = 1024,
+    round_to: int = 4,
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold, as
+    (vec_a, vec_b, cosine_sim) with vec_a < vec_b.
+
+    Vectors are hashed into ceil(n/block_size) blocks; every block pair
+    (upper triangle incl. diagonal) becomes one task that runs a
+    normalized NumPy GEMM and emits only above-threshold pairs.
+    """
+    n = emb.count()
+    nblocks = max(1, math.ceil(n / block_size))
+
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nblocks)).alias("blk"),
+    )
+    grouped = vecs.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "e")).alias("vs")
+    )
+    pairs = (
+        grouped.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
+        .join(
+            grouped.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        # spread the block-pair tasks across the cluster
+        .repartition(nblocks * (nblocks + 1) // 2)
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([v["id"] for v in row.vs_a], dtype=np.int64)
+                mat_a = np.array([v["e"] for v in row.vs_a], dtype=np.float64)
+                same = row.blk_a == row.blk_b
+                if same:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b = np.array([v["id"] for v in row.vs_b], dtype=np.int64)
+                    mat_b = np.array([v["e"] for v in row.vs_b], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                sims = (mat_a / na[:, None]) @ (mat_b / nb[:, None]).T
+                # slack: values that ROUND up to the threshold must survive
+                # the in-kernel cut; the exact rounded filter is re-applied
+                # on the result frame
+                ii, jj = np.where(sims >= threshold - 0.5 * 10.0 ** (-round_to))
+                if same:
+                    keep = ids_a[ii] < ids_b[jj]
+                else:
+                    keep = np.ones(len(ii), dtype=bool)
+                ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                va, vb = ids_a[ii], ids_b[jj]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": lo,
+                        "vec_b": hi,
+                        "cosine_sim": np.round(sims[ii, jj], round_to),
+                    }
+                )
+
+    out = pairs.mapInPandas(
+        run, schema="vec_a long, vec_b long, cosine_sim double"
+    )
+    # re-apply the threshold on the rounded value so semantics match the
+    # expression/oracle tier exactly (round first, then cut)
+    return out.filter(F.col("cosine_sim") >= threshold)
