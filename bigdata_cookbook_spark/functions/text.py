@@ -126,3 +126,50 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     return F.when(
         (F.length(F.trim(text)) == 0) | (count <= 0), F.array().cast("array<string>")
     ).otherwise(F.array_distinct(grams))
+
+
+def wrap_text(s: str, width: int = 60, sep: str = "<br>") -> str:
+    """F4 — presentation word-wrap for hover/report text (reference
+    tool.py:11-46, mind_map_tools.py:29-49). Driver-side: runs on already
+    collected, post-aggregation rows only."""
+    words = (s or "").split()
+    lines: list[str] = []
+    cur: list[str] = []
+    n = 0
+    for w in words:
+        if cur and n + 1 + len(w) > width:
+            lines.append(" ".join(cur))
+            cur, n = [w], len(w)
+        else:
+            n += (1 if cur else 0) + len(w)
+            cur.append(w)
+    if cur:
+        lines.append(" ".join(cur))
+    return sep.join(lines)
+
+
+def format_report_block(text: str, index: int) -> str:
+    """F6 — report block wrapper (reference summary.py:106-111,
+    summarize.py:84-89): numbered '--- Report Start/End ---' fences around
+    each intermediate summary fed to the reduce stage."""
+    return (
+        f"--- Report {index} Start ---\n{text}\n--- Report {index} End ---"
+    )
+
+
+def bisect_on_delimiter(s: str, delimiters: str = ".!?;\n") -> tuple[str, str]:
+    """F14 — split an oversize text at the delimiter nearest its midpoint
+    (reference labels.py:221-260); falls back to a hard character split
+    when no delimiter exists. Used by the LLM packer when a single row
+    exceeds the prompt budget."""
+    if len(s) < 2:
+        return s, ""
+    mid = len(s) // 2
+    best = None
+    for i, ch in enumerate(s):
+        if ch in delimiters:
+            if best is None or abs(i - mid) < abs(best - mid):
+                best = i
+    if best is None or best == len(s) - 1:
+        return s[:mid], s[mid:]
+    return s[: best + 1], s[best + 1 :]

@@ -120,3 +120,17 @@ def hierarchical_summarize(
     if n_docs is not None:
         out = out.join(n_docs, on=keys, how="left")
     return out
+
+
+def reduce_summaries(
+    texts: list[str],
+    backend: SummarizeBackend = stub_summarizer,
+) -> str:
+    """L9 — intro-section reducer (reference summarize.py:129-219):
+    condense the per-topic summaries into one overview. Driver-side by
+    design: the input is one row per topic (tiny); each summary is fenced
+    as a numbered report block before the single reduce call."""
+    from bigdata_cookbook_spark.functions.text import format_report_block
+
+    blocks = [format_report_block(t, i + 1) for i, t in enumerate(texts)]
+    return backend(blocks)

@@ -269,3 +269,49 @@ def net_exposure(
         F.round(nc * 100.0 / F.when(total == 0, F.lit(None)).otherwise(total), 2).alias("neg_pct"),
         (F.abs(pc) - F.abs(nc)).alias("net_exposure"),
     )
+
+
+def to_display_schema(
+    df: DataFrame,
+    rename: dict[str, str],
+    ts_col: str | None = None,
+    period_col: str = "Time Period",
+) -> DataFrame:
+    """P1 — engine snake_case -> display Title Case projection, plus the
+    derived '%b %Y' period column and date-only cast (reference
+    transform_to_reference_format, tool.py:1096-1135). Display renaming is
+    a FINAL projection by design (SURVEY §1.3) — internals never see
+    display names."""
+    out = df
+    if ts_col is not None:
+        out = out.withColumn(period_col, F.date_format(F.col(ts_col), "MMM yyyy"))
+        out = out.withColumn(ts_col, F.to_date(ts_col))
+    return out.withColumnsRenamed(rename)
+
+
+def topic_blacklist_filter(
+    df: DataFrame,
+    blacklist: list[str],
+    topics_col: str = "topics",
+    types_col: str = "topics_type",
+    drop_type: str = "COMP",
+) -> DataFrame:
+    """P6 — per-row topic cleanup (reference
+    visualization_tools.py:582-606): drop topics of ``drop_type`` (company
+    names repeat the entity column) and any blacklisted topic, keeping the
+    two parallel arrays aligned. Pure zip/filter expressions — no explode,
+    no shuffle."""
+    zipped = F.arrays_zip(F.col(topics_col), F.col(types_col))
+    if blacklist:
+        pred = lambda x: (x[types_col] != drop_type) & ~x[topics_col].isin(*blacklist)  # noqa: E731
+    else:
+        pred = lambda x: x[types_col] != drop_type  # noqa: E731
+    kept = F.filter(zipped, pred)
+    # both outputs projected in ONE select: sequential withColumn would
+    # re-evaluate `kept` against the already-replaced topics column
+    others = [c for c in df.columns if c not in (topics_col, types_col)]
+    return df.select(
+        *others,
+        F.transform(kept, lambda x: x[topics_col]).alias(topics_col),
+        F.transform(kept, lambda x: x[types_col]).alias(types_col),
+    )

@@ -1,0 +1,93 @@
+"""Tests: S5 tabular source, P1 display schema, P6 topic blacklist,
+F4 wrap, F6 report blocks, F14 bisection, L9 intro reducer."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.text import (
+    bisect_on_delimiter,
+    format_report_block,
+    wrap_text,
+)
+from bigdata_cookbook_spark.llm.summarize import reduce_summaries, stub_summarizer
+from bigdata_cookbook_spark.operators.analytics import (
+    to_display_schema,
+    topic_blacklist_filter,
+)
+from bigdata_cookbook_spark.sources.tabular import read_sheet
+
+
+def test_read_sheet_with_junk_header(spark, tmp_path):
+    p = tmp_path / "sheet.csv"
+    p.write_text(
+        "Exported report,,\n"  # junk prologue row (like excel header=1)
+        "Date,Narrative,Unnamed: 2\n"
+        "2024-01-05,AI capex,x\n"
+        "2024-02-06,Rate cuts,y\n"
+    )
+    df = read_sheet(
+        spark, str(p), source_name="news", date_col="Date", header_offset=1
+    )
+    rows = df.orderBy("Date").collect()
+    assert df.columns == ["Date", "Narrative", "source"]  # Unnamed dropped
+    assert rows[0].Date == datetime.date(2024, 1, 5)
+    assert rows[0].source == "news"
+    assert rows[1].Narrative == "Rate cuts"
+
+
+def test_to_display_schema(spark):
+    df = spark.createDataFrame(
+        [("ACME", "Tech", datetime.datetime(2024, 3, 7, 14, 0))],
+        "entity_name string, entity_sector string, timestamp_utc timestamp",
+    )
+    out = to_display_schema(
+        df,
+        rename={"entity_name": "Company", "entity_sector": "Sector", "timestamp_utc": "Date"},
+        ts_col="timestamp_utc",
+    )
+    r = out.head()
+    assert set(out.columns) == {"Company", "Sector", "Date", "Time Period"}
+    assert r["Time Period"] == "Mar 2024"
+    assert r["Date"] == datetime.date(2024, 3, 7)
+
+
+def test_topic_blacklist_filter(spark):
+    df = spark.createDataFrame(
+        [(["Acme", "inflation", "Fed", "noise"], ["COMP", "TOPI", "ORGA", "TOPI"])],
+        "topics array<string>, topics_type array<string>",
+    )
+    out = topic_blacklist_filter(df, blacklist=["noise"]).head()
+    assert out.topics == ["inflation", "Fed"]  # COMP + blacklisted dropped
+    assert out.topics_type == ["TOPI", "ORGA"]
+    # empty blacklist still drops COMP
+    out2 = topic_blacklist_filter(df, blacklist=[]).head()
+    assert out2.topics == ["inflation", "Fed", "noise"]
+
+
+def test_wrap_text():
+    s = "alpha beta gamma delta epsilon"
+    assert wrap_text(s, width=11) == "alpha beta<br>gamma delta<br>epsilon"
+    assert wrap_text("", width=10) == ""
+    assert wrap_text("word", width=2) == "word"  # single long word not split
+
+
+def test_format_report_block_and_reduce():
+    b = format_report_block("body", 2)
+    assert b.startswith("--- Report 2 Start ---\nbody")
+    out = reduce_summaries(["s1", "s2"])
+    assert out == stub_summarizer(
+        [format_report_block("s1", 1), format_report_block("s2", 2)]
+    )
+
+
+def test_bisect_on_delimiter():
+    left, right = bisect_on_delimiter("One. Two longer sentence. Three.")
+    assert left + right == "One. Two longer sentence. Three."
+    assert left.endswith(".")
+    # no delimiter: hard split at midpoint
+    left2, right2 = bisect_on_delimiter("abcdefgh", delimiters=".")
+    assert (left2, right2) == ("abcd", "efgh")
+    assert bisect_on_delimiter("x") == ("x", "")

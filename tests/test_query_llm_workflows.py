@@ -244,3 +244,43 @@ def test_board_monitoring_workflow(spark):
         assert sum(r.n_docs for r in q) == len(hits)
         assert len(srcs) <= 5
         assert "people" in ann.columns and "companies" in ann.columns
+
+
+def test_reporting_entity_fiscal_year_and_control(frame, corpus):
+    """Q3 (document scope), Q5, Q6: reporting-entity predicate, fiscal
+    year filter, and a control-entity conjunction ANDed into the query."""
+    from bigdata_cookbook_spark.query.algebra import All, FiscalYear, ReportingEntity
+
+    filings = frame.filter(F.col("document_type") != "news")
+    sample = filings.select(
+        F.explode("reporting_entities").alias("rid"), "fiscal_year"
+    ).head()
+    assert sample is not None, "fixtures produced no filings"
+
+    hits = run_search(frame, [QuerySpec("qr", filters=(ReportingEntity(sample.rid),))])
+    assert hits.count() > 0
+    assert hits.filter(~F.array_contains("reporting_entities", sample.rid)).count() == 0
+
+    fy = run_search(
+        frame,
+        [QuerySpec("qf", filters=(ReportingEntity(sample.rid), FiscalYear(sample.fiscal_year)))],
+    )
+    assert fy.count() > 0
+    assert fy.filter(F.col("fiscal_year") != sample.fiscal_year).count() == 0
+
+    # Q6: control entity must co-occur in the chunk with the keyword hit
+    ents, _, _ = corpus
+    ctrl = None
+    for e in ents.filter("entity_type = 'PEOP'").limit(20).collect():
+        n = run_search(frame, [QuerySpec("qc", filters=(Entity(e.entity_id),))]).count()
+        if n > 0:
+            ctrl = e.entity_id
+            break
+    assert ctrl, "no PEOP control entity with hits"
+    combined = run_search(
+        frame,
+        [QuerySpec("qc", filters=(All(Entity(ctrl), DateRange("2024-01-01", "2025-01-01")),))],
+    )
+    assert (
+        combined.filter(~F.exists("entities", lambda x: x["key"] == F.lit(ctrl))).count() == 0
+    )
