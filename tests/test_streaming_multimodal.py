@@ -19,11 +19,13 @@ from bigdata_cookbook_spark.streaming.events import (
 )
 
 
-def _drain(stream_df, name: str, spark):
+def _drain(stream_df, name: str, spark, mode: str | None = None):
+    if mode is None:
+        mode = "append" if name in ("dedup_sink", "prof_sink") else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name == "dedup_sink" else "complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -132,3 +134,27 @@ def test_session_windows_merge_by_gap(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2
+
+
+def test_stateful_user_profile(spark, sf_dir):
+    from bigdata_cookbook_spark.streaming.stateful import running_user_profile
+
+    stream = stream_events(spark, sf_dir)
+    out = _drain(running_user_profile(stream), "prof_sink", spark)
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows, "no profiles emitted"
+    # final profile per user must equal the batch aggregate
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {r.user_id: r for r in batch.collect()}
+    assert set(rows) == set(want)
+    for uid, w in want.items():
+        got = rows[uid]
+        assert got.n_events == w.n_events
+        assert abs(got.total_value - w.total_value) < 0.05
