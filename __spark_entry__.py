@@ -943,6 +943,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sliding window (size=2 days, slide=1
+    day): each event lands in the window starting the day before and the
+    one starting its own day. Explode of the two window-start dates, then
+    one aggregation — the same result Structured Streaming's
+    window(ts, '2 days', '1 day') produces once drained."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return (
+        events.select(
+            F.explode(F.array(F.date_sub(day, 1), day)).alias("win_start"),
+            "event_type",
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming extension (§2.10): event-time tumbling-window
     counts with watermark, drained via availableNow into a memory sink.
@@ -1043,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_cost_estimate": q_llm_cost_estimate,
         "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
         "sessionize": q_sessionize,
+        "sliding_window_counts": q_sliding_window_counts,
     }
 
 
@@ -1726,5 +1745,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS session_value
             FROM numbered GROUP BY user_id, session_no
+        """,
+        "sliding_window_counts": """
+            SELECT win_start, event_type, COUNT(*) AS cnt
+            FROM (
+                SELECT UNNEST([CAST(ts AS DATE) - 1, CAST(ts AS DATE)]) AS win_start,
+                       event_type
+                FROM events
+            )
+            GROUP BY win_start, event_type
         """,
     }

