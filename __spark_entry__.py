@@ -260,8 +260,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: token count, char count, stopword count /
-    ratio per document — all JVM-side built-ins, no UDF."""
+    ratio per document — all JVM-side built-ins, no UDF. Repartitioned:
+    regex scoring is CPU-bound and the source is one parquet row group."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     trimmed = F.trim(F.col("text"))
     n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
@@ -459,8 +461,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring feature set (training-data tier): token/char counts,
-    stopword and punctuation ratios."""
+    stopword and punctuation ratios. Repartitioned for the same reason as
+    q_lang_id (CPU-bound regexes, single-row-group source)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     feats = quality_exprs(F.col("text"))
     return docs.select("doc_id", *[expr.alias(name) for name, expr in feats.items()])
 
@@ -520,9 +524,7 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the joined rows through an extra exchange — measured
     ~40% slower. Semantics identical (strict < ordering on part keys)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
-    )
+    grouped = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
     pairs = grouped.select(
         F.explode(
             F.flatten(
