@@ -1,0 +1,137 @@
+"""Tests: async backend machinery (fake client — no network) and F13/L10
+response parsing/consolidation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bigdata_cookbook_spark.llm.openai_backend import make_async_backend
+from bigdata_cookbook_spark.llm.parsing import (
+    consolidate_parts,
+    parse_label_response,
+    repair_json_fragment,
+)
+
+
+class FakeCompletions:
+    def __init__(self, log, fail_times=0, response=None):
+        self.log = log
+        self.fail_times = fail_times
+        self.response = response
+
+    async def create(self, **kwargs):
+        self.log.append(kwargs)
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RuntimeError("rate limited")
+        prompt = kwargs["messages"][-1]["content"]
+        if self.response is not None:
+            content = self.response
+        else:
+            ids = [line.split(";", 1)[0] for line in prompt.splitlines()]
+            content = json.dumps(
+                {i: {"label": "P", "motivation": f"Target Company does {i}"} for i in ids}
+            )
+
+        class Msg:  # minimal OpenAI response shape
+            pass
+
+        msg = Msg(); msg.content = content
+        choice = Msg(); choice.message = msg
+        resp = Msg(); resp.choices = [choice]
+        return resp
+
+
+class FakeClient:
+    def __init__(self, log, **kw):
+        self.chat = type("C", (), {})()
+        self.chat.completions = FakeCompletions(log, **kw)
+
+
+def test_backend_labels_all_rows():
+    log = []
+    backend = make_async_backend(client_factory=lambda: FakeClient(log))
+    rows = [{"id": i, "entity_id": f"E{i}", "text": f"t{i}"} for i in range(7)]
+    out = backend(rows)
+    assert [r["id"] for r in out] == list(range(7))
+    assert all(r["label"] == "P" for r in out)
+    assert len(log) == 1  # one prompt per micro-batch
+    assert log[0]["temperature"] == 0
+
+
+def test_backend_retries_with_backoff():
+    log = []
+    sleeps = []
+
+    async def fake_sleep(s):
+        sleeps.append(s)
+
+    backend = make_async_backend(
+        client_factory=lambda: FakeClient(log, fail_times=3),
+        max_retries=4,
+        backoff_base=2.0,
+        sleep=fake_sleep,
+    )
+    out = backend([{"id": 0, "entity_id": "E", "text": "t"}])
+    assert out[0]["label"] == "P"
+    assert len(log) == 4  # 3 failures + 1 success
+    assert sleeps == [1.0, 2.0, 4.0]  # 2^0, 2^1, 2^2
+
+
+def test_backend_exhausts_retries():
+    log = []
+
+    async def fake_sleep(s):
+        pass
+
+    backend = make_async_backend(
+        client_factory=lambda: FakeClient(log, fail_times=10),
+        max_retries=2,
+        sleep=fake_sleep,
+    )
+    with pytest.raises(RuntimeError):
+        backend([{"id": 0, "entity_id": "E", "text": "t"}])
+    assert len(log) == 3
+
+
+def test_backend_missing_ids_default_U():
+    log = []
+    backend = make_async_backend(
+        client_factory=lambda: FakeClient(
+            log, response='{"0": {"label": "A", "motivation": "m"}}'
+        )
+    )
+    out = backend([
+        {"id": 0, "entity_id": "E0", "text": "a"},
+        {"id": 1, "entity_id": "E1", "text": "b"},
+    ])
+    assert out[0]["label"] == "A"
+    assert out[1]["label"] == "U" and out[1]["motivation"] == ""
+
+
+def test_repair_json_fragment():
+    assert json.loads(repair_json_fragment('{"a": {"x": 1}}')) == {"a": {"x": 1}}
+    # truncated mid-value: trims to last complete entry
+    fixed = repair_json_fragment('{"a": {"x": 1}, "b": {"x": 2')
+    assert json.loads(fixed) == {"a": {"x": 1}}
+    # leading prose before the object
+    assert json.loads(repair_json_fragment('Sure! {"a": {"x": 1}}')) == {"a": {"x": 1}}
+    assert repair_json_fragment("") == "{}"
+    # braces inside strings don't confuse the scanner
+    assert json.loads(repair_json_fragment('{"a": {"x": "}{"}}')) == {"a": {"x": "}{"}}
+
+
+def test_parse_and_consolidate():
+    p1 = '{"0": {"label": "P", "motivation": "m0"}, "1": {"label": "N", "motivation": "m1"}'
+    p2 = '{"1": {"label": "A", "motivation": "m1b"}, "2": {"label": "U", "motivation": "m2"}}'
+    # complete entries survive; only the unclosed outer brace is repaired
+    assert parse_label_response(p1) == {
+        "0": {"label": "P", "motivation": "m0"},
+        "1": {"label": "N", "motivation": "m1"},
+    }
+    merged = consolidate_parts([p1, p2])
+    assert set(merged) == {"0", "1", "2"}
+    assert merged["1"]["label"] == "A"  # later part wins
+    assert parse_label_response('{"x": 3}') == {}  # non-dict values dropped
