@@ -929,9 +929,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (user_id, ts) sort so Spark plans a single Sort+Exchange."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epoch on BOTH engine sides: second-truncated casts
+    # disagree with DuckDB's fractional EPOCH() exactly at the gap
+    # boundary (found at sf0.1)
+    us = F.unix_micros(F.col("ts"))
     gap_flag = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 6 * 3600,
-        1,
+        us - F.lag(us).over(w) > 6 * 3600 * 1_000_000, 1
     ).otherwise(0)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = events.withColumn("new_sess", gap_flag).withColumn(
@@ -1729,9 +1732,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts, value,
-                       CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+                       CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id
-                            ) > 6 * 3600 THEN 1 ELSE 0 END AS new_sess
+                            ) > CAST(6 AS BIGINT) * 3600 * 1000000 THEN 1 ELSE 0 END AS new_sess
                 FROM events
             ),
             numbered AS (

@@ -137,3 +137,39 @@ def test_text_feature_pipeline(spark, sf_dir):
     row = feats.select("features").head()
     assert row.features.size == 1 << 16
     assert row.features.numNonzeros() > 0
+
+
+def test_ivf_ann_recall_and_prune(spark, sf_dir):
+    from bigdata_cookbook_spark.ml import build_ivf, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assignments, centroids = build_ivf(emb, nlist=8)
+    assignments = assignments.cache()
+    assert assignments.count() == n
+    assert len(centroids) == 8
+
+    # probing fewer cells scans a strict subset of the corpus
+    probed = assignments.filter(F.col("cell").isin([0, 1])).count()
+    assert 0 < probed < n
+
+    got = ivf_topk(assignments, centroids, query_vec_id=0, k=10, nprobe=4)
+    rows = got.collect()
+    assert 1 <= len(rows) <= 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    # recall vs exact brute force (query vec excluded there too)
+    import __spark_entry__ as entry
+
+    exact = {
+        r.vec_id
+        for r in entry.queries()["ann_cosine_topk"](spark, sf_dir).collect()
+        if r.vec_id != 0
+    }
+    approx = {r.vec_id for r in rows}
+    assert len(approx & exact) / max(1, min(len(exact), 10)) >= 0.3
+
+    # deterministic across rebuilds (fixed kmeans seed)
+    a2, c2 = build_ivf(emb, nlist=8)
+    assert c2 == centroids
