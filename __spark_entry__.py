@@ -973,6 +973,17 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline capstone: quality filter -> exact dedup ->
+    near-dup removal, end to end (operators/corpus.py). Output = the
+    surviving corpus; the full stage-by-stage drop accounting is covered
+    in tests/test_misc_operators.py."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_clean(docs)["kept"]
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming extension (§2.10): event-time tumbling-window
     counts with watermark, drained via availableNow into a memory sink.
@@ -1074,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
         "sessionize": q_sessionize,
         "sliding_window_counts": q_sliding_window_counts,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1766,5 +1778,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY win_start, event_type
+        """,
+        "corpus_clean": """
+            WITH scored AS (
+                SELECT doc_id, text, lang, source,
+                       CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS INT) AS n_tokens,
+                       ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                            ELSE CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE)
+                                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END, 4) AS stopword_ratio
+                FROM documents
+            ),
+            passed AS (
+                SELECT * FROM scored
+                WHERE lang = 'en' AND n_tokens >= 10 AND stopword_ratio <= 0.8
+            ),
+            canon AS (SELECT MIN(doc_id) AS doc_id FROM passed GROUP BY text),
+            exact_kept AS (
+                SELECT p.* FROM passed p JOIN canon c ON p.doc_id = c.doc_id
+            ),
+            toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM exact_kept
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            idx AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks WHERE len(t) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM idx
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            losers AS (
+                SELECT DISTINCT doc_b AS doc_id
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(CAST(n_common AS DOUBLE)
+                            / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+            )
+            SELECT doc_id, lang, source, n_tokens
+            FROM exact_kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
     }

@@ -91,3 +91,30 @@ def test_bisect_on_delimiter():
     left2, right2 = bisect_on_delimiter("abcdefgh", delimiters=".")
     assert (left2, right2) == ("abcd", "efgh")
     assert bisect_on_delimiter("x") == ("x", "")
+
+
+def test_corpus_clean_accounting(spark, sf_dir):
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_clean(docs)
+    n_total = docs.count()
+    n_kept = out["kept"].count()
+    n_q = out["dropped_quality"].count()
+    n_e = out["dropped_exact"].count()
+    n_n = out["dropped_neardup"].count()
+    # every doc lands in exactly one bucket (lang column has no nulls)
+    assert n_kept + n_q + n_e + n_n == n_total
+    assert n_kept > 0 and n_q > 0  # pipeline actually filters
+    # kept set is exact-dup free: all texts unique
+    kept_ids = out["kept"].select("doc_id")
+    kept_docs = docs.join(kept_ids, "doc_id", "left_semi")
+    assert kept_docs.select("text").distinct().count() == n_kept
+    # no drop bucket overlaps another
+    for a, b in (
+        ("dropped_quality", "dropped_exact"),
+        ("dropped_quality", "dropped_neardup"),
+        ("dropped_exact", "dropped_neardup"),
+    ):
+        assert out[a].join(out[b], "doc_id", "inner").count() == 0
