@@ -52,16 +52,26 @@ def q_hit_count_monthly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors reference hit-count time series (tool.py:1219-1263) + top-k per
     sector (tool.py:121-128) on the relational testdata.
+
+    Distinct-elimination rewrite (measured 0.50s -> 0.27s at sf0.1): the
+    oracle counts DISTINCT o_orderkey, but o_orderkey is the primary key
+    of orders, so COUNT(DISTINCT pk) == COUNT(*) — we apply the rewrite a
+    catalog with uniqueness constraints would do automatically, skipping
+    the two-phase distinct aggregate. The dim side is projected to the two
+    needed columns before broadcast.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
     monthly = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.select("o_custkey", "o_orderdate")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "c_mktsegment",
             F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         )
-        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return topk_per_group(
         monthly,
@@ -529,26 +539,46 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (bounded by per-order cardinality), then one shuffle of the
     pairs. The self-join formulation shuffles the same data but
     materializes the joined rows through an extra exchange — measured
-    ~40% slower. Semantics identical (strict < ordering on part keys)."""
+    ~2x slower; mapInPandas/NumPy expansion also loses (Arrow transfer
+    of the lists costs more than the interpreted lambda saves).
+    Semantics identical (strict < ordering on part keys).
+
+    Two measured refinements (1.01s -> 0.59s at sf0.1):
+    - widen the group shuffle to defaultParallelism: the expansion is
+      CPU-bound, and the bench profile's small shuffle.partitions would
+      run it on a fraction of the cores;
+    - pack each pair into ONE long (a<<32 | b) so the pair shuffle rows
+      and the aggregate hash keys are a single fixed-width column,
+      decoded only after the HAVING filter has shrunk the result."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
-    pairs = grouped.select(
+    width = spark.sparkContext.defaultParallelism
+    grouped = (
+        li.repartition(width, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+    )
+    packed = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "ps",
                     lambda x: F.transform(
                         F.filter("ps", lambda y: y > x),
-                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                        lambda y: x * F.lit(1 << 32) + y,
                     ),
                 )
             )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
-    return (
-        pairs.groupBy("part_a", "part_b")
+        ).alias("pk")
+    )
+    agg = (
+        packed.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= 2)
+    )
+    return agg.select(
+        F.shiftright("pk", 32).alias("part_a"),
+        (F.col("pk") % F.lit(1 << 32)).alias("part_b"),
+        "weight",
     )
 
 
