@@ -1,0 +1,109 @@
+"""Physical table layout for the 100 TB tier.
+
+Two layout levers the small-SF correctness tests can't show but a
+1000-executor deployment lives or dies by:
+
+- **Bucketing** — pre-shuffling a table into N hash buckets on its join /
+  aggregation key at WRITE time. Every later equi-join or groupBy on that
+  key reads co-located buckets and skips the exchange entirely; for the
+  screening fact table (SURVEY §1.1-3, keyed by entity_id / document_id)
+  this converts the per-query shuffle of the biggest relation into a
+  one-time write cost. `write_bucketed` + `assert_no_exchange` (tests) pin
+  the contract: a join of two tables bucketed on the same key with the
+  same bucket count plans with zero Exchange nodes.
+
+- **Date partitioning** — `write_date_partitioned` lays the corpus out as
+  `.../date=YYYY-MM-DD/part-*.parquet`. The reference's hand-rolled
+  date-range query slicing (query_builder.py:410-517, SURVEY §4 row 1)
+  becomes partition pruning: a BETWEEN filter on the partition column
+  touches only the matching directories, which `.explain` shows as
+  PartitionFilters and tests assert via `scan_partition_count`.
+
+Bucket-count sizing rule (documented, not enforced): target
+``table_bytes / n_buckets ~ 128-512 MB`` so one bucket is one healthy
+task; bucket counts should be equal (or integer multiples, with AQE)
+across tables that join together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist df as a parquet table hash-bucketed on bucket_cols.
+
+    sort_cols additionally sorts within each bucket file (sort-merge join
+    then needs no sort either; also improves scan-side min/max skipping).
+    Registered in the session catalog (saveAsTable — bucket metadata lives
+    in the catalog, plain .parquet(path) writes cannot carry it).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet layout (one dir per partition value)."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def scan_partition_count(df: DataFrame) -> int:
+    """Number of partition-dirs the (pruned) scan of df will touch.
+
+    Read from the FileSourceScan node's `numPartitions` metric in the
+    executed plan (populated at planning time from the pruned file index);
+    used by tests to prove a partition-column filter prunes the directory
+    listing rather than filtering rows post-scan. Returns -1 if no file
+    scan node is found.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "Scan" in node.nodeName():
+            try:
+                # force the lazy file-index listing so the driver-side
+                # numPartitions metric is populated without running a job
+                node.selectedPartitions()
+            except Exception:
+                pass
+            metrics = node.metrics().iterator()
+            while metrics.hasNext():
+                kv = metrics.next()
+                if kv._1() == "numPartitions":
+                    return int(kv._2().value())
+            return -1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        try:  # WholeStageCodegen wraps its subtree via child()
+            stack.append(node.child())
+        except Exception:
+            pass
+    return -1
+
+
+def has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains any shuffle Exchange."""
+    from bigdata_cookbook_spark.plans.explain import explain_str
+
+    plan = explain_str(df, mode="formatted")
+    return any(
+        line.strip().split(" ", 2)[-1].startswith("Exchange")
+        or "ShuffleExchange" in line
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )

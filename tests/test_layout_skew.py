@@ -1,0 +1,185 @@
+"""Physical layout (bucketing, date partitioning) and skew combinators.
+
+These pin the 100 TB-tier plan properties on small data: a bucketed join
+must plan with zero shuffles, a partition-column filter must prune the
+directory listing, and the salted operators must be row-identical to
+their unsalted forms.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.skew import (
+    salted_agg,
+    salted_count_distinct,
+    salted_join,
+)
+from bigdata_cookbook_spark.plans.layout import (
+    has_exchange,
+    scan_partition_count,
+    write_bucketed,
+    write_date_partitioned,
+)
+from bigdata_cookbook_spark.sources.testdata import load_table
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        write_bucketed(orders, "b_orders", ["o_custkey"], 8)
+        write_bucketed(customer, "b_customer", ["c_custkey"], 8)
+        try:
+            bo = spark.table("b_orders")
+            bc = spark.table("b_customer")
+            joined = bo.join(
+                bc.hint("merge"), bo.o_custkey == bc.c_custkey
+            ).select("o_orderkey", "c_name")
+            assert not has_exchange(joined), (
+                "bucketed equi-join on the bucket key must not shuffle"
+            )
+            # and it is the same join result as the plain tables
+            plain = orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).select("o_orderkey", "c_name")
+            assert _rows(joined) == _rows(plain)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        write_bucketed(orders, "b_orders_g", ["o_custkey"], 8)
+        try:
+            agg = (
+                spark.table("b_orders_g")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert not has_exchange(agg), (
+                "groupBy on the bucket key must reuse bucket partitioning"
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders_g")
+
+
+class TestDatePartitioning:
+    def test_between_filter_prunes_partitions(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events")
+        part = events.withColumn("day", F.to_date("ts"))
+        path = str(tmp_path / "events_by_day")
+        write_date_partitioned(part, path, "day")
+        full = spark.read.parquet(path)
+        n_days = full.select("day").distinct().count()
+        assert scan_partition_count(full) == n_days
+        pruned = full.filter(
+            (F.col("day") >= "2024-01-05") & (F.col("day") <= "2024-01-09")
+        )
+        kept = pruned.select("day").distinct().count()
+        assert kept <= 5
+        assert scan_partition_count(pruned) == kept, (
+            "day filter must reach the file index as PartitionFilters, "
+            "not run as a post-scan row filter"
+        )
+        # pruning is plan-level only: row results match the unpartitioned filter
+        assert pruned.count() == events.filter(
+            (F.to_date("ts") >= "2024-01-05") & (F.to_date("ts") <= "2024-01-09")
+        ).count()
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key: entity 0 holds ~half of all rows
+    rows = [
+        Row(entity_id=(0 if i % 2 == 0 else i % 37), v=i, tag=f"t{i % 5}")
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [Row(entity_id=i, name=f"e{i}") for i in range(37)]
+    )
+
+
+class TestSkewCombinators:
+    def test_salted_join_matches_plain_inner(self, skewed, dim):
+        plain = skewed.join(dim, "entity_id")
+        salted = salted_join(skewed, dim, "entity_id", n_salts=8)
+        cols = sorted(plain.columns)
+        assert _rows(salted.select(cols), cols) == _rows(plain.select(cols), cols)
+
+    def test_salted_join_left_keeps_unmatched(self, skewed, dim):
+        small = dim.filter(F.col("entity_id") < 3)
+        plain = skewed.join(small, "entity_id", "left")
+        salted = salted_join(skewed, small, "entity_id", n_salts=4, how="left")
+        cols = sorted(plain.columns)
+        assert _rows(salted.select(cols), cols) == _rows(plain.select(cols), cols)
+
+    def test_salted_join_rejects_unsupported_how(self, skewed, dim):
+        with pytest.raises(ValueError):
+            salted_join(skewed, dim, "entity_id", how="full")
+
+    def test_salted_agg_count_sum_collect(self, skewed):
+        plain = skewed.groupBy("entity_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sort_array(F.collect_list("v")).alias("vals"),
+            F.sort_array(F.collect_set("tag")).alias("tags"),
+        )
+        salted = salted_agg(
+            skewed,
+            ["entity_id"],
+            {
+                "n": (None, "count", "sum"),
+                "sv": ("v", "sum", "sum"),
+                "vals": ("v", "collect_list", "flatten_collect"),
+                "tags": ("tag", "collect_set", "flatten_set"),
+            },
+            n_salts=8,
+        ).select(
+            "entity_id",
+            "n",
+            "sv",
+            F.sort_array("vals").alias("vals"),
+            F.sort_array("tags").alias("tags"),
+        )
+        def canon(df):
+            return sorted(
+                (r["entity_id"], r["n"], r["sv"], tuple(r["vals"]), tuple(r["tags"]))
+                for r in df.collect()
+            )
+        assert canon(salted) == canon(plain)
+
+    def test_salted_agg_rejects_unknown_merge(self, skewed):
+        with pytest.raises(ValueError):
+            salted_agg(skewed, ["entity_id"], {"x": ("v", "sum", "median")})
+
+    def test_salted_count_distinct_exact(self, skewed):
+        plain = skewed.groupBy("entity_id").agg(
+            F.countDistinct("tag").alias("n_distinct")
+        )
+        salted = salted_count_distinct(skewed, ["entity_id"], "tag", n_salts=8)
+        assert _rows(salted) == _rows(plain)
+
+    def test_salted_count_distinct_spreads_hot_key(self, skewed):
+        # the hot key's distinct values occupy >1 salt group (i.e. the
+        # value-aligned salt actually scatters the reduce-side work)
+        from bigdata_cookbook_spark.operators.skew import SALT_COL
+        n_groups = (
+            skewed.filter(F.col("entity_id") == 0)
+            .select(F.pmod(F.hash("v"), F.lit(8)).alias(SALT_COL))
+            .distinct()
+            .count()
+        )
+        assert n_groups > 1
