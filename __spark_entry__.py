@@ -582,6 +582,44 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tier: COUNT(DISTINCT user_id) per event_type via the
+    value-aligned salted two-phase aggregate (operators/skew.py
+    salted_count_distinct). event_type has only a handful of values, so on
+    a cluster every distinct-user reduce for one type lands on one task —
+    exactly the hot-key regime the salt scatters. Oracle is the plain
+    COUNT(DISTINCT): salting must be an execution detail, never a result
+    change."""
+    from bigdata_cookbook_spark.operators.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        events, ["event_type"], "user_id", n_salts=16, out_col="n_users"
+    )
+
+
+def q_skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tier: orders joined to the customer dim through salted_join
+    (operators/skew.py) — the build side replicated across 8 salts, the
+    probe side scattered — then aggregated per market segment. Oracle is
+    the plain join + group: row-identical by construction. (With a dim
+    this small one would broadcast instead; the query pins the salted
+    path's correctness for the too-big-to-broadcast regime.)"""
+    from bigdata_cookbook_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        orders.select("o_custkey", "o_totalprice"), dim, "o_custkey", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1116,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sliding_window_counts": q_sliding_window_counts,
         "corpus_clean": q_corpus_clean,
+        "skew_salted_distinct_users": q_skew_salted_distinct_users,
+        "skew_salted_join_segments": q_skew_salted_join_segments,
     }
 
 
@@ -1549,6 +1589,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "skew_salted_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "skew_salted_join_segments": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "risk_level_mapping": """
             SELECT o_orderpriority,
