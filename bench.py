@@ -4,10 +4,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Methodology: each query is forced end-to-end with a noop sink (no
-driver-side collect of fact data). Every query runs twice; the reported
-time is the min (steady state — excludes one-time plan compilation /
-codegen, which is amortized across a real workload). Cold first-run times
-are reported under "queries_cold" for transparency.
+driver-side collect of fact data). Every query runs three times; the
+reported time is the min (steady state — excludes one-time plan
+compilation / codegen, which is amortized across a real workload, and
+damps single-JVM GC noise). Cold first-run times are reported under
+"queries_cold" for transparency.
 
 Tuning: at sf<=0.1 the whole dataset is a few MB, so the session uses the
 small-input profile (AQE off, few shuffle partitions) — the same engine
@@ -115,7 +116,10 @@ def main() -> None:
     steady: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run(name), 3)
-        steady[name] = round(min(cold[name], run(name)), 3)
+        # min of 3: two steady runs after the cold one — single-JVM GC /
+        # scheduling noise at these sub-second scales swings one-shot
+        # timings by 2x; min-of-3 stabilizes run-to-run bench output
+        steady[name] = round(min(cold[name], run(name), run(name)), 3)
     total = sum(steady.values())
     duck = duckdb_reference(sf_dir)
     duck_total = round(sum(duck.values()), 3)
