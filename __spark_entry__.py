@@ -620,6 +620,72 @@ def q_skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (scale-tier temporal operator, operators/temporal.py):
+    each purchase picks the same user's most recent click at-or-before it.
+    Implemented as union + one windowed last(ignorenulls) pass — ONE
+    shuffle on user_id, no |L|x|R| pair explosion. Oracle: DuckDB's
+    native ASOF LEFT JOIN. Timestamps surface as epoch micros (BIGINT)
+    on both engines (events.ts is ns-parquet; micros is Spark's native
+    resolution)."""
+    from bigdata_cookbook_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    res = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_cols=["click_event_id"]
+    )
+    return res.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "event_id",
+        F.unix_micros("__asof_ts").alias("click_ts_us"),
+        "click_event_id",
+    )
+
+
+def q_range_count_events_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (scale-tier temporal operator,
+    operators/temporal.py): events per purchase in the 2 h after it, same
+    user. The interval side explodes to 2 h bins and equi-joins on
+    (user_id, bin) — fan-out bounded by bins-per-interval, never
+    |points|x|intervals| — then the exact (ts > start AND ts <= end)
+    predicate applies. Zero-match purchases kept via a count join-back.
+    Oracle: the plain range-predicate LEFT JOIN; binning must be
+    invisible in results."""
+    from bigdata_cookbook_spark.operators.temporal import range_join_binned
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    intervals = purchases.withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    points = events.select(
+        "user_id", F.col("ts").alias("ev_ts"), F.col("event_id").alias("ev_id")
+    )
+    joined = range_join_binned(
+        points,
+        intervals,
+        point_ts="ev_ts",
+        start_col="ts",
+        end_col="end_ts",
+        equi_keys=["user_id"],
+        bin_seconds=7200,
+    )
+    counts = joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("__n"))
+    return purchases.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_following"),
+    )
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1156,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "skew_salted_distinct_users": q_skew_salted_distinct_users,
         "skew_salted_join_segments": q_skew_salted_join_segments,
+        "asof_click_before_purchase": q_asof_click_before_purchase,
+        "range_count_events_after_purchase": q_range_count_events_after_purchase,
     }
 
 
@@ -1599,6 +1667,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "asof_click_before_purchase": """
+            SELECT p.user_id, epoch_us(p.ts) AS purchase_ts_us, p.event_id,
+                   epoch_us(c.ts) AS click_ts_us, c.event_id AS click_event_id
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_count_events_after_purchase": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+                   COUNT(e.event_id) AS n_following
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id AND e.ts > p.ts
+             AND e.ts <= p.ts + INTERVAL 2 HOUR
+            GROUP BY 1, 2, 3
         """,
         "risk_level_mapping": """
             SELECT o_orderpriority,

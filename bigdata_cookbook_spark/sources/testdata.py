@@ -55,7 +55,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: ns epochs (~1.7e18) exceed double's 2^53
+            # exact range, so `/ 1000` would round the micros by +-1
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df
 

@@ -47,7 +47,7 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str | None = Non
     stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     assert stream.schema == batch_schema
     return stream

@@ -1,0 +1,130 @@
+"""Temporal join operators: as-of tolerance/ties, binned range join
+equivalence with the naive theta join, bin-edge inclusivity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", ts=_ts("2024-01-01 10:00:00"), px=10.0),
+            Row(sym="A", ts=_ts("2024-01-01 10:05:00"), px=11.0),
+            Row(sym="B", ts=_ts("2024-01-01 09:00:00"), px=5.0),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", ts=_ts("2024-01-01 10:03:00"), qty=1),   # -> px 10
+            Row(sym="A", ts=_ts("2024-01-01 10:05:00"), qty=2),   # tie -> px 11
+            Row(sym="A", ts=_ts("2024-01-01 09:59:59"), qty=3),   # -> no quote
+            Row(sym="B", ts=_ts("2024-01-01 18:00:00"), qty=4),   # -> px 5 (stale)
+            Row(sym="C", ts=_ts("2024-01-01 12:00:00"), qty=5),   # key w/o quotes
+        ]
+    )
+
+
+class TestAsofJoin:
+    def test_backward_match_ties_and_misses(self, quotes, trades):
+        out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"])
+        got = {r["qty"]: r["px"] for r in out.collect()}
+        assert got == {1: 10.0, 2: 11.0, 3: None, 4: 5.0, 5: None}
+        assert out.count() == trades.count()  # left join: every trade kept
+
+    def test_tolerance_nulls_stale_matches(self, quotes, trades):
+        out = asof_join(
+            trades, quotes, on="ts", by=["sym"], right_cols=["px"],
+            tolerance="1 hour",
+        )
+        got = {r["qty"]: r["px"] for r in out.collect()}
+        # B's only quote is 9 h old -> nulled; A's matches are minutes old
+        assert got == {1: 10.0, 2: 11.0, 3: None, 4: None, 5: None}
+
+    def test_matched_ts_surfaced(self, quotes, trades):
+        out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"])
+        row = {r["qty"]: r["__asof_ts"] for r in out.collect()}
+        assert row[1] == _ts("2024-01-01 10:00:00")
+        assert row[4] == _ts("2024-01-01 09:00:00")
+
+    def test_collision_rejected(self, quotes, trades):
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(trades, quotes.withColumnRenamed("px", "qty"),
+                      on="ts", by=["sym"], right_cols=["qty"])
+
+
+class TestRangeJoinBinned:
+    @pytest.fixture(scope="class")
+    def points(self, spark, sf_dir):
+        from bigdata_cookbook_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select("user_id", F.col("ts").alias("ev_ts"),
+                         F.col("event_id").alias("ev_id"))
+
+    @pytest.fixture(scope="class")
+    def intervals(self, spark, sf_dir):
+        from bigdata_cookbook_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id")
+            .withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+        )
+
+    def _naive(self, points, intervals):
+        return intervals.join(
+            points,
+            (points.user_id == intervals.user_id)
+            & (points.ev_ts > intervals.ts)
+            & (points.ev_ts <= intervals.end_ts),
+        ).select(intervals.event_id, points.ev_id)
+
+    @pytest.mark.parametrize("bin_seconds", [600, 3600, 86400])
+    def test_matches_naive_theta_join_any_bin_width(
+        self, points, intervals, bin_seconds
+    ):
+        binned = range_join_binned(
+            points, intervals, "ev_ts", "ts", "end_ts",
+            equi_keys=["user_id"], bin_seconds=bin_seconds,
+        ).select("event_id", "ev_id")
+        naive = self._naive(points, intervals)
+        assert sorted(map(tuple, binned.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+
+    def test_inclusive_bounds(self, spark):
+        pts = spark.createDataFrame(
+            [Row(ts=_ts("2024-01-01 10:00:00"), pid=1),
+             Row(ts=_ts("2024-01-01 11:00:00"), pid=2)]
+        )
+        iv = spark.createDataFrame(
+            [Row(s=_ts("2024-01-01 10:00:00"), e=_ts("2024-01-01 11:00:00"), iid=7)]
+        )
+        def run(inc):
+            return sorted(
+                r["pid"]
+                for r in range_join_binned(
+                    pts, iv, "ts", "s", "e", bin_seconds=1800, inclusive=inc
+                ).collect()
+            )
+        assert run((True, True)) == [1, 2]
+        assert run((False, True)) == [2]
+        assert run((True, False)) == [1]
+        assert run((False, False)) == []
