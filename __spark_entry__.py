@@ -686,6 +686,47 @@ def q_range_count_events_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier: deterministic, engine-portable train/val/test
+    split (80/10/10) of the documents table by content hash of doc_id
+    (operators/sampling.py). No shuffle — a pure narrow map; the oracle
+    recomputes the identical assignment from the same md5 rule, which is
+    the portability property itself under test."""
+    from bigdata_cookbook_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier: per-stratum deterministic sampling — urgent
+    orders kept at 20%, high at 10%, the rest at 5%, selected by content
+    hash of the order key (operators/sampling.py)."""
+    from bigdata_cookbook_spark.operators.sampling import stratified_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_hash_sample(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+        "o_orderpriority",
+        {"1-URGENT": 0.2, "2-HIGH": 0.1},
+        default_fraction=0.05,
+    )
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 extension: exact interpolated percentiles (median, p95) of the
+    order value per priority — percentile_cont semantics on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1224,7 +1265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join_segments": q_skew_salted_join_segments,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "range_count_events_after_purchase": q_range_count_events_after_purchase,
+        "hash_split_documents": q_hash_split_documents,
+        "stratified_sample_orders": q_stratified_sample_orders,
+        "price_percentiles": q_price_percentiles,
     }
+
+
+def _hash_split_documents_sql() -> str:
+    from bigdata_cookbook_spark.operators.sampling import split_sql_case
+
+    case = split_sql_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"SELECT doc_id, {case} AS split FROM documents"
 
 
 def _gaussian_smooth_sql(sigma: float = 2.0) -> str:
@@ -1686,6 +1737,23 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = p.user_id AND e.ts > p.ts
              AND e.ts <= p.ts + INTERVAL 2 HOUR
             GROUP BY 1, 2, 3
+        """,
+        "hash_split_documents": _hash_split_documents_sql(),
+        "stratified_sample_orders": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ''), 1, 8))
+                       AS BIGINT) % 10000
+                  < CASE o_orderpriority
+                        WHEN '1-URGENT' THEN 2000
+                        WHEN '2-HIGH' THEN 1000
+                        ELSE 500 END
+        """,
+        "price_percentiles": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "risk_level_mapping": """
             SELECT o_orderpriority,

@@ -1,0 +1,122 @@
+"""Deterministic hash-based sampling & splits (training-data tier).
+
+Training pipelines need samples and train/val/test splits that are
+(a) deterministic across reruns — a re-executed stage or a retried task
+must pick the same rows, or lineage breaks; (b) portable across engines —
+the split computed by the Spark pipeline must be reproducible by any
+other system reading the same table; and (c) stable under data growth —
+adding new rows never reassigns existing ones. Seeded `df.sample()` gives
+none of these (it samples per-partition, so the picked set changes with
+partitioning). The standard answer is content hashing: bucket =
+md5(id || salt) mod N, sample = bucket < fraction*N.
+
+md5 is used (not xxhash64/Murmur) because every engine speaks it — the
+DuckDB oracles reproduce the exact row sets, which is the portability
+property itself under test. At 100 TB the hash costs one pass over the
+id column, no shuffle at all: sampling/splitting is a pure narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from a column's content.
+
+    First 8 hex chars of md5 → int → mod. The salt derives independent
+    bucketings from the same ids (e.g. a sample within a split).
+    """
+    h = F.md5(F.encode(F.concat(col.cast("string"), F.lit(salt)), "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_BUCKETS).alias(
+        "bucket"
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by content hash of id_col."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(fraction * N_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash-bucket ranges.
+
+    fractions: ordered {name: fraction}; must sum to 1 (±1 bucket of
+    rounding goes to the last split). E.g. {"train": .8, "val": .1,
+    "test": .1}. Row→split assignment depends only on (id, salt): new
+    rows never move existing ones, and any engine can recompute it.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(cum * N_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling with stratum-specific rates.
+
+    fractions maps stratum value → keep fraction; strata not listed keep
+    default_fraction. The hash rule is shared with hash_sample, so a
+    stratum at fraction f keeps exactly the rows hash_sample(f) would.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    threshold = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        lit_t = F.lit(int(frac * N_BUCKETS))
+        threshold = (
+            F.when(cond, lit_t) if threshold is None else threshold.when(cond, lit_t)
+        )
+    threshold = (
+        F.lit(int(default_fraction * N_BUCKETS))
+        if threshold is None
+        else threshold.otherwise(int(default_fraction * N_BUCKETS))
+    )
+    return df.filter(bucket < threshold)
+
+
+def split_sql_case(id_expr: str, fractions: dict[str, float], salt: str = "") -> str:
+    """The DuckDB-compatible SQL twin of hash_split's assignment expression
+    (used by oracle queries; kept next to the Spark rule so the two can't
+    drift)."""
+    bucket = (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 8)) "
+        f"AS BIGINT) % {N_BUCKETS}"
+    )
+    parts = ["CASE"]
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        parts.append(f"WHEN {bucket} < {int(cum * N_BUCKETS)} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)

@@ -1,0 +1,91 @@
+"""Deterministic hash sampling/splits: stability, portability, accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.sampling import (
+    N_BUCKETS,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from bigdata_cookbook_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id")
+
+
+def test_split_is_exhaustive_and_disjoint(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+    per = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) <= {"train", "val", "test"}
+
+
+def test_split_fractions_approximate(docs):
+    n = docs.count()
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = out.filter(F.col("split") == "train").count()
+    # md5 buckets are uniform; 500 ids at p=.8 -> sd ~ sqrt(.8*.2*500) ~ 9
+    assert abs(train / n - 0.8) < 0.08
+
+
+def test_assignment_stable_under_growth(docs):
+    """Adding rows must never reassign existing ones."""
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    full_map = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", frac).collect()
+    }
+    sub_map = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(subset, "doc_id", frac).collect()
+    }
+    assert all(full_map[k] == v for k, v in sub_map.items())
+
+
+def test_sample_is_subset_semantics(docs):
+    """hash_sample(f) rows = the first f-fraction of bucket space, so a
+    larger fraction strictly contains a smaller one (nested samples)."""
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    large = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_salt_gives_independent_sample(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    overlap = len(a & b) / max(1, len(a))
+    assert 0.2 < overlap < 0.8  # ~50% expected for independent halves
+
+
+def test_bad_fractions_rejected(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.3})
+
+
+def test_stratified_matches_plain_sample_per_stratum(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    out = stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority",
+        {"1-URGENT": 0.2}, default_fraction=0.05,
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    expect_urgent = {
+        r["o_orderkey"] for r in hash_sample(urgent, "o_orderkey", 0.2).collect()
+    }
+    got_urgent = {
+        r["o_orderkey"]
+        for r in out.filter(F.col("o_orderpriority") == "1-URGENT").collect()
+    }
+    assert got_urgent == expect_urgent
