@@ -727,6 +727,28 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension: event-time RANGE-frame window — per user, the
+    running average of `value` over the trailing hour (inclusive). The
+    frame is value-based (interval on event time), not row-based: Spark
+    expresses it as rangeBetween on epoch micros, DuckDB as RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING. One shuffle on user_id + per-key sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1268,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "stratified_sample_orders": q_stratified_sample_orders,
         "price_percentiles": q_price_percentiles,
+        "rolling_hour_avg": q_rolling_hour_avg,
     }
 
 
@@ -1754,6 +1777,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "rolling_hour_avg": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 4) AS avg_1h
+            FROM events
         """,
         "risk_level_mapping": """
             SELECT o_orderpriority,
