@@ -749,6 +749,25 @@ def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_order_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension: hierarchical subtotals via ROLLUP
+    (status, priority) — detail rows, per-status subtotals, grand total
+    in ONE pass (Spark expands grouping sets map-side; no self-union of
+    three aggregations). grouping_id disambiguates subtotal NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1291,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": q_stratified_sample_orders,
         "price_percentiles": q_price_percentiles,
         "rolling_hour_avg": q_rolling_hour_avg,
+        "rollup_order_volumes": q_rollup_order_volumes,
     }
 
 
@@ -1785,6 +1805,14 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ), 4) AS avg_1h
             FROM events
+        """,
+        "rollup_order_volumes": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority) AS gid,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "risk_level_mapping": """
             SELECT o_orderpriority,
