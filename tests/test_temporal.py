@@ -128,3 +128,81 @@ class TestRangeJoinBinned:
         assert run((False, True)) == [2]
         assert run((True, False)) == [1]
         assert run((False, False)) == []
+
+
+class TestPlans:
+    def test_asof_join_is_single_shuffle(self, quotes, trades):
+        from bigdata_cookbook_spark.plans.explain import explain_str
+
+        import re
+
+        out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"])
+        plan = explain_str(out, mode="formatted")
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges == 1, f"as-of join must shuffle once, saw {n_exchanges}"
+
+    def test_range_join_plans_as_equi_join(self, spark, sf_dir):
+        """The binned formulation must hash-join on (keys, bin) — a naive
+        range predicate would fall back to a nested-loop join, the exact
+        plan shape that cannot run at scale."""
+        from bigdata_cookbook_spark.plans.explain import explain_str
+        from bigdata_cookbook_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        iv = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id")
+            .withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+        )
+        pts = ev.select("user_id", F.col("ts").alias("ev_ts"),
+                        F.col("event_id").alias("ev_id"))
+        out = range_join_binned(pts, iv, "ev_ts", "ts", "end_ts",
+                                equi_keys=["user_id"], bin_seconds=3600)
+        plan = explain_str(out, mode="formatted")
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Join" in plan
+
+
+class TestAsofVsPandas:
+    """Randomized equivalence with pandas.merge_asof (backward,
+    allow_exact_matches=True) — the de-facto as-of semantics reference."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_matches_merge_asof(self, spark, seed):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 120, 80
+        left = pd.DataFrame({
+            "k": rng.integers(0, 6, n_l),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 6, n_r),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+            "val": rng.normal(size=n_r).round(6),
+        })
+        # merge_asof requires unique right (k, ts) for a deterministic
+        # answer; drop dups the same way the engine contract assumes
+        right = right.sort_values("ts").drop_duplicates(["k", "ts"], keep="last")
+
+        expected = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="backward", allow_exact_matches=True,
+        ).set_index("lid")["val"]
+
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts", by=["k"], right_cols=["val"],
+        ).collect()
+        got = {r["lid"]: r["val"] for r in out}
+        assert len(got) == n_l
+        for lid, exp in expected.items():
+            g = got[lid]
+            if pd.isna(exp):
+                assert g is None
+            else:
+                assert g == pytest.approx(exp)
