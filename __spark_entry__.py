@@ -768,6 +768,21 @@ def q_rollup_order_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier last step: MinHash/LSH candidate pairs -> transitive
+    clusters (min-label-propagation connected components,
+    operators/graph.py) -> deterministic canonical doc per cluster.
+    Iterative fixpoint -> not SQL-expressible; driver records the
+    rows-only check, full semantics pinned by tests/test_graph_cc.py
+    (randomized union-find equivalence, transitivity, convergence)."""
+    from bigdata_cookbook_spark.operators.dedup import minhash_lsh_candidates
+    from bigdata_cookbook_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
+    return dedup_clusters(pairs, docs, id_col="doc_id")
+
+
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: categorical -> numeric mapping (High/Medium/Low -> 3/2/1/0,
     reference summary.py:424-429) applied to order priorities."""
@@ -1311,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
+        "neardup_canonical_clusters": q_neardup_canonical_clusters,
     }
 
 

@@ -81,3 +81,85 @@ def company_topic_bipartite(
         filtered, ["entity_id", "topic"], labeled_col, out_col="majority_label"
     )
     return counts.join(majority, ["entity_id", "topic"], "left")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components over an edge list.
+
+    Returns (node, component) with component = the smallest node id in
+    the node's component. Iterates: every node takes the min of its own
+    label and its neighbors' labels, until a fixpoint (no label changed)
+    or max_iter. Each round is one groupBy shuffle on node id; lineage is
+    cut with localCheckpoint per round so the plan stays flat.
+
+    Round count is the graph diameter, which for the intended workload —
+    near-duplicate clusters from LSH/Jaccard candidate pairs
+    (dedup_clusters below) — is tiny: dup groups are near-cliques of
+    diameter 2-4. For general graphs with long chains at 100 TB, the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") converges in
+    O(log^2 n) rounds over the same join/groupBy primitives; max_iter
+    guards the driver loop either way (raises if not converged).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter or use a star-contraction formulation for "
+        "long-chain graphs"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Candidate near-dup pairs -> canonical assignment per document.
+
+    The missing last step of the LSH/Jaccard dedup tier: pairs only say
+    "a duplicates b"; transitive groups need connected components, and
+    the canonical representative is each component's min id (stable,
+    deterministic). Documents with no dup edge map to themselves.
+    Output: (id_col, canonical_id, is_canonical).
+    """
+    comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
+    out = all_ids.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
