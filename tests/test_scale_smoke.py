@@ -87,3 +87,55 @@ def test_neardup_pairs_scale_consistency(spark, qs):
     assert all(r.cosine_sim >= 0.4 for r in rows)
     # pair set is unique
     assert len(rows) == len({(r.vec_a, r.vec_b) for r in rows})
+
+
+def test_asof_invariants(spark, qs):
+    out = qs["asof_click_before_purchase"](spark, SF01)
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF01, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert out.count() == n_purch  # left-join: every purchase kept
+    # every match is backward in time
+    assert out.filter(F.col("click_ts_us") > F.col("purchase_ts_us")).count() == 0
+
+
+def test_range_join_count_invariants(spark, qs):
+    out = qs["range_count_events_after_purchase"](spark, SF01)
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF01, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert out.count() == n_purch
+    assert out.filter(F.col("n_following") < 0).count() == 0
+    # total correlated events cannot exceed |purchases| x |events per user window|
+    assert out.agg(F.sum("n_following")).collect()[0][0] > 0
+
+
+def test_split_fractions_at_scale(spark, qs):
+    out = qs["hash_split_documents"](spark, SF01)
+    n = out.count()
+    per = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(per.get("train", 0) / n - 0.8) < 0.03  # 5000 ids -> tight
+    assert abs(per.get("val", 0) / n - 0.1) < 0.03
+    assert abs(per.get("test", 0) / n - 0.1) < 0.03
+
+
+def test_rolling_window_monotone_bounds(spark, qs):
+    out = qs["rolling_hour_avg"](spark, SF01)
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF01, "events")
+    assert out.count() == ev.count()
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bad = out.filter((F.col("avg_1h") < lo - 1e-6) | (F.col("avg_1h") > hi + 1e-6))
+    assert bad.count() == 0
+
+
+def test_canonical_clusters_at_scale(spark, qs):
+    out = qs["neardup_canonical_clusters"](spark, SF01)
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF01, "documents")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
