@@ -12,6 +12,14 @@ live stream. Declared engine semantics:
 
 At scale the source is Kafka/Delta instead of parquet-file streaming; the
 transformations are unchanged (that's the point of Structured Streaming).
+
+Late-data caveat (measured, pinned by tests/test_streaming_latedata.py):
+under the default microbatch trigger, rows older than the watermark are
+dropped at the state operator (the canonical contract). Under
+Trigger.AvailableNow, the late filter evaluates with the run-START
+watermark, so late files arriving within the same drain are NOT dropped —
+fine for the total-drain parity tests (in-order data), but real late-data
+enforcement needs the default trigger across restarts.
 """
 
 from __future__ import annotations
