@@ -95,3 +95,44 @@ def test_events_daterange_partition_filters(plans):
     m = re.search(r"PushedFilters: \[(.*?)\]", p)
     assert m, p
     assert "ts" in m.group(1) or "GreaterThanOrEqual" in m.group(1), m.group(1)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Shuffle joins with a selective build side get a runtime Bloom
+    filter injected on the fact scan (might_contain on the join key) —
+    Spark 4's dynamic semi-join reduction. At 100 TB this prunes the
+    shuffled fact rows before the exchange; the session profile keeps it
+    enabled. (Thresholds are relaxed here because the test tables are
+    KB-scale; the assert is on plan shape, not on the size heuristics.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = explain_str(j, "formatted")
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
