@@ -42,21 +42,27 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join: each left row picks the right row with
-    the greatest right.ts <= left.ts within the same `by` key.
+    """As-of left join: each left row picks the nearest right row at or
+    before it (direction="backward", the default: greatest right.ts <=
+    left.ts) or at or after it (direction="forward": smallest right.ts >=
+    left.ts) within the same `by` key.
 
     right_cols: right-side payload columns to carry (default: everything
     except the key/time columns). Names must not collide with left's —
     rename on the right DataFrame first. tolerance: SQL interval string
-    (e.g. "2 hours"); matches older than left.ts - tolerance null out,
-    matching the tolerance semantics of pandas.merge_asof.
+    (e.g. "2 hours"); matches farther than tolerance from left.ts null
+    out. Both knobs match pandas.merge_asof semantics
+    (allow_exact_matches=True).
 
     Scale: one shuffle on `by` + a per-key sort — the window never sees
     more than one key per frame. Keys are assumed numerous (entity/user
     grain); a single global as-of (by=[]) degenerates to one partition
     and should use a range-partitioned sort instead.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c not in by + [on]]
     collisions = set(right_cols) & set(left.columns)
@@ -85,9 +91,14 @@ def asof_join(
         F.col(on).alias("__r_ts"),
         *[F.col(c) for c in right_cols],
     )
+    # scan order: backward walks time ascending (nearest preceding right
+    # row is the last seen); forward walks descending (nearest following
+    # right row is the last seen). Either way right sorts before left at
+    # equal ts (__seq 0 < 1), keeping exact matches visible.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__seq")
+        .orderBy(ts_order, F.col("__seq").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(
@@ -100,7 +111,10 @@ def asof_join(
     )
     out = filled.filter(F.col("__seq") == 1)
     if tolerance is not None:
-        in_tol = F.col("__m_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            in_tol = F.col("__m_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            in_tol = F.col("__m_ts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *by,
             "__ts",

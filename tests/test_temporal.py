@@ -67,6 +67,21 @@ class TestAsofJoin:
             asof_join(trades, quotes.withColumnRenamed("px", "qty"),
                       on="ts", by=["sym"], right_cols=["qty"])
 
+    def test_bad_direction_rejected(self, quotes, trades):
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(trades, quotes, on="ts", by=["sym"], direction="nearest")
+
+    def test_forward_with_tolerance(self, quotes, trades):
+        out = asof_join(
+            trades, quotes, on="ts", by=["sym"], right_cols=["px"],
+            direction="forward", tolerance="3 minutes",
+        )
+        got = {r["qty"]: r["px"] for r in out.collect()}
+        # qty=3 (09:59:59) -> next quote 10:00:00 within 3 min; qty=1
+        # (10:03) -> next quote 10:05 within 3 min; qty=2 exact match at
+        # 10:05; qty=4 (18:00) has no following quote; qty=5 no quotes
+        assert got == {1: 11.0, 2: 11.0, 3: 10.0, 4: None, 5: None}
+
 
 class TestRangeJoinBinned:
     @pytest.fixture(scope="class")
@@ -168,7 +183,8 @@ class TestAsofVsPandas:
     allow_exact_matches=True) — the de-facto as-of semantics reference."""
 
     @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
-    def test_matches_merge_asof(self, spark, seed):
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_merge_asof(self, spark, seed, direction):
         import numpy as np
         import pandas as pd
 
@@ -190,13 +206,13 @@ class TestAsofVsPandas:
 
         expected = pd.merge_asof(
             left.sort_values("ts"), right.sort_values("ts"),
-            on="ts", by="k", direction="backward", allow_exact_matches=True,
+            on="ts", by="k", direction=direction, allow_exact_matches=True,
         ).set_index("lid")["val"]
 
         out = asof_join(
             spark.createDataFrame(left),
             spark.createDataFrame(right),
-            on="ts", by=["k"], right_cols=["val"],
+            on="ts", by=["k"], right_cols=["val"], direction=direction,
         ).collect()
         got = {r["lid"]: r["val"] for r in out}
         assert len(got) == n_l
