@@ -1159,6 +1159,39 @@ def q_similarity_multiquery_rerank(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (similarity tier composed with
+    A6 mode): for query vectors 0-2, the majority label among the 10
+    cosine-nearest neighbors, ties broken toward the smaller label. One
+    corpus scan for all queries (broadcast query side), per-query top-k
+    window, then an argmax window over vote counts."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cos.alias("cos"))
+    )
+    nn = topk_per_group(
+        sims, ["query_id"], [F.col("cos").desc(), F.col("vec_id").asc()], k=10
+    )
+    votes = nn.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    best = topk_per_group(
+        votes, ["query_id"], [F.col("votes").desc(), F.col("label").asc()], k=1
+    )
+    return best.select("query_id", F.col("label").alias("pred_label"), "votes")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands) — the batch twin of the
     streaming session_window operator: per user, a new session starts
@@ -1327,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
+        "knn_label_vote": q_knn_label_vote,
     }
 
 
@@ -1821,6 +1855,36 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ), 4) AS avg_1h
             FROM events
+        """,
+        "knn_label_vote": """
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN (0, 1, 2)),
+            sims AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       LIST_DOT_PRODUCT(e.v, q.qv)
+                       / (SQRT(LIST_DOT_PRODUCT(e.v, e.v))
+                          * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cos
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ),
+            nn AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                    ) AS rn FROM sims
+                ) WHERE rn <= 10
+            ),
+            votes AS (
+                SELECT query_id, label, COUNT(*) AS votes
+                FROM nn GROUP BY 1, 2
+            )
+            SELECT query_id, label AS pred_label, votes FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY votes DESC, label ASC
+                ) AS rn FROM votes
+            ) WHERE rn = 1
         """,
         "rollup_order_volumes": """
             SELECT o_orderstatus, o_orderpriority,
