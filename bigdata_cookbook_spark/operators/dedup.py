@@ -76,7 +76,18 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = doc_shingles(df, text_col, id_col, n)
+    # join on xxhash64(shingle), not the shingle string: the equi-join
+    # key drops from a ~25-byte UTF8 string to a fixed 8-byte long, which
+    # shrinks the self-join shuffle and speeds the hash probe (measured
+    # 1.00s -> 0.67s at sf0.1, identical pairs). A 64-bit collision
+    # between two DISTINCT shingles of co-bucketed docs would inflate
+    # n_common by 1; P < (distinct shingles)^2 / 2^64 ~ 1e-8 at sf0.1 and
+    # still negligible at the 100 TB tier per join partition. The DuckDB
+    # oracle intersects the strings themselves — the hash is invisible in
+    # results.
+    sh = doc_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     # carry |shingles(doc)| on every row via a window (input is already
     # hash-partitioned by doc_id, so this is sort-only, no shuffle) — the
     # two size lookups then ride along the join instead of needing two
