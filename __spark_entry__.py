@@ -1416,29 +1416,40 @@ _SHINGLES_CTE = """
 
 
 def _minhash_lsh_sql(num_hashes: int = 12, band_size: int = 2) -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring operators/dedup.py
+    # minhash_signature: one md5 per shingle, 32-bit halves a/b, component
+    # i = MIN((a + i*b) % 2^32). All signed-64-safe so the arithmetic is
+    # bit-equal across engines.
     sig_cols = ",\n                   ".join(
-        f"MIN(MD5(shingle || '#' || '{i}')) AS mh{i}" for i in range(num_hashes)
+        f"MIN((ha + {i} * hb) % 4294967296) AS mh{i}" for i in range(num_hashes)
     )
     band_selects = []
     for b in range(num_hashes // band_size):
-        cols = " || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, MD5({cols}) AS bucket FROM sig"
+        keys = ", ".join(
+            f"mh{b * band_size + j} AS k{j}" for j in range(band_size)
         )
+        band_selects.append(f"SELECT doc_id, {b} AS band, {keys} FROM sig")
     banded = "\n            UNION ALL\n            ".join(band_selects)
+    key_eq = " AND ".join(f"a.k{j} = b.k{j}" for j in range(band_size))
     return f"""
         WITH {_SHINGLES_CTE},
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
+                   CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS hb
+            FROM sh
+        ),
         sig AS (
             SELECT doc_id,
                    {sig_cols}
-            FROM sh GROUP BY doc_id
+            FROM hashed GROUP BY doc_id
         ),
         banded AS (
             {banded}
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ON a.band = b.band AND {key_eq} AND a.doc_id < b.doc_id
     """
 
 
