@@ -1192,6 +1192,17 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("query_id", F.col("label").alias("pred_label"), "votes")
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier: column profiling of orders — null counts,
+    exact distinct cardinality, native-type min/max per column, all in
+    ONE aggregation pass (operators/profile.py); the wide single-row
+    result unpivots via stack()."""
+    from bigdata_cookbook_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands) — the batch twin of the
     streaming session_window operator: per user, a new session starts
@@ -1361,7 +1372,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_volumes": q_rollup_order_volumes,
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
         "knn_label_vote": q_knn_label_vote,
+        "profile_orders": q_profile_orders,
     }
+
+
+def _profile_orders_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = [
+        f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM orders"""
+        for c in cols
+    ]
+    return "\n            UNION ALL\n            ".join(parts)
 
 
 def _hash_split_documents_sql() -> str:
@@ -1867,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
                    ), 4) AS avg_1h
             FROM events
         """,
+        "profile_orders": _profile_orders_sql(),
         "knn_label_vote": """
             WITH e AS (SELECT vec_id, label,
                               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
