@@ -118,3 +118,29 @@ def test_corpus_clean_accounting(spark, sf_dir):
         ("dropped_exact", "dropped_neardup"),
     ):
         assert out[a].join(out[b], "doc_id", "inner").count() == 0
+
+
+def test_profile_columns_counts_nulls(spark):
+    from pyspark.sql import Row
+
+    from bigdata_cookbook_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", c=2.5),
+            Row(a=None, b="y", c=None),
+            Row(a=3, b=None, c=2.5),
+            Row(a=1, b="x", c=0.5),
+        ]
+    )
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert (out["a"]["n_nulls"], out["a"]["n_distinct"]) == (1, 2)
+    assert (out["b"]["n_nulls"], out["b"]["n_distinct"]) == (1, 2)
+    assert (out["c"]["n_nulls"], out["c"]["n_distinct"]) == (1, 2)
+    # native-type ordering, not lexical: min of c is 0.5 even though
+    # "0.5" < "2.5" happens to agree; a lexical min of [2.5, 10.5] would
+    # be "10.5" — pin with the numeric column a: min 1, max 3
+    assert (out["a"]["min_value"], out["a"]["max_value"]) == ("1", "3")
+    assert (out["c"]["min_value"], out["c"]["max_value"]) == ("0.5", "2.5")
