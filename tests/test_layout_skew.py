@@ -55,6 +55,55 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_customer")
 
+    def test_bucketed_layout_erases_comention_group_shuffle(self, spark, sf_dir):
+        """The layout tier applied to a real headline query: co-mention
+        pair expansion needs collect_list per orderkey, normally the
+        query's first (and biggest) shuffle. Over a lineitem bucketed on
+        l_orderkey the groupBy rides the bucket partitioning — zero
+        Exchange below the expansion — and results are unchanged. This is
+        the 100 TB play: bucket the fact table once at ingest, every
+        per-entity/per-document grouping afterwards is shuffle-free."""
+        import re
+
+        from bigdata_cookbook_spark.plans.explain import explain_str
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        write_bucketed(li, "b_li_cm", ["l_orderkey"], 8)
+        try:
+            def pair_counts(src):
+                grouped = src.groupBy("l_orderkey").agg(
+                    F.collect_list("l_partkey").alias("ps")
+                )
+                pairs = grouped.select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                "ps",
+                                lambda x: F.transform(
+                                    F.filter("ps", lambda y: y > x),
+                                    lambda y: F.struct(
+                                        x.alias("part_a"), y.alias("part_b")
+                                    ),
+                                ),
+                            )
+                        )
+                    ).alias("p")
+                ).select("p.part_a", "p.part_b")
+                return pairs.groupBy("part_a", "part_b").agg(
+                    F.count(F.lit(1)).alias("weight")
+                )
+
+            bucketed = pair_counts(spark.table("b_li_cm"))
+            plain = pair_counts(li)
+            plan = explain_str(bucketed, "formatted")
+            n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            assert n_exchanges == 1, (
+                f"bucketed co-mention must shuffle only the pairs, saw {n_exchanges}"
+            )
+            assert _rows(bucketed) == _rows(plain)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_li_cm")
+
     def test_bucketed_groupby_has_no_exchange(self, spark, sf_dir):
         orders = load_table(spark, sf_dir, "orders")
         write_bucketed(orders, "b_orders_g", ["o_custkey"], 8)
