@@ -39,3 +39,20 @@ def test_partial_sketches_merge_like_exact(spark, sf_dir):
     )
     assert summed_exact > exact
     assert abs(one_shot - exact) / exact < 0.06
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The declared approximate tier for percentiles at 100 TB:
+    approx_percentile (Greenwald-Khanna) vs the exact interpolated
+    percentile the oracle-checked price_percentiles query computes."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").alias("ap"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    ).first()
+    spread = orders.agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("s")
+    ).first()["s"]
+    assert abs(row["ap"][0] - row["p50"]) / spread < 0.01
+    assert abs(row["ap"][1] - row["p95"]) / spread < 0.01
