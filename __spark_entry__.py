@@ -1203,6 +1203,31 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders)
 
 
+def q_continuous_aggregate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup-style continuous aggregate (plans/rollup.py):
+    refresh the incrementally-maintained daily rollup, then answer via
+    rollup-for-closed-buckets UNION raw-tail — the rewrite must be
+    indistinguishable from aggregating raw directly, which is exactly
+    what the oracle computes."""
+    import tempfile
+
+    from bigdata_cookbook_spark.plans.rollup import rollup_query, rollup_refresh
+
+    events = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    aggs = {"n": (None, "count"), "total": ("value", "sum"), "vmax": ("value", "max")}
+    path = tempfile.mkdtemp(prefix="bcs_rollup_") + "/agg"
+    rollup_refresh(spark, events, path, "ts", keys, aggs)
+    out = rollup_query(spark, events, path, "ts", keys, aggs)
+    return out.select(
+        F.col("bucket").cast("date").alias("day"),
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+        "vmax",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands) — the batch twin of the
     streaming session_window operator: per user, a new session starts
@@ -1373,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
         "knn_label_vote": q_knn_label_vote,
         "profile_orders": q_profile_orders,
+        "continuous_aggregate_daily": q_continuous_aggregate_daily,
     }
 
 
@@ -1901,6 +1927,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "profile_orders": _profile_orders_sql(),
+        "continuous_aggregate_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
+                   MAX(value) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
         "knn_label_vote": """
             WITH e AS (SELECT vec_id, label,
                               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
