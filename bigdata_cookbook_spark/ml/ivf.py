@@ -82,3 +82,54 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_sq_topk(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    scales: list[float],
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """IVF-SQ: the FAISS-style three-stage funnel on DataFrames.
+
+    1. cell prune — probe only the nprobe nearest KMeans cells (IVF);
+    2. coarse score the survivors on int8 codes (ml/quantize.py SQ; the
+       float column is never read, so at scale the scan touches only the
+       narrow code column chunks of the probed cells);
+    3. exact rerank of the k*rerank_factor best on full-precision floats.
+
+    ``assignments`` must carry both the ``cell`` column (build_ivf) and
+    the ``code`` column (quantize.quantize). Output (vec_id, score) with
+    EXACT cosine scores — approximation affects candidate choice only.
+    """
+    import numpy as np
+
+    from bigdata_cookbook_spark.ml.quantize import quantized_topk
+
+    qrow = assignments.filter(F.col(id_col) == query_vec_id).head()
+    if qrow is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    q = [float(v) for v in qrow[emb_col]]
+    cents = np.array(centroids, dtype=np.float64)
+    dists = np.linalg.norm(cents - np.array(q), axis=1)
+    probe_cells = [int(c) for c in np.argsort(dists)[:nprobe]]
+
+    probed = assignments.filter(F.col("cell").isin(probe_cells)).filter(
+        F.col(id_col) != query_vec_id
+    )
+    return quantized_topk(
+        probed,
+        q,
+        scales,
+        k=k,
+        rerank_factor=rerank_factor,
+        id_col=id_col,
+        emb_col=emb_col,
+        code_col=code_col,
+    )

@@ -79,3 +79,38 @@ def test_rerank_scores_are_exact(emb, coded, scales):
         v = np.asarray(r["embedding"], dtype=np.float32)
         exact = float(v @ qn / max(np.linalg.norm(v), 1e-12))
         assert abs(by_id[r["vec_id"]] - exact) < 1e-5
+
+
+def test_ivf_sq_funnel_recall(spark, emb, scales, coded):
+    """IVF cell prune + int8 coarse score + exact rerank: recall@10 vs
+    exact brute force stays high while scanning only nprobe cells."""
+    from bigdata_cookbook_spark.ml.ivf import build_ivf, ivf_sq_topk
+    from bigdata_cookbook_spark.ml.quantize import quantize
+
+    assignments, centroids = build_ivf(emb, nlist=8)
+    # attach codes to the cell assignments (same rows, same scales)
+    with_codes = quantize(
+        assignments.select("vec_id", "embedding", "cell"), scales
+    )
+    out = ivf_sq_topk(
+        with_codes, centroids, scales, query_vec_id=0, k=10,
+        nprobe=4, rerank_factor=4,
+    ).collect()
+    got = {r["vec_id"] for r in out}
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    expected = set(_exact_topk(emb.filter(F.col("vec_id") != 0), qvec, 10))
+    recall = len(got & expected) / 10
+    # the IVF cell prune dominates recall loss on this unclustered
+    # synthetic corpus (the plain-IVF test bounds it at >= 0.3 with the
+    # same nlist/nprobe); int8 coarse scoring adds no measurable loss on
+    # top (quantized_topk alone holds >= 0.9 recall)
+    assert recall >= 0.6, f"IVF-SQ recall@10 {recall}"
+    # scores of returned rows are exact cosine (rerank contract)
+    import numpy as np
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / np.linalg.norm(q)
+    rows = {r["vec_id"]: r["score"] for r in out}
+    for r in emb.filter(F.col("vec_id").isin(list(rows))).collect():
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        exact = float(v @ qn / max(np.linalg.norm(v), 1e-12))
+        assert abs(rows[r["vec_id"]] - exact) < 1e-5
