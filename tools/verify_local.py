@@ -53,7 +53,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    spark = get_spark("verify_local")
+    import os
+
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS: rerun the whole gate under a
+    # different shuffle width (e.g. 7, 64) — results must be identical,
+    # or a query depends on physical partitioning (hidden order
+    # sensitivity in collect_list/first/ffill etc.)
+    sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    spark = get_spark("verify_local", shuffle_partitions=int(sp) if sp else None)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
