@@ -40,6 +40,12 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin the session to UTC: callers (the external driver included) may
+    # hand us a session in any zone, and event-time bucketing
+    # (date_trunc/to_date over the epoch-based ts) must agree with the
+    # timezone-naive DuckDB oracle regardless
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     # cached DataFrames hold a ref to their session, so id(spark) can't be
     # recycled while its cache entries live
     key = (id(spark), sf_dir, name)
