@@ -52,6 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a session without the
+        # legacy flag hard-fails the scan (PARQUET_TYPE_ILLEGAL) — set it
+        # here so an externally-provided session (the driver's) works too
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) -> read as long nanos (see
