@@ -716,6 +716,22 @@ def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier: deterministic importance sampling — orders
+    kept with probability proportional to order value (p_i = min(1,
+    0.1 * w_i / avg(w)), content-hash decided; operators/sampling.py).
+    The oracle recomputes the identical row set."""
+    from bigdata_cookbook_spark.operators.sampling import weighted_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_hash_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        "o_totalprice",
+        fraction=0.1,
+    )
+
+
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 extension: exact interpolated percentiles (median, p95) of the
     order value per priority — percentile_cont semantics on both engines."""
@@ -1399,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": q_knn_label_vote,
         "profile_orders": q_profile_orders,
         "continuous_aggregate_daily": q_continuous_aggregate_daily,
+        "weighted_sample_orders": q_weighted_sample_orders,
     }
 
 
@@ -1910,6 +1927,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN '1-URGENT' THEN 2000
                         WHEN '2-HIGH' THEN 1000
                         ELSE 500 END
+        """,
+        "weighted_sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ''), 1, 8))
+                       AS BIGINT) % 10000
+                  < CAST(FLOOR(ROUND(LEAST(1.0,
+                        0.1 * o_totalprice / (SELECT AVG(o_totalprice) FROM orders)
+                    ) * 10000, 6)) AS BIGINT)
         """,
         "price_percentiles": """
             SELECT o_orderpriority,

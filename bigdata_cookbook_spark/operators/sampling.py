@@ -104,6 +104,30 @@ def stratified_hash_sample(
     return df.filter(bucket < threshold)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with inclusion probability
+    proportional to a weight column (importance sampling): p_i = min(1,
+    fraction * w_i / avg(w)), decided by the same content-hash bucket as
+    hash_sample. Expected sample size ~ fraction * n when few weights
+    clip at 1. The per-row threshold is rounded to 6 dp BEFORE the bucket
+    comparison so engines computing avg(w) in different summation orders
+    still draw the same boundary (the oracle mirrors the rounding).
+    One aggregation (the scalar mean) + a narrow map — no shuffle of df.
+    """
+    mean_w = float(df.agg(F.avg(weight_col)).first()[0])
+    p = F.least(
+        F.lit(1.0), F.lit(float(fraction)) * F.col(weight_col) / F.lit(mean_w)
+    )
+    threshold = F.floor(F.round(p * N_BUCKETS, 6)).cast("long")
+    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
 def split_sql_case(id_expr: str, fractions: dict[str, float], salt: str = "") -> str:
     """The DuckDB-compatible SQL twin of hash_split's assignment expression
     (used by oracle queries; kept next to the Spark rule so the two can't

@@ -89,3 +89,20 @@ def test_stratified_matches_plain_sample_per_stratum(spark, sf_dir):
         for r in out.filter(F.col("o_orderpriority") == "1-URGENT").collect()
     }
     assert got_urgent == expect_urgent
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
+    from bigdata_cookbook_spark.operators.sampling import weighted_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = weighted_hash_sample(orders, "o_orderkey", "o_totalprice", 0.1)
+    n, n_all = out.count(), orders.count()
+    assert abs(n / n_all - 0.1) < 0.03  # expected size ~ fraction * n
+    # importance property: sampled rows are value-heavier on average
+    m_s = out.agg(F.avg("o_totalprice")).first()[0]
+    m_a = orders.agg(F.avg("o_totalprice")).first()[0]
+    assert m_s > m_a * 1.1
+    # deterministic
+    assert out.count() == weighted_hash_sample(
+        orders, "o_orderkey", "o_totalprice", 0.1
+    ).count()
