@@ -97,6 +97,29 @@ def test_events_daterange_partition_filters(plans):
     assert "ts" in m.group(1) or "GreaterThanOrEqual" in m.group(1), m.group(1)
 
 
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """The default session profile's AQE must actually re-plan at runtime:
+    a 64-partition-configured aggregation over KB-scale data executes with
+    coalesced AQEShuffleRead partitions (on the 1000-executor tier this is
+    what keeps reducers proportional to data, not to the static conf)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE re-plans during execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed and "coalesced" in executed
+    assert df.rdd.getNumPartitions() < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Shuffle joins with a selective build side get a runtime Bloom
     filter injected on the fact scan (might_contain on the join key) —
