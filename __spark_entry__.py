@@ -217,19 +217,36 @@ def q_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_net_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A11+A12: per-customer open vs finished order counts, shares and
-    net exposure (reference tool.py:298-319,1073)."""
+    net exposure (reference tool.py:298-319,1073).
+
+    Single-pass conditional aggregation: one scan + one shuffle. The
+    reference (and our general ``net_exposure`` combinator) full-outer
+    joins two per-status aggregates; when both sides derive from the SAME
+    fact table, `count(when(status=..))` in one groupBy is equivalent —
+    the row set (customers with >=1 O or F order) and every derived
+    column are identical — and removes the join plus a whole shuffle.
+    That is the efficient plan at any scale; the two-frame combinator
+    remains for genuinely separate inputs."""
     orders = load_table(spark, sf_dir, "orders")
-    pos = (
-        orders.filter(F.col("o_orderstatus") == "O")
+    agg = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("pos_cnt"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("pos_cnt"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("neg_cnt"),
+        )
     )
-    neg = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("neg_cnt"))
+    pc, nc = F.col("pos_cnt"), F.col("neg_cnt")
+    total = pc + nc
+    return agg.select(
+        "o_custkey",
+        pc.alias("pos_cnt"),
+        nc.alias("neg_cnt"),
+        total.alias("total_cnt"),
+        F.round(pc * 100.0 / F.when(total == 0, F.lit(None)).otherwise(total), 2).alias("pos_pct"),
+        F.round(nc * 100.0 / F.when(total == 0, F.lit(None)).otherwise(total), 2).alias("neg_pct"),
+        (F.abs(pc) - F.abs(nc)).alias("net_exposure"),
     )
-    return net_exposure(pos, neg, keys=["o_custkey"])
 
 
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,7 +924,24 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: order-pinned collect-list — first 5 event values per user by
     event_id (reference mind_map_tools.py:522-529; pandas relies on frame
-    order, we sort explicitly inside the array)."""
+    order, we sort explicitly inside the array).
+
+    The ordered values are emitted as one ';'-joined %.4f string: a
+    canonical scalar every comparison harness can sort/hash (an
+    array<double> column broke the round-1 driver canonicalizer —
+    pandas `unhashable type: 'list'`). The raw-array form stays under
+    pytest (tests/test_entry_queries.py)."""
+    return q_collect_list_ordered_array(spark, sf_dir).select(
+        "user_id",
+        F.concat_ws(
+            ";", F.transform("first_values", lambda v: F.format_string("%.4f", v))
+        ).alias("first_values"),
+    )
+
+
+def q_collect_list_ordered_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 raw form: array<double> output (pytest-only — see
+    q_collect_list_ordered for why the registry emits a string)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
         F.slice(
@@ -2073,7 +2107,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collect_list_ordered": """
             SELECT user_id,
-                   (LIST(value ORDER BY event_id ASC))[1:5] AS first_values
+                   ARRAY_TO_STRING(
+                       LIST_TRANSFORM((LIST(value ORDER BY event_id ASC))[1:5],
+                                      v -> PRINTF('%.4f', v)),
+                       ';') AS first_values
             FROM events GROUP BY user_id
         """,
         "embedding_neardup_pairs": """
