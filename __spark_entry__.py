@@ -525,22 +525,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+F1+F2: the chunk-explode screening normalizer with offset-based
-    entity masking, run in discovery mode over the deterministic corpus
-    fixtures (FIXTURES.md §1-4). Non-SQL-expressible (nested higher-order
-    masking) -> rows-only driver check; full semantics are pinned by
-    tests/test_normalize_masking.py incl. mask/unmask round-trip."""
+    entity masking, run in discovery mode over the committed corpus
+    fixture parquet (FIXTURES.md §1-4, tools/make_fixtures.py — same
+    files the DuckDB oracle reads). Fully value-checked INCLUDING
+    masked_text: on non-overlapping spans the offset-splice fold is
+    equivalent to gap||replacement concatenation in span order, which the
+    oracle expresses with string_agg over unnested mentions. The overlap
+    -skip branch and mask/unmask round-trip stay pinned by
+    tests/test_normalize_masking.py."""
     from bigdata_cookbook_spark.operators.normalize import normalize_screening
-    from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+    from bigdata_cookbook_spark.sources.fixtures import fixture_tables
 
-    ents, docs, chunks = fixture_frames(spark, n_docs=200, seed=7)
+    ents, docs, chunks = fixture_tables(spark)
     scr = normalize_screening(docs, chunks, ents, mode="discovery")
-    # project to flat columns so the driver's schema/hash check is stable
+    # project to flat scalar columns so the driver's schema/hash check is
+    # stable (array columns break pandas-side canonicalizers)
     return scr.select(
         "sentence_id",
+        "document_id",
         "entity_id",
         "document_type",
         "is_reporting_entity",
         "entity_name",
+        "entity_sector",
+        "other_entities",
         "masked_text",
         F.size("entities").alias("n_mentions"),
     )
@@ -1359,14 +1367,18 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: normalize -> stub-label -> top providers per
-    sector (W1 over L1 output). Deterministic via the stub backend;
-    non-SQL-expressible (mapInPandas stage) -> rows-only driver check;
-    semantics pinned in tests/test_query_llm_workflows.py."""
+    sector (W1 over L1 output), over the committed fixture parquet.
+
+    The mapInPandas LLM stage runs the deterministic stub backend
+    (FNV-1a over entity_id|masked_text -> label bucket + guardrail), so
+    the whole workflow is value-checkable: the oracle reproduces the
+    masking in SQL and the FNV hash with a recursive CTE. Live-backend
+    behavior stays pinned in tests/test_query_llm_workflows.py."""
     from bigdata_cookbook_spark.llm.stub import stub_backend
-    from bigdata_cookbook_spark.sources.fixtures import fixture_frames
+    from bigdata_cookbook_spark.sources.fixtures import fixture_tables
     from bigdata_cookbook_spark.workflows import dual_role_analysis
 
-    ents, docs, chunks = fixture_frames(spark, n_docs=200, seed=7)
+    ents, docs, chunks = fixture_tables(spark)
     out = dual_role_analysis(docs, chunks, ents, backend=stub_backend)
     return out["top_by_sector"]
 
@@ -1619,6 +1631,180 @@ def _lang_id_sql() -> str:
         )
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
     """
+
+
+def _fixture_screening_ctes() -> str:
+    """CTE chain reproducing normalize_screening(mode='discovery') in pure
+    SQL over the committed fixture parquet (tools/make_fixtures.py).
+
+    The offset-splice masking fold (functions/masking.py:mask_text_expr)
+    is re-expressed relationally: on non-overlapping spans the fold is
+    exactly  string_agg(gap || replacement ORDER BY start) || tail , with
+    gap = substr(text, prev_end+1, start - prev_end) via LAG. The
+    'Other Company_<i>' index is the dense rank of each non-target key's
+    first occurrence — identical to array_position over the distinct
+    first-occurrence key array."""
+    from bigdata_cookbook_spark.sources.fixtures import fixtures_dir
+
+    base = fixtures_dir()
+    return f"""
+    fchunks AS (SELECT * FROM read_parquet('{base}/chunks.parquet')),
+    fents AS (SELECT * FROM read_parquet('{base}/entities.parquet')),
+    fdocs AS (SELECT * FROM read_parquet('{base}/documents.parquet')),
+    exploded AS (
+        SELECT document_id, sentence_id, text, UNNEST(entities) AS e
+        FROM fchunks
+    ),
+    men AS (
+        SELECT x.document_id, x.sentence_id, x.text,
+               x.e.key AS key, x.e.start AS s, x.e."end" AS e_end,
+               d.name AS name, d.entity_type AS etype
+        FROM exploded x LEFT JOIN fents d ON x.e.key = d.entity_id
+    ),
+    targets AS (
+        SELECT DISTINCT document_id, sentence_id, key AS entity_id
+        FROM men WHERE etype = 'COMP'
+    ),
+    fan AS (
+        SELECT m.sentence_id, m.text, t.entity_id, m.key, m.s, m.e_end, m.name
+        FROM men m JOIN targets t
+          ON m.document_id = t.document_id AND m.sentence_id = t.sentence_id
+    ),
+    others_idx AS (
+        SELECT sentence_id, entity_id, key,
+               ANY_VALUE(name) AS name,
+               DENSE_RANK() OVER (
+                   PARTITION BY sentence_id, entity_id ORDER BY MIN(s)
+               ) AS idx
+        FROM fan WHERE key <> entity_id
+        GROUP BY sentence_id, entity_id, key
+    ),
+    spans AS (
+        SELECT f.sentence_id, f.entity_id, f.text, f.s, f.e_end,
+               CASE WHEN f.key = f.entity_id THEN 'Target Company'
+                    ELSE 'Other Company_' || o.idx END AS repl
+        FROM fan f LEFT JOIN others_idx o
+          ON f.sentence_id = o.sentence_id
+         AND f.entity_id = o.entity_id AND f.key = o.key
+    ),
+    gaps AS (
+        SELECT sentence_id, entity_id, text, s, e_end, repl,
+               COALESCE(LAG(e_end) OVER (
+                   PARTITION BY sentence_id, entity_id ORDER BY s
+               ), 0) AS prev_end,
+               MAX(e_end) OVER (PARTITION BY sentence_id, entity_id) AS last_end
+        FROM spans
+    ),
+    masked AS (
+        SELECT sentence_id, entity_id,
+               STRING_AGG(SUBSTR(text, prev_end + 1, s - prev_end) || repl,
+                          '' ORDER BY s)
+                 || SUBSTR(ANY_VALUE(text), ANY_VALUE(last_end) + 1) AS masked_raw
+        FROM gaps GROUP BY sentence_id, entity_id
+    ),
+    other_str AS (
+        SELECT sentence_id, entity_id,
+               STRING_AGG(name, ', ' ORDER BY idx) AS other_entities
+        FROM others_idx GROUP BY sentence_id, entity_id
+    ),
+    nmen AS (SELECT sentence_id, CAST(LEN(entities) AS INT) AS n_mentions FROM fchunks),
+    screening AS (
+        SELECT t.sentence_id,
+               t.document_id,
+               t.entity_id,
+               d.document_type,
+               COALESCE(LIST_CONTAINS(d.reporting_entities, t.entity_id), FALSE)
+                   AS is_reporting_entity,
+               e.name AS entity_name,
+               e.sector AS entity_sector,
+               COALESCE(o.other_entities, '') AS other_entities,
+               REPLACE(REPLACE(m.masked_raw, CHR(123), ''), CHR(125), '')
+                   AS masked_text,
+               nmen.n_mentions
+        FROM targets t
+        JOIN fdocs d ON t.document_id = d.document_id
+        LEFT JOIN fents e ON t.entity_id = e.entity_id
+        LEFT JOIN masked m
+          ON t.sentence_id = m.sentence_id AND t.entity_id = m.entity_id
+        LEFT JOIN other_str o
+          ON t.sentence_id = o.sentence_id AND t.entity_id = o.entity_id
+        JOIN nmen ON t.sentence_id = nmen.sentence_id
+    )"""
+
+
+def _screening_normalize_sql() -> str:
+    return f"WITH {_fixture_screening_ctes()} SELECT * FROM screening"
+
+
+def _dual_role_sql() -> str:
+    """End-to-end workflow oracle: screening CTEs + the deterministic stub
+    labeler (llm/stub.py — FNV-1a over 'entity_id|masked_text', label
+    bucket h%4, guardrail forcing 'U' when (h>>4)%4==0) as a recursive
+    character-fold CTE, then top-5 providers per sector."""
+    return f"""
+WITH RECURSIVE {_fixture_screening_ctes()},
+keys AS (
+    SELECT DISTINCT entity_id, masked_text,
+           entity_id || '|' || masked_text AS k
+    FROM screening
+),
+fnv(k, i, n, h) AS (
+    SELECT k, 0, LENGTH(k), CAST(2166136261 AS BIGINT) FROM keys
+    UNION ALL
+    SELECT k, i + 1, n,
+           (xor(h, unicode(SUBSTR(k, i + 1, 1))) * 16777619) % 4294967296
+    FROM fnv WHERE i < n
+),
+labels AS (
+    SELECT ky.entity_id, ky.masked_text,
+           CASE WHEN ((f.h // 16) % 4) <> 0
+                THEN (['P','A','N','U'])[CAST(f.h % 4 AS INT) + 1]
+                ELSE 'U' END AS label
+    FROM keys ky JOIN (SELECT k, h FROM fnv WHERE i = n) f ON ky.k = f.k
+),
+hits AS (
+    SELECT s.entity_sector, s.entity_name,
+           COUNT(DISTINCT s.sentence_id) AS n_hits
+    FROM screening s
+    JOIN labels l
+      ON s.entity_id = l.entity_id AND s.masked_text = l.masked_text
+    WHERE l.label = 'P'
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY entity_sector ORDER BY n_hits DESC, entity_name ASC
+    ) AS rn FROM hits
+)
+SELECT entity_sector, entity_name, n_hits FROM ranked WHERE rn <= 5
+"""
+
+
+def _neardup_clusters_sql() -> str:
+    """Connected components over the SAME MinHash/LSH candidate pairs, as
+    a recursive reachability CTE: cc enumerates every (node, reachable
+    label); MIN(label) per node = the component's min id — exactly the
+    min-label fixpoint operators/graph.py converges to. Tractable because
+    near-dup components are tiny cliques; the Spark side is the one that
+    scales."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT e.a, c.label FROM edges e JOIN cc c ON e.b = c.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
 
 
 def _ann_lsh_sql() -> str:
@@ -1917,6 +2103,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
+        "screening_normalize": _screening_normalize_sql(),
+        "dual_role_workflow": _dual_role_sql(),
+        "neardup_canonical_clusters": _neardup_clusters_sql(),
         "comention_parts": """
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS weight
             FROM lineitem a JOIN lineitem b

@@ -165,3 +165,28 @@ def fixture_frames(
         spark.createDataFrame(docs, DOCUMENT_SCHEMA),
         spark.createDataFrame(chunks, CHUNK_SCHEMA),
     )
+
+
+def fixtures_dir() -> str:
+    """Committed parquet materialization of generate_corpus(200, seed=7)
+    (tools/make_fixtures.py) — the copy the DuckDB oracle reads too, so
+    screening/LLM-workflow queries are value-checkable cross-engine."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+    )
+
+
+def fixture_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(entities, documents, chunks) from the committed fixture parquet —
+    bit-identical input on the Spark and oracle sides."""
+    import os
+
+    base = fixtures_dir()
+    return (
+        spark.read.schema(ENTITY_SCHEMA).parquet(os.path.join(base, "entities.parquet")),
+        spark.read.schema(DOCUMENT_SCHEMA).parquet(os.path.join(base, "documents.parquet")),
+        spark.read.schema(CHUNK_SCHEMA).parquet(os.path.join(base, "chunks.parquet")),
+    )
