@@ -1192,24 +1192,23 @@ def q_similarity_multiquery_rerank(spark: SparkSession, sf_dir: str) -> DataFram
     """Q1+Q11: multi-query similarity retrieval with rerank threshold —
     three query vectors (vec_id 0,1,2), cosine vs the full corpus, keep
     score >= 0.2, top-5 per query (reference Similarity + rerank_threshold
-    + document_limit, query_builder.py:59-82, search.py:40-73). The query
-    side is broadcast; corpus side scans once for all queries."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    + document_limit, query_builder.py:59-82, search.py:40-73).
+
+    Uses the tier-2 vectorized kernel (operators/similarity.py
+    query_cosine_scores): one Arrow pass over the corpus with the tiny
+    query matrix in the task closure — ~3x faster than the interpreted
+    zip_with/aggregate expression tier at bench scale, same rounded
+    scores, and still a single corpus scan for all queries."""
+    from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    cos = dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
     )
     sims = (
-        emb.crossJoin(F.broadcast(q))
+        query_cosine_scores(emb, q)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(cos, 4).alias("score"))
         .filter(F.col("score") >= 0.2)
     )
     return topk_per_group(
@@ -1221,24 +1220,20 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote classification (similarity tier composed with
     A6 mode): for query vectors 0-2, the majority label among the 10
     cosine-nearest neighbors, ties broken toward the smaller label. One
-    corpus scan for all queries (broadcast query side), per-query top-k
-    window, then an argmax window over vote counts."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    corpus scan for all queries (query matrix in the tier-2 kernel's task
+    closure), per-query top-k window, then an argmax window over vote
+    counts."""
+    from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    cos = dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
     )
     sims = (
-        emb.crossJoin(F.broadcast(q))
+        query_cosine_scores(emb, q, keep_cols=("label",), round_to=None)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "label", cos.alias("cos"))
+        .withColumnRenamed("score", "cos")
     )
     nn = topk_per_group(
         sims, ["query_id"], [F.col("cos").desc(), F.col("vec_id").asc()], k=10

@@ -109,3 +109,72 @@ def blocked_cosine_pairs(
     # re-apply the threshold on the rounded value so semantics match the
     # expression/oracle tier exactly (round first, then cut)
     return out.filter(F.col("cosine_sim") >= threshold)
+
+
+def query_cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "query_id",
+    qemb_col: str = "qe",
+    keep_cols: tuple[str, ...] = (),
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Cosine of every (corpus row x query vector): one vectorized Arrow
+    pass over the corpus with the query matrix broadcast in the task
+    closure — the tier-2 kernel for the multi-query retrieval path.
+
+    The query side is collected driver-side by contract (query sets are
+    human-authored and tiny — the same bound that makes the expression
+    tier's F.broadcast correct); the corpus never leaves the executors.
+    Per batch: one normalized GEMM (n_batch x dim) @ (dim x n_queries),
+    emitted long-form. ~an order of magnitude faster than the
+    zip_with/aggregate expression tier, which evaluates interpreted per
+    element (see module docstring), and one corpus scan regardless of the
+    number of queries.
+
+    Output: (qid_col, id_col, *keep_cols, score).
+    """
+    import numpy as np
+
+    qrows = queries.select(qid_col, qemb_col).collect()  # bounded by contract
+    if not qrows:
+        raise ValueError("query_cosine_scores requires a non-empty query side")
+    qids = [r[qid_col] for r in qrows]
+    qmat = np.asarray([r[qemb_col] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = (qmat / qnorm[:, None]).T  # dim x q
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+        *keep_cols,
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mat = np.asarray(pdf["__e"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ qunit  # n x q
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            n = len(pdf)
+            out = {
+                qid_col: np.repeat(qids, n),
+                id_col: np.tile(pdf["__id"].to_numpy(), len(qids)),
+                "score": sims.T.reshape(-1),
+            }
+            for c in keep_cols:
+                out[c] = np.tile(pdf[c].to_numpy(), len(qids))
+            yield pd.DataFrame(out)
+
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    keep_t = ", ".join(f"{c} {dict(corpus.dtypes)[c]}" for c in keep_cols)
+    schema = f"{qid_col} {qid_t}, {id_col} {id_t}" + (f", {keep_t}" if keep_cols else "") + ", score double"
+    return src.mapInPandas(run, schema=schema)
