@@ -78,9 +78,10 @@ def html_report(
 
 
 def workbook_sink(sheets: Mapping[str, DataFrame], out_dir: str) -> dict[str, str]:
-    """S6: multi-sheet workbook of result frames -> one CSV per sheet
-    under ``out_dir`` (driver-side, small results only). Returns
-    {sheet_name: file_path}."""
+    """S6 (CSV flavor): multi-sheet workbook of result frames -> one CSV
+    per sheet under ``out_dir`` (driver-side, small results only).
+    Returns {sheet_name: file_path}. See ``workbook_xlsx_sink`` for the
+    reference's actual single-file .xlsx format."""
     os.makedirs(out_dir, exist_ok=True)
     paths: dict[str, str] = {}
     for name, df in sheets.items():
@@ -89,3 +90,23 @@ def workbook_sink(sheets: Mapping[str, DataFrame], out_dir: str) -> dict[str, st
         df.limit(_MAX_SINK_ROWS + 1).toPandas().to_csv(path, index=False)
         paths[name] = path
     return paths
+
+
+def workbook_xlsx_sink(sheets: Mapping[str, DataFrame], path: str) -> str:
+    """S6: multi-sheet .xlsx workbook of result frames — the reference's
+    ExcelManager surface (ThematicScreener.ipynb cell 34), written with
+    the stdlib OOXML writer (sources/xlsx.py). Driver-side under the
+    bounded-sink guardrail; fact-scale data never flows through here."""
+    payload = {}
+    for name, df in sheets.items():
+        rows = df.limit(_MAX_SINK_ROWS + 1).collect()
+        if len(rows) > _MAX_SINK_ROWS:
+            raise ValueError(
+                f"sheet {name!r} exceeds the {_MAX_SINK_ROWS}-row workbook "
+                "guardrail; aggregate or sample before exporting"
+            )
+        payload[name] = (df.columns, [tuple(r) for r in rows])
+    from bigdata_cookbook_spark.sources.xlsx import write_xlsx
+
+    write_xlsx(payload, path)
+    return path

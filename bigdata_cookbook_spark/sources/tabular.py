@@ -4,9 +4,10 @@ Reference: Narrative_Miners/src/tool.py:10-26 — ``read_excel(header=1)``,
 drop ``Unnamed`` columns, parse a date column, tag each frame with its
 source name.
 
-This engine reads the CSV export of such sheets (no xlsx reader in the
-pinned deps; a com.crealytics spark-excel reader slots in unchanged where
-available). Semantics preserved: skip leading junk rows above the header,
+This module reads the CSV export of such sheets; the real .xlsx format
+is handled by the sibling ``sources/xlsx.py`` (stdlib OOXML reader/
+writer — see ``read_excel_sheet`` there for the reference call shape).
+Semantics preserved in both: skip leading junk rows above the header,
 drop unnamed/blank columns, cast the date column, tag the source.
 """
 
