@@ -45,11 +45,20 @@ def make_async_backend(
     max_retries: int = 4,
     backoff_base: float = 2.0,
     sleep=asyncio.sleep,
+    prompt_rows: int = 10,
 ):
-    """Build a ``Backend`` (rows -> labeled rows) running one async
-    completion per micro-batch with semaphore + retry/backoff."""
+    """Build a ``Backend`` (rows -> labeled rows): the rows are split into
+    prompt micro-batches of ``prompt_rows`` sentences and ALL micro-batches
+    fan out through one ``asyncio.gather`` under the semaphore — so a
+    single backend call drives up to ``concurrency`` in-flight requests,
+    and total in-flight across the cluster = partitions x concurrency.
+    Pass the stage a large chunk (``llm_label_stage(batch_size=None)``
+    hands over whole Arrow batches) to give the gather something to fan
+    out; retry/backoff is per micro-batch."""
 
     def backend(rows: list[dict]) -> list[dict]:
+        chunks = [rows[i : i + prompt_rows] for i in range(0, len(rows), prompt_rows)]
+
         async def run() -> list[dict]:
             client = client_factory()
             sem = asyncio.Semaphore(concurrency)
@@ -77,22 +86,22 @@ def make_async_backend(
                             await sleep(backoff_base**attempt)
                 return ""  # unreachable
 
-            prompt = "\n".join(
-                f'{r["id"]};{r["entity_id"]};"{r["text"]}"' for r in rows
-            )
-            raw = await call_with_retry(prompt)
-            parsed = parse_label_response(raw)
-            out = []
-            for r in rows:
-                lab = parsed.get(str(r["id"]), {})
-                out.append(
+            async def label_chunk(chunk: list[dict]) -> list[dict]:
+                prompt = "\n".join(
+                    f'{r["id"]};{r["entity_id"]};"{r["text"]}"' for r in chunk
+                )
+                parsed = parse_label_response(await call_with_retry(prompt))
+                return [
                     {
                         "id": r["id"],
-                        "label": lab.get("label", "U"),
-                        "motivation": lab.get("motivation", ""),
+                        "label": parsed.get(str(r["id"]), {}).get("label", "U"),
+                        "motivation": parsed.get(str(r["id"]), {}).get("motivation", ""),
                     }
-                )
-            return out
+                    for r in chunk
+                ]
+
+            parts = await asyncio.gather(*(label_chunk(c) for c in chunks))
+            return [r for part in parts for r in part]
 
         return asyncio.run(run())
 

@@ -35,12 +35,19 @@ def llm_label_stage(
     backend: Backend,
     key_cols: Sequence[str] = ("entity_id", "text"),
     text_col: str = "masked_text",
-    batch_size: int = 10,
+    batch_size: int | None = 10,
     n_partitions: int | None = None,
     guardrail: bool = True,
 ) -> DataFrame:
     """Attach (label, motivation) to every row, calling ``backend`` once
-    per unique key combination only."""
+    per unique key combination only.
+
+    ``batch_size`` is the number of rows per backend CALL: the stub and
+    other synchronous backends take one prompt's worth (default 10); for
+    the async backend pass ``None`` to hand over whole Arrow batches —
+    the backend micro-batches internally and fans the prompts out through
+    one asyncio.gather, so its concurrency knob actually multiplies the
+    partition count (openai_backend.make_async_backend)."""
     keys = list(key_cols)
     unique = df.select(*keys, text_col).dropDuplicates(keys)
     if n_partitions:
@@ -54,8 +61,9 @@ def llm_label_stage(
                 continue
             results = []
             records = pdf.to_dict("records")
-            for i in range(0, len(records), batch_size):
-                chunk = records[i : i + batch_size]
+            step = batch_size if batch_size is not None else len(records)
+            for i in range(0, len(records), step):
+                chunk = records[i : i + step]
                 rows = [
                     {
                         "id": j,
@@ -98,12 +106,18 @@ def pack_token_budget(
     max_tokens: int,
     order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """F8: assign each row a pack_id so cumulative estimated tokens per
-    (group, pack) stay under ``max_tokens``.
+    """F8: assign each row a pack_id by token budget: a pack's STARTING
+    offset (cumulative estimate before the row) is always under
+    ``max_tokens``, so a pack can exceed the budget by at most one row's
+    estimate — size ``max_tokens`` with one-row headroom when the budget
+    is a hard prompt limit. (The reference's greedy driver loop,
+    token_manager.py, closes a pack before it overshoots; the relational
+    start-offset rule trades that guarantee for a single window pass with
+    no driver loop — documented deviation.)
 
     Token estimate = chars/4 (reference labeling.py:161-162). A running
-    sum window + integer division plans the packing relationally — no
-    driver loop, one shuffle on the group key.
+    sum window + integer division plans the packing relationally — one
+    shuffle on the group key.
     """
     est = F.greatest((F.length(F.col(text_col)) / 4).cast("long"), F.lit(1))
     order = [F.col(c) for c in (order_cols or group_cols)]

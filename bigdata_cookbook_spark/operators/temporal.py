@@ -63,6 +63,16 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None:
+        # tolerance arithmetic is INTERVAL-based; it needs a temporal
+        # `on` column (timestamp/date), not an epoch-number ordering key
+        from pyspark.sql.types import DateType, TimestampType
+
+        if not isinstance(right.schema[on].dataType, (TimestampType, DateType)):
+            raise ValueError(
+                f"tolerance requires a timestamp/date `on` column; "
+                f"{on!r} is {right.schema[on].dataType.simpleString()}"
+            )
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c not in by + [on]]
     collisions = set(right_cols) & set(left.columns)
@@ -80,7 +90,7 @@ def asof_join(
         F.col(on).alias("__ts"),
         F.lit(1).alias("__seq"),
         *[F.col(c) for c in left_payload],
-        F.lit(None).cast("timestamp").alias("__r_ts"),
+        F.lit(None).cast(rtype(on)).alias("__r_ts"),  # match `on`'s real type
         *[F.lit(None).cast(rtype(c)).alias(c) for c in right_cols],
     )
     r_side = right.select(

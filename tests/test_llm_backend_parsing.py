@@ -135,3 +135,66 @@ def test_parse_and_consolidate():
     assert set(merged) == {"0", "1", "2"}
     assert merged["1"]["label"] == "A"  # later part wins
     assert parse_label_response('{"x": 3}') == {}  # non-dict values dropped
+
+
+def test_backend_fans_out_micro_batches_concurrently():
+    """25 rows at prompt_rows=10 -> 3 prompts, issued through one
+    asyncio.gather: the in-flight counter must overlap (>1), proving the
+    semaphore actually multiplies — not the dead-machinery sequential
+    path of round 1."""
+    import asyncio
+
+    log = []
+    state = {"inflight": 0, "max_inflight": 0}
+
+    class OverlapCompletions(FakeCompletions):
+        async def create(self, **kwargs):
+            state["inflight"] += 1
+            state["max_inflight"] = max(state["max_inflight"], state["inflight"])
+            await asyncio.sleep(0.01)  # force overlap to be observable
+            try:
+                return await super().create(**kwargs)
+            finally:
+                state["inflight"] -= 1
+
+    class OverlapClient:
+        def __init__(self):
+            self.chat = type("C", (), {})()
+            self.chat.completions = OverlapCompletions(log)
+
+    backend = make_async_backend(client_factory=OverlapClient, prompt_rows=10)
+    rows = [{"id": i, "entity_id": f"E{i}", "text": f"t{i}"} for i in range(25)]
+    out = backend(rows)
+    assert [r["id"] for r in out] == list(range(25))
+    assert all(r["label"] == "P" for r in out)
+    assert len(log) == 3
+    assert state["max_inflight"] == 3
+
+
+def test_backend_concurrency_capped_by_semaphore():
+    import asyncio
+
+    log = []
+    state = {"inflight": 0, "max_inflight": 0}
+
+    class OverlapCompletions(FakeCompletions):
+        async def create(self, **kwargs):
+            state["inflight"] += 1
+            state["max_inflight"] = max(state["max_inflight"], state["inflight"])
+            await asyncio.sleep(0.01)
+            try:
+                return await super().create(**kwargs)
+            finally:
+                state["inflight"] -= 1
+
+    class OverlapClient:
+        def __init__(self):
+            self.chat = type("C", (), {})()
+            self.chat.completions = OverlapCompletions(log)
+
+    backend = make_async_backend(
+        client_factory=OverlapClient, prompt_rows=1, concurrency=2
+    )
+    out = backend([{"id": i, "entity_id": "E", "text": "t"} for i in range(6)])
+    assert len(out) == 6 and len(log) == 6
+    assert state["max_inflight"] == 2  # semaphore is the ceiling

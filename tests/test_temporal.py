@@ -222,3 +222,23 @@ class TestAsofVsPandas:
                 assert g is None
             else:
                 assert g == pytest.approx(exp)
+
+
+class TestAsofOnTypes:
+    def test_bigint_epoch_on_column(self, spark):
+        """`on` need not be a timestamp: epoch-long ordering keys union
+        cleanly (the null placeholder casts to the right side's real
+        type)."""
+        left = spark.createDataFrame([(1, 100), (1, 205), (2, 50)], "k int, ts long")
+        right = spark.createDataFrame(
+            [(1, 90, "a"), (1, 200, "b"), (2, 60, "c")], "k int, ts long, v string"
+        )
+        out = asof_join(left, right, on="ts", by=["k"])
+        got = {(r["k"], r["ts"]): r["v"] for r in out.collect()}
+        assert got == {(1, 100): "a", (1, 205): "b", (2, 50): None}
+
+    def test_tolerance_requires_temporal_on(self, spark):
+        left = spark.createDataFrame([(1, 100)], "k int, ts long")
+        right = spark.createDataFrame([(1, 90, "a")], "k int, ts long, v string")
+        with pytest.raises(ValueError, match="tolerance requires"):
+            asof_join(left, right, on="ts", by=["k"], tolerance="2 hours")
