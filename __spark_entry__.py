@@ -554,6 +554,29 @@ def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter tier (training-data pipeline): document
+    repetition / word-shape / symbol metrics and the keep-flag
+    conjunction, all JVM-side column expressions
+    (functions/text.py:gopher_quality_exprs). Linear scan, no shuffle —
+    the shape a pretraining filter must have at 100 TB."""
+    from bigdata_cookbook_spark.functions.text import (
+        gopher_keep_expr,
+        gopher_quality_exprs,
+        tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toksed = docs.select("doc_id", "text", tokens_expr(F.col("text")).alias("toks"))
+    m = gopher_quality_exprs(F.col("toks"), F.col("text"))
+    return toksed.select(
+        "doc_id",
+        *[c.alias(k) for k, c in m.items()],
+        gopher_keep_expr(m).alias("keep"),
+    )
+
+
 def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: co-mention pairs — parts co-occurring within an order, edge
     weight = co-occurrence count (reference network_analysis.py:129-201).
@@ -1467,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fallback_coalesce_join": q_fallback_coalesce_join,
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2108,6 +2132,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            ),
+            mm AS (
+                SELECT doc_id,
+                       CAST(LEN(toks) AS INT) AS n_tokens,
+                       ROUND(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g'))
+                             / NULLIF(LEN(toks), 0), 4) AS mean_word_len,
+                       ROUND(LEN(LIST_DISTINCT(toks)) * 1.0
+                             / NULLIF(LEN(toks), 0), 4) AS unique_word_ratio,
+                       ROUND(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]'))) * 1.0
+                             / NULLIF(LEN(toks), 0), 4) AS alpha_word_ratio,
+                       ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[#*…]|\.\.\.')) * 1.0
+                             / NULLIF(LEN(toks), 0), 4) AS symbol_ratio
+                FROM t
+            )
+            SELECT *,
+                   (n_tokens >= 3 AND n_tokens <= 100000
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND unique_word_ratio >= 0.3
+                    AND alpha_word_ratio >= 0.8
+                    AND symbol_ratio <= 0.1) AS keep
+            FROM mm
+        """,
         "screening_normalize": _screening_normalize_sql(),
         "dual_role_workflow": _dual_role_sql(),
         "neardup_canonical_clusters": _neardup_clusters_sql(),

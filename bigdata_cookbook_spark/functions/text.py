@@ -173,3 +173,58 @@ def bisect_on_delimiter(s: str, delimiters: str = ".!?;\n") -> tuple[str, str]:
     if best is None or best == len(s) - 1:
         return s[:mid], s[mid:]
     return s[: best + 1], s[best + 1 :]
+
+
+def gopher_quality_exprs(toks: Column, text: Column) -> dict[str, Column]:
+    """Gopher-rule document-quality metrics (Rae et al. 2021, "Scaling
+    Language Models", table A1 subset) as pure column expressions —
+    the filter tier a pretraining pipeline runs over every document.
+
+    ``toks`` must be a BOUND lower-cased token-array column (materialized
+    by a prior select — see shingles_from_tokens for why inline
+    expressions inside lambdas are a measured 10x trap). Line-shape rules
+    (bullet/ellipsis line fractions) are omitted: the corpus contract is
+    one text blob per row, no line structure.
+
+    Metrics: n_tokens; mean_word_len (non-ws chars / tokens);
+    unique_word_ratio (distinct/total tokens — the repetition rule);
+    alpha_word_ratio (fraction of tokens containing a letter — drops
+    number/symbol soup); symbol_ratio (#, *, ellipsis chars per token).
+    """
+    n_tokens = F.size(toks)
+    non_ws = F.length(F.regexp_replace(text, r"\s+", ""))
+    uniq = F.size(F.array_distinct(toks))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    symbols = F.regexp_count(text, F.lit(r"[#*…]|\.\.\."))
+    safe_n = F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens)
+    return {
+        "n_tokens": n_tokens.cast("int"),
+        "mean_word_len": F.round(non_ws / safe_n, 4),
+        "unique_word_ratio": F.round(uniq / safe_n, 4),
+        "alpha_word_ratio": F.round(alpha / safe_n, 4),
+        "symbol_ratio": F.round(symbols / safe_n, 4),
+    }
+
+
+def gopher_keep_expr(
+    m: dict[str, Column],
+    min_tokens: int = 3,
+    max_tokens: int = 100_000,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
+    min_unique_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Conjunction of the Gopher keep-rules over gopher_quality_exprs
+    output. Thresholds are the paper's spirit adapted to short synthetic
+    documents (defaults documented per knob so a corpus owner retunes
+    them, which the paper itself expects)."""
+    return (
+        (m["n_tokens"] >= min_tokens)
+        & (m["n_tokens"] <= max_tokens)
+        & (m["mean_word_len"] >= word_len_range[0])
+        & (m["mean_word_len"] <= word_len_range[1])
+        & (m["unique_word_ratio"] >= min_unique_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_ratio)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+    )

@@ -144,3 +144,41 @@ def test_profile_columns_counts_nulls(spark):
     # be "10.5" — pin with the numeric column a: min 1, max 3
     assert (out["a"]["min_value"], out["a"]["max_value"]) == ("1", "3")
     assert (out["c"]["min_value"], out["c"]["max_value"]) == ("0.5", "2.5")
+
+
+def test_gopher_quality_edges(spark):
+    """Gopher metrics edge behavior: null text -> null metrics/flag;
+    blank text -> the single-empty-token degenerate (dropped by keep);
+    symbol soup and low-uniqueness repetition are rejected; normal prose
+    survives."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        gopher_keep_expr,
+        gopher_quality_exprs,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "buy buy buy buy buy buy buy buy buy buy"),  # repetition
+            (3, "#### **** …… 1234 5678 #### **** 9999"),  # symbol/number soup
+            (4, "   "),
+            (5, None),
+        ],
+        "id int, text string",
+    )
+    toksed = df.select("id", "text", tokens_expr(F.col("text")).alias("toks"))
+    m = gopher_quality_exprs(F.col("toks"), F.col("text"))
+    out = {
+        r["id"]: r
+        for r in toksed.select(
+            "id", *[c.alias(k) for k, c in m.items()], gopher_keep_expr(m).alias("keep")
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["unique_word_ratio"] < 0.3
+    assert out[3]["keep"] is False and out[3]["alpha_word_ratio"] < 0.8
+    assert out[4]["keep"] is False  # blank -> one empty token, no letters
+    assert out[5]["keep"] is None and out[5]["n_tokens"] is None
