@@ -577,6 +577,39 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (training-data tier): URLs / emails / phones /
+    IPv4s -> typed placeholders, plus per-kind audit counts
+    (functions/text.py REDACTION_PATTERNS — one chained codegen'd
+    regexp projection, no UDF, no shuffle).
+
+    The synthetic corpus contains no PII, so the query deterministically
+    plants contact strings on doc_id-keyed subsets (identical expression
+    in the oracle) — the redaction itself is what's under test."""
+    from bigdata_cookbook_spark.functions.text import (
+        redact_pii_expr,
+        redaction_counts_exprs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" visit https://example.com/d/"), d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" call 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit("."), ((d / 7).cast("long") % 256).cast("string"))).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", planted.alias("text"))
+    counts = redaction_counts_exprs(F.col("text"))
+    return aug.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        redact_pii_expr(F.col("text")).alias("redacted"),
+    )
+
+
 def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: co-mention pairs — parts co-occurring within an order, edge
     weight = co-occurrence count (reference network_analysis.py:129-201).
@@ -1491,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
         "gopher_quality": q_gopher_quality,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1659,6 +1693,40 @@ def _lang_id_sql() -> str:
             FROM scored
         )
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
+    """
+
+
+def _pii_redaction_sql() -> str:
+    """Oracle generated from the SAME REDACTION_PATTERNS tuple the engine
+    compiles, so pattern drift between engine and oracle is impossible."""
+    from bigdata_cookbook_spark.functions.text import REDACTION_PATTERNS
+
+    staged = "text"
+    count_cols = []
+    for kind, pat, repl in REDACTION_PATTERNS:
+        # plain single-quoted DuckDB strings pass backslashes through to
+        # RE2 untouched — same text Java's regex engine sees
+        p = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({staged}, '{p}')) AS INT) AS n_{kind}"
+        )
+        staged = f"REGEXP_REPLACE({staged}, '{p}', '{repl}', 'g')"
+    counts = ",\n                   ".join(count_cols)
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' visit https://example.com/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0 THEN ' call 555-010-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                   || CASE WHEN doc_id % 17 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END
+                   AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               {staged} AS redacted
+        FROM aug
     """
 
 
@@ -2132,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
+        "pii_redaction": _pii_redaction_sql(),
         "gopher_quality": r"""
             WITH t AS (
                 SELECT doc_id, text,

@@ -228,3 +228,41 @@ def gopher_keep_expr(
         & (m["alpha_word_ratio"] >= min_alpha_ratio)
         & (m["symbol_ratio"] <= max_symbol_ratio)
     )
+
+
+# PII / boilerplate redaction patterns — one compiled regex pass each,
+# ordered so URL redaction runs before email (an URL may embed an @ path
+# segment, and the reverse order would chew it twice). All POSIX-ERE
+# compatible so the same pattern strings drive the SQL oracle.
+REDACTION_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Scrub URLs / emails / phone numbers / IPv4s to typed placeholders
+    — the PII pass a training-data pipeline runs before anything ships to
+    a model. Chained regexp_replace: one codegen'd projection, no UDF,
+    no shuffle. Pattern set is deliberately conservative (favor recall on
+    unambiguous shapes over NER-grade precision — that tier plugs in via
+    mapInPandas when a model is available)."""
+    out = text
+    for _, pat, repl in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redaction_counts_exprs(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit trail: HOW MUCH was scrubbed, the
+    number a privacy review asks for). Counts are measured on the
+    progressively-redacted text, mirroring redact_pii_expr's chaining, so
+    an URL's embedded @ never double-counts as an email."""
+    staged = text
+    out: dict[str, Column] = {}
+    for kind, pat, repl in REDACTION_PATTERNS:
+        out[f"n_{kind}"] = F.regexp_count(staged, F.lit(pat)).cast("int")
+        staged = F.regexp_replace(staged, pat, repl)
+    return out

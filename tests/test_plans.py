@@ -159,3 +159,28 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_net_exposure_single_aggregation_no_join(plans):
+    """Round-2 rewrite: per-customer net exposure must plan as ONE
+    conditional aggregation — no join, at most one exchange. The round-1
+    shape (full-outer SortMergeJoin of two per-status aggregates) paid a
+    second shuffle plus the merge."""
+    p = plans("net_exposure")
+    assert "Join" not in p, p
+    # formatted explain lists each node once in the tree and once in the
+    # details section — count the details entries (one per physical node)
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 1, p
+    assert "HashAggregate" in p
+
+
+def test_gopher_quality_is_scan_only(plans):
+    """The pretraining quality filter must stay a linear scan: no
+    exchange beyond the explicit width repartition, no join, no window —
+    at 100 TB anything else in this tier is a pipeline bottleneck."""
+    p = plans("gopher_quality")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    # the only exchange is the explicit RoundRobin repartition for CPU
+    # spreading; no hash/range (data-dependent) exchanges
+    assert len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", p)) == 0, p
