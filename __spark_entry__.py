@@ -610,6 +610,18 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunker (operators/corpus.py
+    token_window_chunks): documents -> 32-token chunks at stride 16 —
+    the RAG/pretraining segmentation stage, linear scan + explode, no
+    shuffle."""
+    from bigdata_cookbook_spark.operators.corpus import token_window_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return token_window_chunks(docs, window=32, stride=16)
+
+
 def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: co-mention pairs — parts co-occurring within an order, edge
     weight = co-occurrence count (reference network_analysis.py:129-201).
@@ -936,6 +948,11 @@ def q_cross_source_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.col("cnt").alias("error_cnt")
     )
     joined = p.join(e, "day", "full_outer")
+    # unpartitioned window = one task, BUT the input is the post-agg
+    # DAILY series (|rows| = |distinct days|, bounded by the calendar,
+    # not the fact table) — matching the reference's single-frame ffill.
+    # At multi-decade span, partition by year and seed each year with the
+    # previous year's closing value (operators/analytics.py group_ffill).
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return joined.select(
         "day",
@@ -1525,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_lag": q_peak_lag,
         "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
+        "token_window_chunks": q_token_window_chunks,
     }
 
 
@@ -2201,6 +2219,29 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
         "pii_redaction": _pii_redaction_sql(),
+        "token_window_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            ),
+            fanned AS (
+                SELECT doc_id, toks,
+                       UNNEST(GENERATE_SERIES(0,
+                           GREATEST(1, CAST(CEIL((LEN(toks) - 32) / 16.0) AS INT) + 1) - 1
+                       )) AS chunk_idx
+                FROM t
+            ),
+            sliced AS (
+                SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                       toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS ctoks
+                FROM fanned
+            )
+            SELECT doc_id, chunk_idx,
+                   ARRAY_TO_STRING(ctoks, ' ') AS chunk_text,
+                   CAST(LEN(LIST_FILTER(ctoks, x -> LENGTH(x) > 0)) AS INT) AS n_tokens
+            FROM sliced
+        """,
         "gopher_quality": r"""
             WITH t AS (
                 SELECT doc_id, text,

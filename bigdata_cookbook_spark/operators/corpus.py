@@ -69,3 +69,51 @@ def corpus_clean(
         "dropped_exact": dropped_exact,
         "dropped_neardup": near_losers,
     }
+
+
+def token_window_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunker — the segmentation stage that turns
+    raw documents into model-sized chunks (RAG indexing / pretraining
+    sequence packing), the producer side of the chunk tables the
+    screening tier consumes.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens); windows of
+    ``window`` tokens starting every ``stride`` tokens, last window
+    truncated, empty/blank docs -> one empty chunk (chunk_idx 0,
+    n_tokens 0). Plan: tokenize once into a bound array column, explode
+    a sequence of window starts, slice per window — per-doc cost is
+    O(tokens x window/stride), linear in corpus size, no shuffle; the
+    slice-per-WINDOW is fine precisely because windows are O(len/stride)
+    — contrast shingles_from_tokens, where a slice per TOKEN would be
+    quadratic.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    from bigdata_cookbook_spark.functions.text import tokens_expr
+
+    toksed = docs.select(
+        id_col, F.coalesce(tokens_expr(F.col(text_col)), F.array()).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + 1
+    )
+    fanned = toksed.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk_toks = F.slice("__toks", F.col("chunk_idx") * stride + 1, window)
+    # a blank doc tokenizes to [''] — surface it as an empty chunk
+    return fanned.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        F.size(F.filter(chunk_toks, lambda t: F.length(t) > 0)).alias("n_tokens"),
+    )
