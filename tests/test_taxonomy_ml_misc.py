@@ -173,3 +173,42 @@ def test_ivf_ann_recall_and_prune(spark, sf_dir):
     # deterministic across rebuilds (fixed kmeans seed)
     a2, c2 = build_ivf(emb, nlist=8)
     assert c2 == centroids
+
+
+def test_query_cosine_kernel_matches_expression_tier(spark, sf_dir):
+    """Tier equivalence: the vectorized GEMM kernel (tier 2) must produce
+    the same rounded scores as the zip_with/aggregate expression tier
+    (tier 1) for every (query, corpus) pair — swapping tiers for speed
+    must never change results."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    kernel = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in query_cosine_scores(
+            emb, q, emb_col="e", qid_col="query_id", qemb_col="qe"
+        ).collect()
+    }
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    expr = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", F.round(cos, 4).alias("score"))
+        .collect()
+    }
+    assert set(kernel) == set(expr)
+    diffs = [k for k in expr if abs(kernel[k] - expr[k]) > 1e-12]
+    assert not diffs, f"{len(diffs)} score mismatches, e.g. {diffs[:3]}"
