@@ -1513,11 +1513,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "keyword_search": q_keyword_search,
         "events_daterange": q_events_daterange,
+        "gopher_quality": q_gopher_quality,
+        "pii_redaction": q_pii_redaction,
+        "token_window_chunks": q_token_window_chunks,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        # -- tier 3 (51+): green round-1 driver rows on record --
         "pivot_composite_status": q_pivot_composite_status,
         "last_purchase_ffill": q_last_purchase_ffill,
         "count_distinct_having": q_count_distinct_having,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
-        # -- tier 3 (51+): green round-1 driver rows on record --
         "collect_concat": q_collect_concat,
         "summary_stats": q_summary_stats,
         "gaussian_smooth_weekly": q_gaussian_smooth_weekly,
@@ -1540,9 +1543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fallback_coalesce_join": q_fallback_coalesce_join,
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
-        "gopher_quality": q_gopher_quality,
-        "pii_redaction": q_pii_redaction,
-        "token_window_chunks": q_token_window_chunks,
     }
 
 
