@@ -158,3 +158,65 @@ def test_stateful_user_profile(spark, sf_dir):
         got = rows[uid]
         assert got.n_events == w.n_events
         assert abs(got.total_value - w.total_value) < 0.05
+
+
+def test_corpus_filter_tier_runs_in_streaming(spark, tmp_path):
+    """The quality/redaction tier is stateless projection, so the SAME
+    column expressions must run under Structured Streaming unchanged —
+    stream output == batch output over one drained file source. This is
+    the continuous-ingest shape of the pretraining pipeline (filter at
+    the edge, before anything lands)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        gopher_keep_expr,
+        gopher_quality_exprs,
+        redact_pii_expr,
+        tokens_expr,
+    )
+
+    spool = str(tmp_path / "spool")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox emailed fox@den.example.org today",
+                "buy buy buy buy buy buy buy buy",
+                "visit https://example.com/a and call 555-010-7788 now",
+            ],
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.parquet(spool)
+
+    def tier(df):
+        toksed = df.select("doc_id", "text", tokens_expr(F.col("text")).alias("toks"))
+        m = gopher_quality_exprs(F.col("toks"), F.col("text"))
+        return toksed.select(
+            "doc_id",
+            redact_pii_expr(F.col("text")).alias("redacted"),
+            gopher_keep_expr(m).alias("keep"),
+        )
+
+    batch = {r["doc_id"]: (r["redacted"], r["keep"]) for r in tier(
+        spark.read.parquet(spool)).collect()}
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(spool)
+    out = str(tmp_path / "out")
+    q = (
+        tier(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_filter_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["redacted"], r["keep"])
+        for r in spark.sql("SELECT * FROM corpus_filter_stream").collect()
+    }
+    assert got == batch
+    assert "<EMAIL>" in got[1][0] and got[1][1] is True
+    assert got[2][1] is False  # repetition fails the keep rule
+    assert "<URL>" in got[3][0] and "<PHONE>" in got[3][0]
