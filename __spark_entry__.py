@@ -630,11 +630,13 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a self-join: one shuffle of the compact fact rows (keyed by the
     high-cardinality orderkey, even at scale), pairs expand inside each
     group (bounded by per-order cardinality), then one shuffle of the
-    pairs. The self-join formulation shuffles the same data but
-    materializes the joined rows through an extra exchange — measured
-    ~2x slower; mapInPandas/NumPy expansion also loses (Arrow transfer
-    of the lists costs more than the interpreted lambda saves).
-    Semantics identical (strict < ordering on part keys).
+    pairs. The sort-merge self-join formulation measured ~2x slower
+    (per-key sorts); with a SHUFFLE_HASH hint it reaches parity at the
+    min but with a fatter tail (round-2 interleaved 6-rep measurement),
+    so the group-expand stays. mapInPandas/NumPy expansion also loses
+    (Arrow transfer of the lists costs more than the interpreted lambda
+    saves; measured 1.3s vs 0.6s). Semantics identical (strict <
+    ordering on part keys).
 
     Two measured refinements (1.01s -> 0.59s at sf0.1):
     - widen the group shuffle to defaultParallelism: the expansion is
