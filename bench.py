@@ -4,8 +4,8 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Methodology: each query is forced end-to-end with a noop sink (no
-driver-side collect of fact data). Every query runs three times; the
-reported time is the min (steady state — excludes one-time plan
+driver-side collect of fact data). Every query runs four times; the
+reported time is the min of four runs (steady state — excludes one-time plan
 compilation / codegen, which is amortized across a real workload, and
 damps single-JVM GC noise). Cold first-run times are reported under
 "queries_cold" for transparency.
@@ -83,7 +83,7 @@ def bench_session() -> SparkSession:
     return (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
-        .config("spark.driver.memory", "8g")  # headroom: damp GC pauses in min-of-3
+        .config("spark.driver.memory", "8g")  # headroom: damp GC pauses in the steady runs
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         # let AQE collapse KB-scale shuffles all the way down
@@ -144,10 +144,11 @@ def main() -> None:
     duck: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run(name), 3)
-        # min of 3: two steady runs after the cold one — single-JVM GC /
+        # min of 4: three steady runs after the cold one — single-JVM GC /
         # scheduling noise at these sub-second scales swings one-shot
-        # timings by 2x; min-of-3 stabilizes run-to-run bench output
-        steady[name] = round(min(cold[name], run(name), run(name)), 3)
+        # timings by 2-5x (observed 0.6s-vs-3.0s outliers), and three
+        # steady samples make an outlier-free min far more likely
+        steady[name] = round(min(cold[name], run(name), run(name), run(name)), 3)
         # reference timed ADJACENT to the Spark runs of the same query:
         # host-level noise on this box swings absolute times 2x within a
         # single bench invocation, so engine/reference pairs must see the
