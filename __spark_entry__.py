@@ -622,6 +622,32 @@ def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_window_chunks(docs, window=32, stride=16)
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining pipeline capstone composition: token_window_chunks ->
+    per-stream pack_token_budget — chunk every document into 32-token
+    windows, shard chunks into 8 deterministic pack streams (doc_id % 8;
+    each stream packs independently, so the operator parallelizes by
+    stream at any scale), then assign pack_id under a 128-token budget
+    (start-offset rule, llm/stage.py). The chunk -> filter -> dedup ->
+    PACK chain is the full data-to-model-sequences story."""
+    from bigdata_cookbook_spark.llm.stage import pack_token_budget
+    from bigdata_cookbook_spark.operators.corpus import token_window_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    chunks = token_window_chunks(docs, window=32, stride=16).withColumn(
+        "stream", (F.col("doc_id") % 8).cast("int")
+    )
+    packed = pack_token_budget(
+        chunks,
+        group_cols=["stream"],
+        text_col="chunk_text",
+        max_tokens=128,
+        order_cols=["doc_id", "chunk_idx"],
+    )
+    return packed.select("stream", "doc_id", "chunk_idx", "est_tokens", "pack_id")
+
+
 def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: co-mention pairs — parts co-occurring within an order, edge
     weight = co-occurrence count (reference network_analysis.py:129-201).
@@ -1518,8 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
         "token_window_chunks": q_token_window_chunks,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "sequence_pack": q_sequence_pack,
         # -- tier 3 (51+): green round-1 driver rows on record --
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "pivot_composite_status": q_pivot_composite_status,
         "last_purchase_ffill": q_last_purchase_ffill,
         "count_distinct_having": q_count_distinct_having,
@@ -1714,6 +1741,28 @@ def _lang_id_sql() -> str:
         )
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
     """
+
+
+# token_window_chunks CTE chain (mirrors operators/corpus.py
+# token_window_chunks at window=32, stride=16) — shared by the chunker
+# oracle and the sequence_pack composition oracle
+_TOKEN_CHUNK_CTES = r"""t AS (
+                SELECT doc_id,
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            ),
+            fanned AS (
+                SELECT doc_id, toks,
+                       UNNEST(GENERATE_SERIES(0,
+                           GREATEST(1, CAST(CEIL((LEN(toks) - 32) / 16.0) AS INT) + 1) - 1
+                       )) AS chunk_idx
+                FROM t
+            ),
+            sliced AS (
+                SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                       toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS ctoks
+                FROM fanned
+            )"""
 
 
 def _pii_redaction_sql() -> str:
@@ -2221,28 +2270,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
         "pii_redaction": _pii_redaction_sql(),
-        "token_window_chunks": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
-                FROM documents
-            ),
-            fanned AS (
-                SELECT doc_id, toks,
-                       UNNEST(GENERATE_SERIES(0,
-                           GREATEST(1, CAST(CEIL((LEN(toks) - 32) / 16.0) AS INT) + 1) - 1
-                       )) AS chunk_idx
-                FROM t
-            ),
-            sliced AS (
-                SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-                       toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS ctoks
-                FROM fanned
-            )
+        "token_window_chunks": f"""
+            WITH {_TOKEN_CHUNK_CTES}
             SELECT doc_id, chunk_idx,
                    ARRAY_TO_STRING(ctoks, ' ') AS chunk_text,
                    CAST(LEN(LIST_FILTER(ctoks, x -> LENGTH(x) > 0)) AS INT) AS n_tokens
             FROM sliced
+        """,
+        "sequence_pack": f"""
+            WITH {_TOKEN_CHUNK_CTES},
+            chunks AS (
+                SELECT doc_id, chunk_idx,
+                       ARRAY_TO_STRING(ctoks, ' ') AS chunk_text
+                FROM sliced
+            ),
+            est AS (
+                SELECT doc_id, chunk_idx,
+                       CAST(doc_id % 8 AS INT) AS stream,
+                       GREATEST(CAST(LENGTH(chunk_text) AS BIGINT) // 4, 1) AS est_tokens
+                FROM chunks
+            ),
+            c AS (
+                SELECT *,
+                       CAST(SUM(est_tokens) OVER (
+                           PARTITION BY stream ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum
+                FROM est
+            )
+            SELECT stream, doc_id, chunk_idx, est_tokens,
+                   CAST(FLOOR((cum - est_tokens) / 128.0) AS INT) AS pack_id
+            FROM c
         """,
         "gopher_quality": r"""
             WITH t AS (
