@@ -107,3 +107,75 @@ def has_exchange(df: DataFrame) -> bool:
         for line in plan.splitlines()
         if "Exchange" in line and "ReusedExchange" not in line
     )
+
+
+def zorder_key(cols: list, bits: int = 16) -> "F.Column":  # noqa: F821
+    """Morton (Z-order) interleaving key over 2+ numeric columns.
+
+    Each column is rank-normalized by the CALLER to [0, 2^bits) (use
+    ntile or min-max scaling first — interleaving raw values wastes bits
+    on skewed domains); this helper interleaves the bit patterns so rows
+    close in EVERY dimension get close keys. Sorting a table by the
+    z-key before writing gives multi-column data-skipping: parquet
+    row-group min/max stats become tight for all interleaved columns at
+    once, where a plain ORDER BY col1 only helps col1.
+
+    Pure integer expression (shift/or over longs) — codegen'd, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 10,
+    files: int = 8,
+) -> None:
+    """Write parquet clustered by a Z-order key over ``zcols``.
+
+    Columns are min-max scaled to [0, 2^bits) per the zorder_key
+    contract (one tiny agg to fetch bounds — driver-side scalars only),
+    then the frame is range-partitioned + sorted by the z-key so each
+    output file covers a compact hyper-rectangle: selective filters on
+    ANY zcol skip most row groups via parquet min/max stats.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zcols],
+        *[F.max(c).alias(f"mx_{c}") for c in zcols],
+    ).first()
+    scaled = df
+    names = []
+    top = (1 << bits) - 1
+    for c in zcols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1
+        name = f"__z_{c}"
+        names.append(name)
+        scaled = scaled.withColumn(
+            name,
+            F.least(
+                F.lit(top),
+                ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long"),
+            ),
+        )
+    keyed = scaled.withColumn("__zkey", zorder_key(names, bits=bits))
+    (
+        keyed.repartitionByRange(files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *names)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
