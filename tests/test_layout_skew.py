@@ -144,6 +144,33 @@ class TestDatePartitioning:
             (F.to_date("ts") >= "2024-01-05") & (F.to_date("ts") <= "2024-01-09")
         ).count()
 
+    def test_dynamic_partition_pruning_via_dim_join(self, spark, sf_dir, tmp_path):
+        """DPP: when the partition filter is only knowable THROUGH a join
+        (fact partitioned by day joined to a filtered dim of days), Spark
+        must inject a dynamicpruning subquery on the fact scan instead of
+        reading every partition — the mechanism that makes star-schema
+        joins feasible at 100 TB."""
+        from bigdata_cookbook_spark.plans.explain import explain_str
+
+        events = load_table(spark, sf_dir, "events")
+        part = events.withColumn("day", F.to_date("ts"))
+        path = str(tmp_path / "events_dpp")
+        write_date_partitioned(part, path, "day")
+        fact = spark.read.parquet(path)
+        days = [r["day"] for r in fact.select("day").distinct().limit(4).collect()]
+        # a REAL dim with a genuine (non-foldable) filter — a lit() flag
+        # constant-folds away and DPP never sees a filtering side
+        dim_days = spark.createDataFrame(
+            [(d, "keep" if i < 2 else "drop") for i, d in enumerate(days)],
+            "day date, grp string",
+        )
+        joined = fact.join(dim_days.filter(F.col("grp") == "keep"), "day")
+        plan = explain_str(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        # and the pruned join returns exactly the kept days' rows
+        expect = fact.filter(F.col("day").isin(days[:2])).count()
+        assert joined.count() == expect
+
 
 @pytest.fixture(scope="module")
 def skewed(spark):
