@@ -554,6 +554,18 @@ def q_screening_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked lexical retrieval: BM25 top-20 for a 3-term query
+    (operators/retrieval.py) — the first-stage ranker the reference's
+    boolean Keyword search lacks; pairs with the similarity tier for
+    hybrid search. TakeOrdered top-k, no global sort shuffle."""
+    from bigdata_cookbook_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return bm25_topk(docs, ["spark", "window", "merge"], k=20)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filter tier (training-data pipeline): document
     repetition / word-shape / symbol metrics and the keep-flag
@@ -1540,12 +1552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "lang_id": q_lang_id,
         "keyword_search": q_keyword_search,
-        "events_daterange": q_events_daterange,
+        "bm25_topk": q_bm25_topk,
         "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
         "token_window_chunks": q_token_window_chunks,
         "sequence_pack": q_sequence_pack,
         # -- tier 3 (51+): green round-1 driver rows on record --
+        "events_daterange": q_events_daterange,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pivot_composite_status": q_pivot_composite_status,
         "last_purchase_ffill": q_last_purchase_ffill,
@@ -2269,6 +2282,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
+        "bm25_topk": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            ),
+            dl AS (
+                SELECT doc_id, toks,
+                       LEN(LIST_FILTER(toks, x -> LENGTH(x) > 0)) AS dl
+                FROM t
+            ),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            hits AS (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl),
+            tf AS (
+                SELECT doc_id, dl, tok, COUNT(*) AS tf
+                FROM hits WHERE tok IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2, 3
+            ),
+            dfx AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            raw AS (
+                SELECT tf.doc_id,
+                       SUM(LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                       ) AS rawscore
+                FROM tf
+                JOIN dfx d USING (tok)
+                CROSS JOIN stats s
+                GROUP BY 1
+            ),
+            scored AS (SELECT doc_id, ROUND(rawscore, 4) AS score FROM raw),
+            ranked AS (
+                SELECT doc_id, score,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 20
+        """,
         "pii_redaction": _pii_redaction_sql(),
         "token_window_chunks": f"""
             WITH {_TOKEN_CHUNK_CTES}

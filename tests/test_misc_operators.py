@@ -182,3 +182,33 @@ def test_gopher_quality_edges(spark):
     assert out[3]["keep"] is False and out[3]["alpha_word_ratio"] < 0.8
     assert out[4]["keep"] is False  # blank -> one empty token, no letters
     assert out[5]["keep"] is None and out[5]["n_tokens"] is None
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a hand-computed value and the axioms: higher tf wins,
+    shorter doc wins at equal tf, non-matching docs absent."""
+    import math
+
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark row row"),      # tf=3, dl=5
+            (2, "spark row row row row"),          # tf=1, dl=5
+            (3, "spark row"),                      # tf=1, dl=2
+            (4, "row row row"),                    # no match
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] > out[2]          # tf monotone
+    assert out[3] > out[2]          # length normalization
+    n, df, avgdl, k1, b = 4, 3, 15 / 4, 1.2, 0.75
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    tf, dl = 3, 5
+    expect = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(out[1] - round(expect, 4)) < 1e-9
+    top = bm25_topk(docs, ["spark"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 3]
+    assert [r["rank"] for r in top] == [1, 2]
