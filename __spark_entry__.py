@@ -566,6 +566,50 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "window", "merge"], k=20)
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    ranking by reciprocal-rank fusion (operators/retrieval.py rrf_fuse).
+    Both rankers are top-100 pruned BEFORE ranking (TakeOrdered — the
+    rank windows only see bounded candidate lists), fused 1/(60+rank),
+    top-20 out. doc_id and vec_id share the id domain by the testdata
+    contract (row i's embedding is vec_id i)."""
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    lex = bm25_scores(docs, ["spark", "window", "merge"])
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = (
+        lex.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .withColumn("rank", F.row_number().over(wl))
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    sem = query_cosine_scores(emb, q).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    ws = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sem_r = (
+        sem.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .withColumn("rank", F.row_number().over(ws))
+    )
+
+    fused = rrf_fuse([lex_r, sem_r])
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wf))
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filter tier (training-data pipeline): document
     repetition / word-shape / symbol metrics and the keep-flag
@@ -1551,13 +1595,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "lang_id": q_lang_id,
-        "keyword_search": q_keyword_search,
         "bm25_topk": q_bm25_topk,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
         "token_window_chunks": q_token_window_chunks,
         "sequence_pack": q_sequence_pack,
         # -- tier 3 (51+): green round-1 driver rows on record --
+        "keyword_search": q_keyword_search,
         "events_daterange": q_events_daterange,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pivot_composite_status": q_pivot_composite_status,
@@ -1754,6 +1799,41 @@ def _lang_id_sql() -> str:
         )
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS lang_match FROM pred
     """
+
+
+# BM25 scored-docs CTE chain (mirrors operators/retrieval.py bm25_scores
+# for terms spark/window/merge, k1=1.2, b=0.75) — shared by the bm25
+# ranker oracle and the hybrid-RRF fusion oracle
+_BM25_SCORED_CTES = r"""t AS (
+                SELECT doc_id,
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            ),
+            dl AS (
+                SELECT doc_id, toks,
+                       LEN(LIST_FILTER(toks, x -> LENGTH(x) > 0)) AS dl
+                FROM t
+            ),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            hits AS (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl),
+            tf AS (
+                SELECT doc_id, dl, tok, COUNT(*) AS tf
+                FROM hits WHERE tok IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2, 3
+            ),
+            dfx AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            raw AS (
+                SELECT tf.doc_id,
+                       SUM(LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                       ) AS rawscore
+                FROM tf
+                JOIN dfx d USING (tok)
+                CROSS JOIN stats s
+                GROUP BY 1
+            ),
+            scored AS (SELECT doc_id, ROUND(rawscore, 4) AS score FROM raw)"""
 
 
 # token_window_chunks CTE chain (mirrors operators/corpus.py
@@ -2282,37 +2362,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_sql(12, 2),
         "simhash": _simhash_sql(),
-        "bm25_topk": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
-                FROM documents
-            ),
-            dl AS (
-                SELECT doc_id, toks,
-                       LEN(LIST_FILTER(toks, x -> LENGTH(x) > 0)) AS dl
-                FROM t
-            ),
-            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
-            hits AS (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl),
-            tf AS (
-                SELECT doc_id, dl, tok, COUNT(*) AS tf
-                FROM hits WHERE tok IN ('spark', 'window', 'merge')
-                GROUP BY 1, 2, 3
-            ),
-            dfx AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-            raw AS (
-                SELECT tf.doc_id,
-                       SUM(LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                           * (tf.tf * 2.2)
-                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
-                       ) AS rawscore
-                FROM tf
-                JOIN dfx d USING (tok)
-                CROSS JOIN stats s
-                GROUP BY 1
-            ),
-            scored AS (SELECT doc_id, ROUND(rawscore, 4) AS score FROM raw),
+        "bm25_topk": f"""
+            WITH {_BM25_SCORED_CTES},
             ranked AS (
                 SELECT doc_id, score,
                        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
@@ -2320,6 +2371,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 20
+        """,
+        "hybrid_search_rrf": f"""
+            WITH {_BM25_SCORED_CTES},
+            lex_top AS (
+                SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 100
+            ),
+            lex_r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lrank
+                FROM lex_top
+            ),
+            qv AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+            ),
+            cos AS (
+                SELECT e.vec_id AS doc_id,
+                       ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.v)
+                             / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * SQRT(LIST_DOT_PRODUCT(q.v, q.v))), 4) AS score
+                FROM embeddings e CROSS JOIN qv q
+            ),
+            sem_top AS (
+                SELECT doc_id, score FROM cos
+                ORDER BY score DESC, doc_id ASC LIMIT 100
+            ),
+            sem_r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS srank
+                FROM sem_top
+            ),
+            fused AS (
+                SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                       ROUND(COALESCE(1.0 / (60 + l.lrank), 0)
+                             + COALESCE(1.0 / (60 + s.srank), 0), 6) AS rrf
+                FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id
+            ),
+            out AS (
+                SELECT doc_id, rrf,
+                       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+                FROM fused
+            )
+            SELECT doc_id, rrf, CAST(rank AS INT) AS rank FROM out WHERE rank <= 20
         """,
         "pii_redaction": _pii_redaction_sql(),
         "token_window_chunks": f"""

@@ -107,3 +107,34 @@ def bm25_topk(
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "score", "rank")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): each input is a
+    CANDIDATE list (id_col, rank starting at 1 — callers top-k prune
+    each ranker first, so the rank windows only ever see bounded
+    frames); fused score = sum over lists of 1/(k + rank), absent ->
+    contributes 0. The standard way to combine lexical and vector
+    rankers without score calibration.
+
+    Output: (id_col, rrf) over the union of candidates.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        part = r.select(id_col, F.col("rank").alias(f"__r{i}"))
+        out = part if out is None else out.join(part, id_col, "full_outer")
+    contrib = [
+        F.coalesce(1.0 / (k + F.col(f"__r{i}")), F.lit(0.0))
+        for i in range(len(rankings))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return out.select(id_col, F.round(total, round_to).alias("rrf"))
