@@ -97,3 +97,50 @@ def test_workbook_xlsx_sink_multi_sheet(spark, tmp_path):
     assert first[0] == ["k", "v"]
     assert sorted(first[1:]) == [[1, "x"], [2, "y"]]
     assert read_xlsx_rows(path, "second") == [["z"], [3.5]]
+
+
+def test_round_trip_property_random_cells(tmp_path):
+    """Property: any grid of strings (unicode, XML specials, whitespace),
+    finite floats, ints, bools, dates and Nones survives a write/read
+    round trip bit-exactly (dates come back as datetimes per OOXML
+    serial-number semantics)."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+        st.dates(min_value=dt.date(1900, 3, 1), max_value=dt.date(2200, 1, 1)),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(st.lists(cell, min_size=3, max_size=3), min_size=1, max_size=6),
+        idx=st.integers(min_value=0, max_value=10**6),
+    )
+    def run(rows, idx):
+        path = str(tmp_path / f"prop_{idx}.xlsx")
+        write_xlsx({"s": (["a", "b", "c"], rows)}, path)
+        got = read_xlsx_rows(path, "s")
+        assert got[0] == ["a", "b", "c"]
+        for want_row, got_row in zip(rows, got[1:]):
+            for want, got_v in zip(want_row, got_row):
+                if isinstance(want, dt.date) and not isinstance(want, dt.datetime):
+                    assert got_v == dt.datetime(want.year, want.month, want.day)
+                elif isinstance(want, str) and want == "":
+                    assert got_v in ("", None)  # empty inline string ~ empty cell
+                elif isinstance(want, float) and want == int(want) and abs(want) < 2**53:
+                    assert got_v == want  # integral floats may read back as int
+                else:
+                    assert got_v == want
+
+    run()
