@@ -920,6 +920,33 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality tier: Tukey IQR-fence outlier detection per group —
+    fences at q1 - 1.5*IQR / q3 + 1.5*IQR on the order value, reporting
+    per-priority outlier counts and rates. Two passes over one shuffle
+    key (exact percentiles, then a broadcast join of the 5-row fence
+    table back onto the facts); at 100 TB swap approx_percentile into
+    the fence pass — the fence-join stage is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    ).select(
+        "o_orderpriority",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    flagged = orders.join(F.broadcast(fences), "o_orderpriority").select(
+        "o_orderpriority",
+        ((F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))).alias("is_out"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("is_out"), 1)).alias("n_outliers"),
+        F.round(F.count(F.when(F.col("is_out"), 1)) * 100.0 / F.count(F.lit(1)), 4).alias("outlier_pct"),
+    )
+
+
 def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family extension: event-time RANGE-frame window — per user, the
     running average of `value` over the trailing hour (inclusive). The
@@ -1630,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fallback_coalesce_join": q_fallback_coalesce_join,
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
+        "iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -2538,6 +2566,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "iqr_outliers": """
+            WITH fences AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25)
+                         - 1.5 * (quantile_cont(o_totalprice, 0.75)
+                                  - quantile_cont(o_totalprice, 0.25)) AS lo,
+                       quantile_cont(o_totalprice, 0.75)
+                         + 1.5 * (quantile_cont(o_totalprice, 0.75)
+                                  - quantile_cont(o_totalprice, 0.25)) AS hi
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   COUNT(*) FILTER (WHERE o.o_totalprice < f.lo
+                                       OR o.o_totalprice > f.hi) AS n_outliers,
+                   ROUND(COUNT(*) FILTER (WHERE o.o_totalprice < f.lo
+                                             OR o.o_totalprice > f.hi)
+                         * 100.0 / COUNT(*), 4) AS outlier_pct
+            FROM orders o JOIN fences f USING (o_orderpriority)
+            GROUP BY 1
         """,
         "rolling_hour_avg": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
