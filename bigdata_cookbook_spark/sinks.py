@@ -8,10 +8,14 @@ collects fact tables (BASELINE.md north star). Reference:
   Report_Generator_AI_Threats/src/tool.py:131-351 assemble f-string HTML
   grouped by label, one section per group with quote/motivation blocks.
 - S6 Excel workbook: Thematic_Screener/ThematicScreener.ipynb cell 34
-  writes a multi-sheet workbook of result frames. openpyxl is not part of
-  this engine's pinned deps, so the workbook sink degrades to one CSV per
-  sheet under a directory — identical information, dependency-free; a real
-  xlsx writer can be plugged in where available.
+  writes a multi-sheet workbook of result frames. ``workbook_xlsx_sink``
+  writes the real multi-sheet .xlsx via the stdlib OOXML writer
+  (sources/xlsx.py); ``workbook_sink`` remains as the CSV-per-sheet
+  flavor.
+- Graph exports: the reference's network/mind-map renderings
+  (Election_Monitor/src/visualization_tools.py:300-560) are presentation
+  (scoped out, SURVEY §1.3); ``graph_dot`` emits the data side as
+  Graphviz DOT — the standard interchange any renderer consumes.
 """
 
 from __future__ import annotations
@@ -110,3 +114,35 @@ def workbook_xlsx_sink(sheets: Mapping[str, DataFrame], path: str) -> str:
 
     write_xlsx(payload, path)
     return path
+
+
+def graph_dot(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None = None,
+    directed: bool = False,
+    name: str = "g",
+) -> str:
+    """Edge frame -> Graphviz DOT text (the renderer-agnostic half of the
+    reference's network/mind-map visualizations — any layout engine
+    consumes DOT). Nodes are the distinct endpoints; edge labels carry
+    the weight column when given. Deterministic output: nodes and edges
+    sorted. Driver-side under the bounded-sink guardrail."""
+    rows = _collect_small(edges)
+    arrow = "->" if directed else "--"
+    kind = "digraph" if directed else "graph"
+
+    def q(v) -> str:
+        return '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    nodes = sorted({str(r[src_col]) for r in rows} | {str(r[dst_col]) for r in rows})
+    safe_name = "".join(ch for ch in name if ch.isalnum() or ch == "_") or "g"
+    lines = [f"{kind} {safe_name} {{"]
+    for n in nodes:
+        lines.append(f"  {q(n)};")
+    for r in sorted(rows, key=lambda r: (str(r[src_col]), str(r[dst_col]))):
+        attr = f' [label={q(r[weight_col])}]' if weight_col else ""
+        lines.append(f"  {q(r[src_col])} {arrow} {q(r[dst_col])}{attr};")
+    lines.append("}")
+    return "\n".join(lines)

@@ -186,3 +186,23 @@ def test_hierarchical_summarize_multi_level_and_dedup(spark):
     assert {r.theme: r.summary for r in out2.collect()} == {
         k: v.summary for k, v in got.items()
     }
+
+
+def test_graph_dot_export(spark):
+    """Co-mention-style edge frame -> deterministic Graphviz DOT with
+    escaped ids and weight labels."""
+    from bigdata_cookbook_spark.sinks import graph_dot
+
+    edges = spark.createDataFrame(
+        [("a \"co\"", "b", 3), ("b", "c\\d", 1)],
+        "src string, dst string, w int",
+    )
+    dot = graph_dot(edges, "src", "dst", weight_col="w")
+    assert dot.splitlines()[0] == "graph g {"
+    assert '"a \\"co\\"" -- "b" [label="3"];' in dot
+    assert '"b" -- "c\\\\d" [label="1"];' in dot
+    assert dot.strip().endswith("}")
+    # directed flavor
+    d2 = graph_dot(edges, "src", "dst", directed=True)
+    assert d2.splitlines()[0] == "digraph g {"
+    assert '"b" -> "c\\\\d";' in d2
