@@ -212,3 +212,23 @@ def test_bm25_hand_computed(spark):
     top = bm25_topk(docs, ["spark"], k=2).collect()
     assert [r["doc_id"] for r in top] == [1, 3]
     assert [r["rank"] for r in top] == [1, 2]
+
+
+def test_rrf_fuse_edges(spark):
+    """RRF fusion: absent ids contribute 0 from that list, 3-way fusion
+    sums all lists, k shifts the denominator."""
+    from bigdata_cookbook_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id int, rank int")
+    c = spark.createDataFrame([(3, 1)], "doc_id int, rank int")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b, c], k=60).collect()}
+    assert out[1] == round(1 / 61, 6)
+    assert out[2] == round(1 / 62 + 1 / 61, 6)
+    assert out[3] == round(1 / 62 + 1 / 61, 6)
+    out10 = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a], k=10).collect()}
+    assert out10[1] == round(1 / 11, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
