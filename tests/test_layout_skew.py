@@ -316,3 +316,35 @@ class TestZOrderLayout:
         a = sorted(map(tuple, li.collect()))
         b = sorted(map(tuple, spark.read.parquet(zord).collect()))
         assert a == b
+
+
+class TestCompaction:
+    def test_compact_small_files(self, spark, sf_dir, tmp_path):
+        """200 tiny files -> a handful sized by actual bytes; content
+        identical; readers never see a half-compacted dir (temp+swap)."""
+        from bigdata_cookbook_spark.plans.layout import compact_files
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        path = str(tmp_path / "shredded")
+        li.repartition(200).write.mode("overwrite").parquet(path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        stats = compact_files(spark, path, target_mb=1)
+        assert stats["files_before"] >= 200
+        assert stats["files_after"] < stats["files_before"] // 10
+        after = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert after == before
+
+    def test_compact_preserves_partition_layout(self, spark, sf_dir, tmp_path):
+        from bigdata_cookbook_spark.plans.layout import compact_files
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", F.to_date("ts").alias("day")
+        )
+        path = str(tmp_path / "by_day")
+        events.repartition(40).write.mode("overwrite").partitionBy("day").parquet(path)
+        n_days = events.select("day").distinct().count()
+        stats = compact_files(spark, path, target_mb=64, partition_col="day")
+        assert stats["files_after"] <= n_days  # ~1 file per partition at this size
+        back = spark.read.parquet(path)
+        assert back.select("day").distinct().count() == n_days
+        assert back.count() == events.count()
