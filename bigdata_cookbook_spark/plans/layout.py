@@ -228,3 +228,41 @@ def compact_files(
     os.rename(tmp, path)
     after, _ = dir_stats(path)
     return {"files_before": before, "files_after": after}
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> dict[str, int]:
+    """MERGE (upsert) into a date/partition-laid-out parquet table
+    without a table format: rows in ``updates`` replace base rows with
+    the same key; new keys insert. Only partitions PRESENT IN THE
+    UPDATES are rewritten (dynamic partition overwrite — the same
+    idempotent mechanism plans/rollup.py uses); every other partition's
+    files are untouched bytes.
+
+    Plan: collect the affected partition values (bounded — an upsert
+    batch touches few partitions by construction), scan ONLY those
+    partitions of the base (partition pruning), anti-join out the
+    updated keys, union the updates, overwrite dynamically. The shuffle
+    is one anti-join keyed on ``keys`` over the affected slice, never
+    the whole table. Returns {"partitions_rewritten": n, "rows_upserted": m}.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return {"partitions_rewritten": 0, "rows_upserted": 0}
+    base = spark.read.parquet(base_path).filter(F.col(partition_col).isin(parts))
+    survivors = base.join(updates.select(*keys), keys, "left_anti")
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )
+    return {"partitions_rewritten": len(parts), "rows_upserted": updates.count()}
