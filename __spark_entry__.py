@@ -1592,7 +1592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "corpus_clean": q_corpus_clean,
         "skew_salted_distinct_users": q_skew_salted_distinct_users,
-        "skew_salted_join_segments": q_skew_salted_join_segments,
+        # round-3 rotation: iqr_outliers had never been driver-scored;
+        # skew_salted_join_segments moved to tier 3 on its green r02 row
+        # (the salt tier stays pinned by skew_salted_distinct_users).
+        "iqr_outliers": q_iqr_outliers,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "range_count_events_after_purchase": q_range_count_events_after_purchase,
         "hash_split_documents": q_hash_split_documents,
@@ -1657,7 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fallback_coalesce_join": q_fallback_coalesce_join,
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
-        "iqr_outliers": q_iqr_outliers,
+        "skew_salted_join_segments": q_skew_salted_join_segments,
     }
 
 
