@@ -561,8 +561,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid search. TakeOrdered top-k, no global sort shuffle."""
     from bigdata_cookbook_spark.operators.retrieval import bm25_topk
 
+    # no defensive repartition: the base frame feeds two branches (hits
+    # + the stats aggregate), so a repartition would be recomputed per
+    # branch — two raw-text shuffles for a corpus this size; at scale
+    # scan parallelism comes from file splits (maxPartitionBytes)
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return bm25_topk(docs, ["spark", "window", "merge"], k=20)
 
 
@@ -577,7 +580,6 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     lex = bm25_scores(docs, ["spark", "window", "merge"])
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     lex_r = (

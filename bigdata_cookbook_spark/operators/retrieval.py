@@ -5,20 +5,35 @@ reference query_builder.py Keyword/Any) to ranked retrieval: the
 standard first-stage ranker in front of embedding rerank (Q1/Q11), and
 the lexical half of hybrid search.
 
-Plan shape (scales linearly, no all-pairs anything):
-    explode tokens -> filter to query terms   (tiny term set pushed down)
-    -> tf per (doc, term): one shuffle keyed by (doc, term)
-    -> df per term + corpus stats (N, avgdl): broadcast-sized aggregates
-    -> score join (broadcast) -> sum per doc -> top-k window
-At 100 TB the only wide shuffle is the tf aggregation, keyed by the
-near-unique (doc, term) pair — skew-free by construction. An inverted-
-index layout (bucketed on term) removes even that, per plans/layout.py.
+Plan shape (round 3 — two shuffles total, no recomputed aggregates):
+    scan -> tokenize ONCE -> per-term tf as column expressions
+      (the query term set is a small literal, so tf_t is
+       size(toks) - size(array_remove(toks, t)) — a narrow projection;
+       no explode, no shuffle keyed by (doc, term) at all)
+    -> corpus+term stats (N, avgdl, df per term) in ONE single-row
+       conditional aggregate, broadcast back            [Exchange 1]
+    -> hits explode (bounded: matching docs x |terms|) -> score
+    -> sum per doc                                      [Exchange 2]
+The earlier design aggregated tf per (doc, term) and then aggregated
+that again for df — Catalyst recomputed the whole explode+shuffle
+subtree for the second aggregate (8 exchanges measured). Expressing tf
+as per-term columns removes both shuffles; the only duplicated work
+left is the tokenize projection feeding the stats aggregate, which is
+a narrow scan-side pass (no shuffle), the declarative alternative to
+materializing with cache()/localCheckpoint — kept declarative so the
+operator stays a pure DataFrame transform with no hidden jobs.
+At 100 TB the wide operations are: one tiny single-row aggregate and
+one sum keyed by doc id — both map-side combined and skew-free. An
+inverted-index layout (bucketed on term) is the next tier, per
+plans/layout.py.
 
 Okapi BM25 (Robertson et al.), idf = ln((N - df + 0.5)/(df + 0.5) + 1)
 — the Lucene-style floor-free form, positive for every term.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -43,33 +58,72 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("bm25_scores requires at least one query term")
-    terms = [t.lower() for t in query_terms]
+    # dedupe preserving order: duplicate query terms contribute once,
+    # matching the previous groupBy-per-term semantics
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
 
-    toks = docs.select(
-        id_col, tokens_expr(F.col(text_col)).alias("__toks")
+    # tokenize once; tf per term = size delta under array_remove — a
+    # plain collection expression (vectorized), not a lambda HOF, so it
+    # stays on the codegen fast path (see functions/text.py notes on
+    # interpreted HOF pitfalls). __toks is bound by the first select so
+    # downstream expressions reference one materialized array.
+    base = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
     ).select(
         id_col,
         F.size(F.filter("__toks", lambda t: F.length(t) > 0)).alias("__dl"),
-        F.explode("__toks").alias("__t"),
-    )
-    hits = toks.filter(F.col("__t").isin(terms))
-    tf = hits.groupBy(id_col, "__t", "__dl").agg(F.count(F.lit(1)).alias("__tf"))
-
-    # corpus stats over ALL docs (not just matching): N and avg doc length
-    stats = docs.select(
-        F.size(
-            F.filter(tokens_expr(F.col(text_col)), lambda t: F.length(t) > 0)
-        ).alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
-    )
-    df_per_term = tf.groupBy("__t").agg(
-        F.countDistinct(id_col).alias("__df")
+        *[
+            (F.size("__toks") - F.size(F.array_remove("__toks", t))).alias(
+                f"__tf{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
     )
 
+    # one single-row aggregate carries the corpus stats (N, avgdl) AND
+    # the per-term document frequencies — broadcast back to the hits
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, True)).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    any_hit = reduce(
+        lambda a, c: a | c, [F.col(f"__tf{i}") > 0 for i in range(len(terms))]
+    )
+    hits = (
+        base.filter(any_hit)
+        .select(
+            id_col,
+            "__dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("__ti"),
+                            F.col(f"__tf{i}").alias("__tf"),
+                        )
+                        for i in range(len(terms))
+                    ]
+                )
+            ).alias("__p"),
+        )
+        .select(id_col, "__dl", F.col("__p.__ti").alias("__ti"), F.col("__p.__tf").alias("__tf"))
+        .filter(F.col("__tf") > 0)
+    )
+
+    # map the exploded term index to its broadcast df via a literal CASE
+    df_col = reduce(
+        lambda acc, i: acc.when(F.col("__ti") == i, F.col(f"__df{i}")),
+        range(1, len(terms)),
+        F.when(F.col("__ti") == 0, F.col("__df0")),
+    )
     scored = (
-        tf.join(F.broadcast(df_per_term), "__t")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
+        .withColumn("__df", df_col)
         .withColumn(
             "__idf",
             F.log(
@@ -101,8 +155,9 @@ def bm25_topk(
     """Top-k documents by BM25 score, ties broken by id (deterministic).
 
     orderBy().limit(k) plans as TakeOrderedAndProject (per-partition
-    top-k + driver merge of k-row heads — no global sort shuffle); the
-    rank window then runs over the k surviving rows only."""
+    top-k + driver merge of k-row heads — no global sort shuffle); its
+    output partitioning is a single partition, so the rank window runs
+    over the k surviving rows with no further exchange."""
     scored = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -122,19 +177,19 @@ def rrf_fuse(
     contributes 0. The standard way to combine lexical and vector
     rankers without score calibration.
 
+    Round 3: fused as union-all + one tiny groupBy sum instead of a
+    chain of full-outer joins — the join chain planned as SortMergeJoin
+    (full outer is not broadcastable) with two sort exchanges per pair;
+    the union form is one map-side-combined aggregate over <= sum of
+    candidate-list sizes, and generalizes to any number of rankers.
+
     Output: (id_col, rrf) over the union of candidates.
     """
     if not rankings:
         raise ValueError("rrf_fuse requires at least one ranking")
-    out = None
-    for i, r in enumerate(rankings):
-        part = r.select(id_col, F.col("rank").alias(f"__r{i}"))
-        out = part if out is None else out.join(part, id_col, "full_outer")
-    contrib = [
-        F.coalesce(1.0 / (k + F.col(f"__r{i}")), F.lit(0.0))
-        for i in range(len(rankings))
+    parts = [
+        r.select(F.col(id_col), (1.0 / (k + F.col("rank"))).alias("__c"))
+        for r in rankings
     ]
-    total = contrib[0]
-    for c in contrib[1:]:
-        total = total + c
-    return out.select(id_col, F.round(total, round_to).alias("rrf"))
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    return allc.groupBy(id_col).agg(F.round(F.sum("__c"), round_to).alias("rrf"))
