@@ -1157,9 +1157,13 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted). At 100 TB, LSH bucketing (q_ann_lsh_buckets) prunes
     candidates before this verification kernel."""
     from bigdata_cookbook_spark.operators.similarity import blocked_cosine_pairs
+    from bigdata_cookbook_spark.sources.testdata import parquet_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return blocked_cosine_pairs(emb, threshold=0.4)
+    # block-grid cardinality from parquet footers (driver-side metadata,
+    # no extra Spark job — the count() fallback was a full scan)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return blocked_cosine_pairs(emb, threshold=0.4, n_vectors=n)
 
 
 def _hyperplanes(n: int = 8, dim: int = 64, seed: int = 123) -> list[list[float]]:

@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def estimated_row_count(df: DataFrame) -> int | None:
+    """Catalyst's row-count statistic for ``df``, or None when the plan
+    carries only a size estimate (plain parquet scans without ANALYZE).
+    Driver-side metadata lookup — never launches a job."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(rc.get().toString())
+    except Exception:  # pragma: no cover - py4j surface differences
+        pass
+    return None
+
+
 def blocked_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -34,6 +47,7 @@ def blocked_cosine_pairs(
     emb_col: str = "embedding",
     block_size: int = 1024,
     round_to: int = 4,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine >= threshold, as
     (vec_a, vec_b, cosine_sim) with vec_a < vec_b.
@@ -41,8 +55,20 @@ def blocked_cosine_pairs(
     Vectors are hashed into ceil(n/block_size) blocks; every block pair
     (upper triangle incl. diagonal) becomes one task that runs a
     normalized NumPy GEMM and emits only above-threshold pairs.
+
+    ``n_vectors`` sizes the block grid. Any positive estimate is
+    CORRECT (block assignment is pmod(hash(id), nblocks) — the count
+    only controls task granularity and the block_size memory bound), so
+    callers should pass a cheap estimate: exact parquet-footer counts
+    (sources.testdata.parquet_row_count), table statistics, or a prior
+    stage's known cardinality. When None, the Catalyst row-count
+    statistic is used if defined; the last resort is one count() job,
+    which at the 100 TB tier is a full scan before any work starts —
+    avoid by passing the estimate.
     """
-    n = emb.count()
+    n = n_vectors if n_vectors is not None else estimated_row_count(emb)
+    if n is None:
+        n = emb.count()
     nblocks = max(1, math.ceil(n / block_size))
 
     vecs = emb.select(

@@ -82,3 +82,23 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register temp views so operators can be expressed in spark.sql too."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file/dir from its footers — pure
+    driver-side metadata (pyarrow), no Spark job. The cheap cardinality
+    source for operators that size work by row count (e.g.
+    blocked_cosine_pairs' block grid): at 100 TB a count() job is a full
+    scan, while footers are a few KB per file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
