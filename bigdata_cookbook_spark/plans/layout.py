@@ -123,12 +123,23 @@ def zorder_key(cols: list, bits: int = 16) -> "F.Column":  # noqa: F821
     once, where a plain ORDER BY col1 only helps col1.
 
     Pure integer expression (shift/or over longs) — codegen'd, no UDF.
+
+    Constraint: ``bits * len(cols) <= 63`` (the interleaved key must fit
+    a signed long; JVM shift amounts wrap mod 64, which would silently
+    scramble the key and stop data-skipping). Violations raise.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
     if n < 2:
         raise ValueError("zorder_key needs >= 2 columns")
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * n} exceeds 63 — the "
+            f"interleaved key must fit a signed long (shiftleft wraps mod "
+            f"64 on the JVM, silently scrambling the clustering); lower "
+            f"bits to <= {63 // n} for {n} columns"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -194,13 +205,21 @@ def compact_files(
     per directory (each file costs a task + a footer read + NameNode/
     object-store metadata at 100 TB).
 
-    Rewrites ``path`` (or each partition dir when ``partition_col`` is
-    given, preserving the partition layout) into ceil(bytes/target_mb)
-    files via coalesce — a narrow dependency, no shuffle; file count is
-    decided from the ACTUAL on-disk byte size, not row counts. Atomic
-    per rewrite: writes to a sibling temp dir then swaps, so readers
-    never see a half-compacted directory. Returns
-    {"files_before": n, "files_after": m}.
+    Rewrites ``path`` into ceil(bytes/target_mb) files via coalesce — a
+    narrow dependency, no shuffle; file count is decided from the ACTUAL
+    on-disk byte size, not row counts. With ``partition_col`` each
+    partition directory is compacted INDEPENDENTLY (its own byte-sized
+    file count, its own swap), so sizing is truly per partition value
+    and an interrupted run leaves at most one partition mid-rewrite.
+
+    The temp-dir-then-swap keeps the rewrite out of readers' view until
+    the swap, but the rmtree+rename pair itself is NOT atomic on a plain
+    filesystem: a concurrent reader can catch the gap between the two
+    calls, and a crash inside it leaves the data only under the
+    ``__compact_*`` temp dir (recoverable by hand). Table formats
+    (Delta/Iceberg) solve this with metadata commits; this operator is
+    the plain-parquet best effort. Returns {"files_before": n,
+    "files_after": m} (totals across partitions).
     """
     import math
     import shutil
@@ -215,15 +234,28 @@ def compact_files(
                     size += os.path.getsize(os.path.join(root, f))
         return n, size
 
+    if partition_col is not None:
+        # per-partition compaction: partition values live in the dir
+        # names, so each dir is a self-contained parquet table
+        before_total = after_total = 0
+        for d in sorted(os.listdir(path)):
+            sub = os.path.join(path, d)
+            if not os.path.isdir(sub) or not d.startswith(f"{partition_col}="):
+                continue
+            r = compact_files(spark, sub, target_mb=target_mb)
+            before_total += r["files_before"]
+            after_total += r["files_after"]
+        return {"files_before": before_total, "files_after": after_total}
+
     before, total_bytes = dir_stats(path)
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df = spark.read.parquet(path)
-    if partition_col is not None:
-        # one coalesced rewrite per partition value, layout preserved
-        df.coalesce(n_out).write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    else:
-        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    # dot-prefixed temp dir: Spark/Hadoop file listing skips ._* names,
+    # so a concurrent reader of an enclosing partitioned table never
+    # sees the half-written rewrite (matters for the per-partition case,
+    # where the temp dir is a sibling inside the table root)
+    parent, base = os.path.split(path.rstrip("/"))
+    tmp = os.path.join(parent, f"._compact_{base}_{uuid.uuid4().hex[:8]}")
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     after, _ = dir_stats(path)
@@ -244,25 +276,54 @@ def upsert_partitions(
     idempotent mechanism plans/rollup.py uses); every other partition's
     files are untouched bytes.
 
-    Plan: collect the affected partition values (bounded — an upsert
-    batch touches few partitions by construction), scan ONLY those
-    partitions of the base (partition pruning), anti-join out the
-    updated keys, union the updates, overwrite dynamically. The shuffle
-    is one anti-join keyed on ``keys`` over the affected slice, never
-    the whole table. Returns {"partitions_rewritten": n, "rows_upserted": m}.
+    Plan: materialize ``updates`` once (it feeds the partition listing,
+    the anti-join, and the row count — non-deterministic inputs would
+    otherwise disagree between those evaluations), collect the affected
+    partition values (bounded — an upsert batch touches few partitions
+    by construction), scan ONLY those partitions of the base (partition
+    pruning), anti-join out the updated keys, union the updates, stage
+    the merged partitions to a dot-prefixed temp dir, then swap each
+    partition directory into place. The shuffle is one anti-join keyed
+    on ``keys`` over the affected slice, never the whole table.
+
+    Staging + swap (the compact_files pattern) rather than an in-place
+    dynamic partition overwrite: the base is being READ by the same job
+    that would overwrite it, and a mid-commit failure of an in-place
+    write can leave touched partitions half-rewritten; with staging, a
+    failure before the swap leaves the base untouched, and the swap
+    itself is per-partition (at most one partition mid-swap on a
+    crash). No session conf is mutated. Untouched partitions stay
+    byte-identical. Returns {"partitions_rewritten": n, "rows_upserted": m}.
     """
+    import shutil
+    import uuid
+
     from pyspark.sql import functions as F
 
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not parts:
-        return {"partitions_rewritten": 0, "rows_upserted": 0}
-    base = spark.read.parquet(base_path).filter(F.col(partition_col).isin(parts))
-    survivors = base.join(updates.select(*keys), keys, "left_anti")
-    merged = survivors.unionByName(updates.select(*survivors.columns))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(base_path)
-    )
-    return {"partitions_rewritten": len(parts), "rows_upserted": updates.count()}
+    updates = updates.persist()
+    try:
+        n_rows = updates.count()  # materializes the one evaluation
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        if not parts:
+            return {"partitions_rewritten": 0, "rows_upserted": 0}
+        base = spark.read.parquet(base_path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        survivors = base.join(updates.select(*keys), keys, "left_anti")
+        merged = survivors.unionByName(updates.select(*survivors.columns))
+        parent, name = os.path.split(base_path.rstrip("/"))
+        tmp = os.path.join(parent, f"._upsert_{name}_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        swapped = 0
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            dst = os.path.join(base_path, d)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(os.path.join(tmp, d), dst)
+            swapped += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"partitions_rewritten": swapped, "rows_upserted": n_rows}
+    finally:
+        updates.unpersist()

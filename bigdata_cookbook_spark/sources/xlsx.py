@@ -266,7 +266,9 @@ def write_xlsx(sheets: Mapping[str, tuple[Sequence[str], Sequence[Sequence]]], p
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=overrides))
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # attribute context: escape() alone leaves double quotes,
+            # which would terminate the name="..." attribute early
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         zf.writestr(

@@ -144,3 +144,24 @@ def test_round_trip_property_random_cells(tmp_path):
                     assert got_v == want
 
     run()
+
+
+def test_sheet_name_with_double_quote(tmp_path):
+    """Sheet names are embedded in a name="..." XML attribute: a double
+    quote must escape to &quot; or the workbook.xml is malformed."""
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx({'my "quoted" sheet': (["a"], [[1]])}, path)
+    assert sheet_names(path) == ['my "quoted" sheet']
+    assert read_xlsx_rows(path, 'my "quoted" sheet') == [["a"], [1]]
+
+
+def test_zorder_key_bit_budget():
+    """bits * len(cols) > 63 must raise — JVM shifts wrap mod 64, which
+    would silently scramble the clustering key."""
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.plans.layout import zorder_key
+
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    zorder_key(["a", "b", "c", "d"], bits=15)  # 60 bits: fine
