@@ -60,16 +60,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) -> read as long nanos (see
-        # session.py nanosAsLong); convert to a proper timestamp at
-        # microsecond precision (Spark's native resolution).
+        # ts arrives in whatever physical form the driver generated this
+        # round — normalize every variant to TIMESTAMP (LTZ) under the
+        # UTC session pinned above, so downstream event-time machinery
+        # (watermarks, unix_micros, window()) sees one type:
+        # - TIMESTAMP(NANOS) parquet -> long nanos via nanosAsLong ->
+        #   timestamp_micros (integer division: ns epochs ~1.7e18 exceed
+        #   double's 2^53 exact range, so `/ 1000` would round +-1 us)
+        # - naive micros parquet (isAdjustedToUTC=false) -> TIMESTAMP_NTZ
+        #   under Spark's default NTZ inference -> cast to TIMESTAMP;
+        #   under a UTC session the wall-clock values are unchanged, so
+        #   the timezone-naive DuckDB oracle still agrees
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division: ns epochs (~1.7e18) exceed double's 2^53
-            # exact range, so `/ 1000` would round the micros by +-1
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -53,10 +53,15 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str | None = Non
         if not os.path.exists(link):
             os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; under the loader's UTC session the
+        # cast preserves wall-clock values (same rule as the batch loader)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch_schema
     return stream
 
