@@ -2,14 +2,21 @@
 
 Images/audio/video are opaque ``binary`` payloads with typed metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. The decode libraries (PIL/torchaudio/ffmpeg) are NOT
-in this container, so the codec boundary is stubbed:
+mapInPandas stages. Two decoder tiers share one operator surface:
 
 - ``decoder='fake'`` (default in tests): deterministic byte-level features
   so the Spark-side plumbing — schema, batch shape, partitioning, UDF
-  signature — is real and tested end-to-end;
-- ``decoder='real'``: raises NotImplementedError at the exact call site a
-  PIL/ffmpeg call would occupy.
+  signature — is real and tested end-to-end regardless of codec libs;
+- ``decoder='real'``: actual codec dispatch per kind. Audio decodes WAV
+  via the stdlib ``wave`` module (zero dependencies — tested live in this
+  container); image needs Pillow and video needs PyAV/ffmpeg, both
+  optional-import gated at the exact call site with a pip hint (the same
+  gating pattern as llm/openai_backend.py) — absent libs raise
+  ImportError, never a silent fallback.
+
+Real-decoder features are computed over the DECODED sample/pixel bytes
+(so two different encodings of the same audio agree), fake-decoder
+features over the raw payload bytes.
 
 At 100 TB payloads live in object storage; the binary column holds either
 inline bytes (small) or a URI + byte-range, and the mapInPandas stage
@@ -75,11 +82,76 @@ def fake_media_frame(spark: SparkSession, n: int = 64, seed: int = 5) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def wav_media_frame(spark: SparkSession, n: int = 12, seed: int = 5) -> DataFrame:
+    """Media table whose payloads are REAL (decodable) WAV files: 16-bit
+    mono PCM sine-ish tones synthesized via the stdlib ``wave`` writer.
+    This is the live fixture for ``decoder='real'`` — no codec libs
+    needed to produce or decode it."""
+    import io
+    import math
+    import wave
+
+    rows = []
+    for i in range(n):
+        sr = 8000
+        n_samples = 400 + 40 * (i % 5)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            freq = 200.0 + 50.0 * ((seed + i) % 7)
+            pcm = b"".join(
+                int(12000 * math.sin(2 * math.pi * freq * t / sr)).to_bytes(
+                    2, "little", signed=True
+                )
+                for t in range(n_samples)
+            )
+            w.writeframes(pcm)
+        rows.append((f"W{i:06d}", i, "audio", buf.getvalue(), None, None, sr, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_real(kind: str, payload: bytes) -> bytes:
+    """Codec dispatch for decoder='real': returns the decoded raw
+    sample/pixel bytes. Audio = stdlib wave (WAV PCM, no deps); image =
+    Pillow, video = PyAV — both optional-import gated with a pip hint."""
+    import io
+
+    if kind == "audio":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.readframes(w.getnframes())
+    if kind == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - container lacks Pillow
+            raise ImportError(
+                "real image decoding requires Pillow (pip install pillow); "
+                "use decoder='fake' for the dependency-free test path"
+            ) from e
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        return img.tobytes()
+    # video
+    try:
+        import av  # noqa: F401
+    except ImportError as e:  # pragma: no cover - container lacks PyAV
+        raise ImportError(
+            "real video decoding requires PyAV/ffmpeg (pip install av); "
+            "use decoder='fake' for the dependency-free test path"
+        ) from e
+    raise ValueError("video decode dispatch requires PyAV>=10")  # pragma: no cover
+
+
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract stage over the binary column.
 
     mapInPandas => one Arrow batch per partition slice; the decode happens
-    inside the executor, payload bytes never hit the driver.
+    inside the executor, payload bytes never hit the driver. With
+    decoder='real' the stats are over DECODED sample/pixel bytes; with
+    decoder='fake' over the raw payload bytes (plumbing tier).
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -90,22 +162,20 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 continue
             out = []
             for r in pdf.itertuples(index=False):
-                if decoder == "real":
-                    # exact seam where PIL.Image.open / soundfile.read /
-                    # ffmpeg demux would run — libs absent in this container
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/soundfile/ffmpeg; "
-                        "use decoder='fake' for the deterministic test path"
-                    )
                 payload = bytes(r.payload) if r.payload is not None else b""
+                data = (
+                    _decode_real(r.kind, payload)
+                    if decoder == "real" and payload
+                    else payload
+                )
                 out.append(
                     {
                         "media_id": r.media_id,
                         "kind": r.kind,
-                        "n_bytes": len(payload),
-                        "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
-                        "byte_sha256": hashlib.sha256(payload).hexdigest(),
-                        "feature_ok": bool(payload),
+                        "n_bytes": len(data),
+                        "byte_mean": (sum(data) / len(data)) if data else 0.0,
+                        "byte_sha256": hashlib.sha256(data).hexdigest(),
+                        "feature_ok": bool(data),
                     }
                 )
             yield pd.DataFrame(out)
