@@ -232,3 +232,55 @@ def test_rrf_fuse_edges(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_gaussian_smooth_series_shorter_than_kernel(spark):
+    """W7 boundary rule (declared engine semantics, see gaussian_smooth
+    docstring): out-of-range taps are DROPPED and the kernel renormalized
+    over in-range weights — no reflect padding. Pinned on a series of 3
+    points against a sigma=2 kernel (17 taps, radius 8 >> series), checked
+    against a hand-computed truncation AND the DuckDB twin of the oracle's
+    window SQL, so the engine, the declared rule, and the oracle agree on
+    the all-edge case."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.analytics import (
+        gaussian_kernel,
+        gaussian_smooth,
+    )
+
+    vals = [10.0, 40.0, 25.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "grp string, pos int, cnt double"
+    )
+    out = gaussian_smooth(df, ["grp"], [F.col("pos").asc()], "cnt", sigma=2.0)
+    got = [round(r.smoothed, 6) for r in out.orderBy("pos").collect()]
+
+    radius = 8
+    kernel = gaussian_kernel(2.0, radius)
+    want = []
+    for p in range(len(vals)):
+        num = den = 0.0
+        for i, wt in zip(range(-radius, radius + 1), kernel):
+            if 0 <= p + i < len(vals):
+                num += wt * vals[p + i]
+                den += wt
+        want.append(round(num / den, 6))
+    assert got == want
+
+    num_terms, den_terms = [], []
+    for i, wt in zip(range(-radius, radius + 1), kernel):
+        nb = "cnt" if i == 0 else (
+            f"LAG(cnt, {-i}) OVER w" if i < 0 else f"LEAD(cnt, {i}) OVER w"
+        )
+        num_terms.append(f"CASE WHEN {nb} IS NOT NULL THEN {wt!r} * {nb} ELSE 0 END")
+        den_terms.append(f"CASE WHEN {nb} IS NOT NULL THEN {wt!r} ELSE 0 END")
+    rows = duckdb.sql(
+        f"""
+        WITH s(grp, pos, cnt) AS (VALUES ('a', 0, 10.0), ('a', 1, 40.0), ('a', 2, 25.0))
+        SELECT ROUND(({' + '.join(num_terms)}) / ({' + '.join(den_terms)}), 6) AS sm
+        FROM s WINDOW w AS (PARTITION BY grp ORDER BY pos ASC) ORDER BY pos
+        """
+    ).fetchall()
+    assert [r[0] for r in rows] == want
