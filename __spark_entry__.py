@@ -728,37 +728,15 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       run it on a fraction of the cores;
     - pack each pair into ONE long (a<<32 | b) so the pair shuffle rows
       and the aggregate hash keys are a single fixed-width column,
-      decoded only after the HAVING filter has shrunk the result."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    width = spark.sparkContext.defaultParallelism
-    grouped = (
-        li.repartition(width, "l_orderkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("ps"))
-    )
-    packed = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.transform(
-                        F.filter("ps", lambda y: y > x),
-                        lambda y: x * F.lit(1 << 32) + y,
-                    ),
-                )
-            )
-        ).alias("pk")
-    )
-    agg = (
-        packed.groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .filter(F.col("weight") >= 2)
-    )
-    return agg.select(
-        F.shiftright("pk", 32).alias("part_a"),
-        (F.col("pk") % F.lit(1 << 32)).alias("part_b"),
-        "weight",
-    )
+      decoded only after the HAVING filter has shrunk the result.
+
+    Kernel lives in operators/graph.cooccurrence_pairs; the bench runs
+    the same kernel over the bucketed lineitem layout (pre_partitioned,
+    one Exchange) — the 100 TB storage plan."""
+    from bigdata_cookbook_spark.operators.graph import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_weight=2)
 
 
 def q_skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

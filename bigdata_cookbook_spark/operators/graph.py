@@ -51,6 +51,68 @@ def co_mention_pairs(
     )
 
 
+def cooccurrence_pairs(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 2,
+    pre_partitioned: bool = False,
+    width: int | None = None,
+) -> DataFrame:
+    """J8 kernel: item pairs co-occurring within a group, edge weight =
+    co-occurrence count (reference network_analysis.py:129-201; the
+    q_comention_parts registry query is this over lineitem).
+
+    groupBy(group) -> in-array pair expansion instead of a self-join: one
+    shuffle of the compact fact rows (keyed by the high-cardinality
+    group col even at scale), pairs expand inside each group (bounded by
+    per-group cardinality), then one shuffle of the pairs. Measured
+    alternatives (round 2/3, sf0.1): sort-merge self-join ~2x slower;
+    sorted-bucket self-join 0.93s vs 0.56s; mapInPandas 1.3s vs 0.6s.
+
+    ``pre_partitioned=True`` declares the input already hash-distributed
+    on ``group_col`` (a bucketed table from plans/layout.write_bucketed,
+    or an upstream repartition) — the group shuffle disappears and the
+    whole query runs with ONE Exchange (the pair aggregate). That is the
+    100 TB layout: the co-occurrence fact table stored bucketed on its
+    group key. Measured at sf0.1: 0.56s bucketed vs 0.76s plain.
+
+    Pairs pack into one long (a<<32 | b, strict a<b ordering) so the
+    pair shuffle rows and aggregate hash keys are a single fixed-width
+    column, decoded only after the HAVING filter has shrunk the result.
+    Requires both item ids < 2^32 (holds for TPC-H part keys at any SF
+    the 32-bit contract covers; widen to struct keys beyond that).
+    """
+    src = facts.select(group_col, item_col)
+    if not pre_partitioned:
+        w = width or facts.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(w, group_col)
+    grouped = src.groupBy(group_col).agg(F.collect_list(item_col).alias("ps"))
+    packed = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.transform(
+                        F.filter("ps", lambda y: y > x),
+                        lambda y: x * F.lit(1 << 32) + y,
+                    ),
+                )
+            )
+        ).alias("pk")
+    )
+    agg = (
+        packed.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+    return agg.select(
+        F.shiftright("pk", 32).alias("part_a"),
+        (F.col("pk") % F.lit(1 << 32)).alias("part_b"),
+        "weight",
+    )
+
+
 def company_topic_bipartite(
     screening: DataFrame,
     labeled_col: str = "label",
