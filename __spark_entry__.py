@@ -1546,6 +1546,60 @@ def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["top_by_sector"]
 
 
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (training-data serving order).
+
+    Emits the md5(id:seed) shuffle key (operators/sampling.shuffle_key)
+    and the total-order position under it. The production operator —
+    sampling.deterministic_shuffle — realizes the SAME order with
+    repartitionByRange + sortWithinPartitions (no single-reducer sort;
+    tests/test_sampling.py pins the file order == this rank order); the
+    registry query materializes the rank explicitly so the permutation
+    itself is value-oracled against DuckDB."""
+    from bigdata_cookbook_spark.operators.sampling import shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", shuffle_key(F.col("doc_id"), 42).alias("shuffle_key"))
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn("rank", F.row_number().over(w))
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling (operators/sampling.domain_mix_sample):
+    rebalance the 20-source corpus so src0-src4 carry double the share of
+    the rest — the pretraining data-mixing step (upweight curated
+    sources, downweight crawl). Exact quotas, hash-rank row choice."""
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
+    out = domain_mix_sample(docs, "source", "doc_id", shares)
+    return out.select("doc_id", "source")
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators/dedup.contamination_pairs):
+    flag training docs whose 8-gram set contains >= 30% of an eval doc's
+    8-grams. Eval set = doc_id % 7 == 0 (a deterministic stand-in for a
+    held-out benchmark suite). The eval shingle index broadcasts; the
+    corpus streams through once."""
+    from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_pairs(docs, eval_df, n=8, threshold=0.3)
+
+
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum bucketing (operators/corpus.length_curriculum):
+    8 equal-population token-count tiles with deterministic tie-break —
+    the sequence-length curriculum / length-grouped batching step."""
+    from bigdata_cookbook_spark.operators.corpus import length_curriculum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_curriculum(docs, n_buckets=8)
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -1596,11 +1650,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_parts_per_brand": q_topk_parts_per_brand,
         "argmax_day_per_priority": q_argmax_day_per_priority,
         "calendar_densify_daily": q_calendar_densify_daily,
-        "weekly_zscore": q_weekly_zscore,
-        "dedup_keep_first": q_dedup_keep_first,
-        "mode_event_type": q_mode_event_type,
+        # round-3 rotation: the four new training-data-tier queries take
+        # scored-window slots from four DOUBLE-green entries (r01+r02 hash
+        # rows on record: weekly_zscore, dedup_keep_first, mode_event_type,
+        # doc_fingerprint — all moved to the tail, families still pinned
+        # in-window by topk/argmax/calendar (W), exact_dedup_docs (O2),
+        # pricing/net_exposure (A), token_quality/lang_id (text)).
+        "training_shuffle": q_training_shuffle,
+        "domain_mix_sample": q_domain_mix_sample,
+        "benchmark_contamination": q_benchmark_contamination,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "doc_fingerprint": q_doc_fingerprint,
+        "length_curriculum": q_length_curriculum,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "comention_parts": q_comention_parts,
@@ -1645,6 +1705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sector_rank": q_sector_rank,
         "peak_lag": q_peak_lag,
         "skew_salted_join_segments": q_skew_salted_join_segments,
+        # tail (all with double-green r01+r02 rows; rotated out round 3)
+        "weekly_zscore": q_weekly_zscore,
+        "dedup_keep_first": q_dedup_keep_first,
+        "mode_event_type": q_mode_event_type,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -2091,8 +2156,85 @@ def _ann_lsh_sql() -> str:
     return f"SELECT vec_id, {bits} AS bucket FROM embeddings"
 
 
+def _domain_mix_sql(shares: dict[str, float], salt: str = ":mix") -> str:
+    """DuckDB twin of operators/sampling.domain_mix_sample: identical
+    normalization, n_out = min(count/share), quota = floor(share*n_out)
+    (FLOOR, matching Python int() truncation on the same IEEE doubles),
+    identical md5 rank-within-domain row choice."""
+    total = sum(shares.values())
+    rows = ", ".join(f"('{k}', {v / total!r})" for k, v in shares.items())
+    return f"""
+        WITH w(source, share) AS (VALUES {rows}),
+        c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        m AS (SELECT MIN(CAST(c.n AS DOUBLE) / w.share) AS n_out
+              FROM c JOIN w USING (source)),
+        q AS (SELECT w.source,
+                     CAST(FLOOR(w.share * (SELECT n_out FROM m)) AS BIGINT) AS quota
+              FROM w),
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '{salt}'), doc_id
+                   ) AS rk
+            FROM documents WHERE source IN (SELECT source FROM w)
+        )
+        SELECT doc_id, source FROM r JOIN q USING (source) WHERE rk <= quota
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "training_shuffle": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+                   ) AS "rank"
+            FROM documents
+        """,
+        "domain_mix_sample": _domain_mix_sql(
+            {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
+        ),
+        "benchmark_contamination": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            idx AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+                FROM toks WHERE len(t) >= 8
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+                FROM idx
+            ),
+            ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0),
+            evsz AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+            inter AS (
+                SELECT s.doc_id AS train_id, e.eval_id, COUNT(*) AS n_common
+                FROM sh s JOIN ev e USING (shingle)
+                GROUP BY 1, 2
+            )
+            SELECT train_id, eval_id,
+                   ROUND(CAST(n_common AS DOUBLE) / n_eval, 4) AS containment
+            FROM inter JOIN evsz USING (eval_id)
+            WHERE ROUND(CAST(n_common AS DOUBLE) / n_eval, 4) >= 0.3
+              AND train_id <> eval_id
+        """,
+        "length_curriculum": """
+            WITH t AS (
+                SELECT doc_id,
+                       COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                                END, 0) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   NTILE(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+            FROM t
+        """,
         "hit_count_monthly_topk": """
             WITH monthly AS (
                 SELECT c_mktsegment,

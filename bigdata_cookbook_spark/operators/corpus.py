@@ -117,3 +117,36 @@ def token_window_chunks(
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),
         F.size(F.filter(chunk_toks, lambda t: F.length(t) > 0)).alias("n_tokens"),
     )
+
+
+def length_curriculum(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-curriculum bucketing: equal-population token-count tiles
+    (bucket 1 = shortest docs ... n = longest) — the sequence-length
+    curriculum / length-grouped batching step of a training pipeline.
+
+    Exact ntile over (n_tokens, id) — the id tiebreak makes bucket
+    boundaries deterministic, so the assignment is engine-portable (the
+    DuckDB oracle reproduces it bit-for-bit). ntile's global ordering is
+    a single-reducer sort; that is fine up to ~10^8 docs of 8-byte pairs,
+    and beyond it the same contract is served by approxQuantile cutoffs
+    broadcast as range predicates (identical buckets up to quantile
+    error) — the declared scale path, same output schema.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_cookbook_spark.functions.text import tokens_expr
+
+    toksed = docs.select(
+        id_col,
+        F.coalesce(
+            F.size(F.filter(tokens_expr(F.col(text_col)), lambda t: F.length(t) > 0)),
+            F.lit(0),
+        ).alias("n_tokens"),
+    )
+    w = Window.orderBy("n_tokens", id_col)
+    return toksed.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -116,6 +116,54 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: training docs whose n-gram overlap
+    CONTAINS a large fraction of an eval doc.
+
+    For each (train, eval) pair that shares at least one word n-gram,
+    containment = |ngrams(train) ∩ ngrams(eval)| / |ngrams(eval)| — the
+    asymmetric score used for decontamination (a long train doc fully
+    embedding a short eval doc scores 1.0 where Jaccard would dilute it).
+    Pairs with containment >= threshold are flagged for removal from the
+    training side.
+
+    Same inverted-index shape as ngram_jaccard_pairs: only co-shingled
+    pairs materialize; the join runs on xxhash64(shingle) longs (oracle
+    intersects the strings — hashes never reach the result). The eval
+    side is tiny by construction (a benchmark suite), so its shingle
+    index broadcasts; the corpus side streams through in one pass. At
+    100 TB add the document-frequency cap on shingles before the join
+    (stopword-like n-grams would otherwise fan out).
+    """
+    tr = doc_shingles(corpus, text_col, id_col, n).select(
+        F.col("doc_id").alias("train_id"), F.xxhash64("shingle").alias("sh")
+    )
+    ev = doc_shingles(eval_df, text_col, id_col, n).select(
+        F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh")
+    )
+    ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    inter = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = inter.join(F.broadcast(ev_sz), "eval_id").select(
+        "train_id",
+        "eval_id",
+        F.round(F.col("n_common") / F.col("n_eval"), 4).alias("containment"),
+    )
+    return out.filter(
+        (F.col("containment") >= threshold) & (F.col("train_id") != F.col("eval_id"))
+    )
+
+
 MINHASH_MOD = 1 << 32
 
 

@@ -128,6 +128,95 @@ def weighted_hash_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
 
 
+def shuffle_key(col: Column, seed: int = 42) -> Column:
+    """Deterministic pseudo-random sort key: md5 over (id ':' seed).
+
+    The training-data global shuffle: ordering by this key is a uniform
+    permutation of the corpus that is reproducible across engines and
+    reruns and stable under appends (new rows interleave without moving
+    existing relative order). Different seeds give independent epochs.
+    """
+    return F.md5(
+        F.encode(F.concat(col.cast("string"), F.lit(f":{seed}")), "UTF-8")
+    ).alias("shuffle_key")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    n_output_partitions: int | None = None,
+) -> DataFrame:
+    """Globally shuffle a corpus for training-data serving.
+
+    Adds ``shuffle_key`` (md5 of id+seed) and range-partitions + sorts by
+    it: the written files enumerate the corpus in deterministic
+    pseudo-random order with NO single-point global sort — range
+    partitioning samples boundaries, then each partition sorts locally
+    (the standard Spark total-order path, ~linear at 100 TB). Readers
+    stream partitions in index order for a full permutation, or any
+    subset of partitions for an unbiased sample.
+    """
+    out = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed))
+    n = n_output_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "shuffle_key", id_col).sortWithinPartitions(
+        "shuffle_key", id_col
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    salt: str = ":mix",
+) -> DataFrame:
+    """Resample a multi-domain corpus to target mixture proportions
+    (the pretraining data-mixing step: e.g. upweight curated sources,
+    downweight crawl).
+
+    Semantics: output is the LARGEST corpus exactly matching
+    ``target_shares`` without replication — n_out = min_d(count_d /
+    share_d), each domain keeps floor(share_d * n_out) rows, and WHICH
+    rows is decided by md5-hash order within the domain (deterministic,
+    engine-portable, growth-stable — the kept set for a domain only ever
+    grows as its quota grows).
+
+    Plan: one small aggregate for domain counts (collected — domain
+    cardinality is bounded by construction, ~10s-100s at any corpus
+    size), then one window rank per domain and a broadcast-joined quota
+    filter. The heavy table shuffles ONCE on the domain key; at 100 TB a
+    skewed mega-domain would use the salted variant of the same rank
+    (operators/skew.py pattern).
+    """
+    shares = {k: v / sum(target_shares.values()) for k, v in target_shares.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[0] in shares
+    }
+    missing = set(shares) - set(counts)
+    if missing:
+        raise ValueError(f"domains absent from data: {sorted(missing)}")
+    n_out = min(counts[d] / s for d, s in shares.items() if s > 0)
+    quotas = [(d, int(s * n_out)) for d, s in shares.items()]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, f"{domain_col} string, __quota long")
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(
+                F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
+            ),
+            id_col,
+        )
+    )
+    ranked = df.join(F.broadcast(qdf), domain_col).withColumn("__rk", rk)
+    return ranked.filter(F.col("__rk") <= F.col("__quota")).drop("__rk", "__quota")
+
+
 def split_sql_case(id_expr: str, fractions: dict[str, float], salt: str = "") -> str:
     """The DuckDB-compatible SQL twin of hash_split's assignment expression
     (used by oracle queries; kept next to the Spark rule so the two can't

@@ -284,3 +284,40 @@ def test_gaussian_smooth_series_shorter_than_kernel(spark):
         """
     ).fetchall()
     assert [r[0] for r in rows] == want
+
+
+def test_contamination_pairs_planted_dup(spark):
+    """A train doc embedding an eval doc verbatim scores containment 1.0;
+    self-pairs are excluded; disjoint docs never pair."""
+    from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = one 8-gram
+    rows = [
+        (1, eval_text),                                  # eval doc (also in corpus)
+        (2, "prefix words " + eval_text + " suffix tail"),  # contains it fully
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter("doc_id = 1")
+    got = {
+        (r.train_id, r.eval_id): r.containment
+        for r in contamination_pairs(df, ev, n=8, threshold=0.3).collect()
+    }
+    assert got == {(2, 1): 1.0}
+
+
+def test_length_curriculum_buckets_are_balanced_and_monotone(spark, sf_dir):
+    from bigdata_cookbook_spark.operators.corpus import length_curriculum
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = length_curriculum(docs, n_buckets=8).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.n_tokens)
+    assert set(by_bucket) == set(range(1, 9))
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= 1  # equal-population tiles
+    # monotone: every token count in bucket k <= every count in bucket k+1
+    for k in range(1, 8):
+        assert max(by_bucket[k]) <= min(by_bucket[k + 1])

@@ -106,3 +106,54 @@ def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
     assert out.count() == weighted_hash_sample(
         orders, "o_orderkey", "o_totalprice", 0.1
     ).count()
+
+
+def test_deterministic_shuffle_realizes_global_order(spark, sf_dir):
+    """The range-partitioned operator must enumerate rows (partition 0
+    first, in-partition order) in EXACTLY the permutation the md5 rank
+    defines — no single-reducer sort, same total order."""
+    from bigdata_cookbook_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", seed=42, n_output_partitions=5)
+    assert out.rdd.getNumPartitions() == 5
+    # enumerate in partition-index order without disturbing row order
+    streamed = [r.doc_id for r in out.toLocalIterator()]
+    want = [
+        r.doc_id
+        for r in docs.select("doc_id")
+        .withColumn(
+            "k",
+            F.md5(F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":42")), "UTF-8")),
+        )
+        .orderBy("k", "doc_id")
+        .collect()
+    ]
+    assert streamed == want
+    # a different seed is a different permutation of the same rows
+    other = [
+        r.doc_id
+        for r in deterministic_shuffle(docs, "doc_id", seed=7, n_output_partitions=5).toLocalIterator()
+    ]
+    assert sorted(other) == sorted(want) and other != want
+
+
+def test_domain_mix_exact_quotas_and_stability(spark, sf_dir):
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shares = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
+    out = domain_mix_sample(docs, "source", "doc_id", shares)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_out = min(counts[d] / (s / 25.0) for d, s in shares.items())
+    for d, s in shares.items():
+        assert per.get(d, 0) == int((s / 25.0) * n_out), d
+    # heavy domains carry double the light ones (up to the floor remainder)
+    assert per["src0"] in (2 * per["src19"], 2 * per["src19"] + 1)
+    # deterministic: a rerun picks the identical row set
+    again = domain_mix_sample(docs, "source", "doc_id", shares)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+    # unknown domain -> loud error
+    with pytest.raises(ValueError):
+        domain_mix_sample(docs, "source", "doc_id", {"nope": 1.0})
