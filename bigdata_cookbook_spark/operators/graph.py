@@ -58,6 +58,7 @@ def cooccurrence_pairs(
     min_weight: int = 2,
     pre_partitioned: bool = False,
     width: int | None = None,
+    pack: bool = True,
 ) -> DataFrame:
     """J8 kernel: item pairs co-occurring within a group, edge weight =
     co-occurrence count (reference network_analysis.py:129-201; the
@@ -77,39 +78,61 @@ def cooccurrence_pairs(
     100 TB layout: the co-occurrence fact table stored bucketed on its
     group key. Measured at sf0.1: 0.56s bucketed vs 0.76s plain.
 
-    Pairs pack into one long (a<<32 | b, strict a<b ordering) so the
-    pair shuffle rows and aggregate hash keys are a single fixed-width
-    column, decoded only after the HAVING filter has shrunk the result.
-    Requires both item ids < 2^32 (holds for TPC-H part keys at any SF
-    the 32-bit contract covers; widen to struct keys beyond that).
+    With ``pack=True`` (default) pairs pack into one long (a<<32 | b,
+    strict a<b ordering) so the pair shuffle rows and aggregate hash keys
+    are a single fixed-width column, decoded only after the HAVING filter
+    has shrunk the result. That requires both item ids < 2^32 (holds for
+    TPC-H part keys through ~SF10k); beyond it — or for non-integer
+    items — ``pack=False`` shuffles the pair as a two-column key:
+    identical semantics and plan shape, a fatter shuffle row (tested
+    row-identical).
     """
     src = facts.select(group_col, item_col)
     if not pre_partitioned:
         w = width or facts.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(w, group_col)
     grouped = src.groupBy(group_col).agg(F.collect_list(item_col).alias("ps"))
-    packed = grouped.select(
+    if pack:
+        packed = grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.transform(
+                            F.filter("ps", lambda y: y > x),
+                            lambda y: x * F.lit(1 << 32) + y,
+                        ),
+                    )
+                )
+            ).alias("pk")
+        )
+        agg = (
+            packed.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .filter(F.col("weight") >= min_weight)
+        )
+        return agg.select(
+            F.shiftright("pk", 32).alias("part_a"),
+            (F.col("pk") % F.lit(1 << 32)).alias("part_b"),
+            "weight",
+        )
+    pairs = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "ps",
                     lambda x: F.transform(
                         F.filter("ps", lambda y: y > x),
-                        lambda y: x * F.lit(1 << 32) + y,
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
                     ),
                 )
             )
-        ).alias("pk")
+        ).alias("p")
     )
-    agg = (
-        packed.groupBy("pk")
+    return (
+        pairs.groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= min_weight)
-    )
-    return agg.select(
-        F.shiftright("pk", 32).alias("part_a"),
-        (F.col("pk") % F.lit(1 << 32)).alias("part_b"),
-        "weight",
     )
 
 

@@ -68,40 +68,27 @@ class TestBucketing:
 
         from bigdata_cookbook_spark.plans.explain import explain_str
 
+        from bigdata_cookbook_spark.operators.graph import cooccurrence_pairs
+
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         write_bucketed(li, "b_li_cm", ["l_orderkey"], 8)
         try:
-            def pair_counts(src):
-                grouped = src.groupBy("l_orderkey").agg(
-                    F.collect_list("l_partkey").alias("ps")
-                )
-                pairs = grouped.select(
-                    F.explode(
-                        F.flatten(
-                            F.transform(
-                                "ps",
-                                lambda x: F.transform(
-                                    F.filter("ps", lambda y: y > x),
-                                    lambda y: F.struct(
-                                        x.alias("part_a"), y.alias("part_b")
-                                    ),
-                                ),
-                            )
-                        )
-                    ).alias("p")
-                ).select("p.part_a", "p.part_b")
-                return pairs.groupBy("part_a", "part_b").agg(
-                    F.count(F.lit(1)).alias("weight")
-                )
-
-            bucketed = pair_counts(spark.table("b_li_cm"))
-            plain = pair_counts(li)
+            bucketed = cooccurrence_pairs(
+                spark.table("b_li_cm"), "l_orderkey", "l_partkey",
+                min_weight=1, pre_partitioned=True,
+            )
+            plain = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_weight=1)
             plan = explain_str(bucketed, "formatted")
             n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
             assert n_exchanges == 1, (
                 f"bucketed co-mention must shuffle only the pairs, saw {n_exchanges}"
             )
             assert _rows(bucketed) == _rows(plain)
+            # the 2^32-safe unpacked mode is row-identical to the packed one
+            unpacked = cooccurrence_pairs(
+                li, "l_orderkey", "l_partkey", min_weight=1, pack=False
+            )
+            assert _rows(unpacked) == _rows(plain)
         finally:
             spark.sql("DROP TABLE IF EXISTS b_li_cm")
 
