@@ -209,6 +209,12 @@ def main() -> None:
             }
         )
     )
+    # drop the per-run scratch warehouse (bucketed-layout staging)
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 if __name__ == "__main__":
