@@ -83,16 +83,39 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+# Path of the scratch warehouse THIS module created (None until
+# bench_session runs). Cleanup must target exactly this dir: if
+# getOrCreate() attached to a pre-existing session, the static warehouse
+# conf was silently ignored and the session's warehouse is NOT ours to
+# delete.
+SCRATCH_WH: str | None = None
+
+
+def cleanup_scratch(spark: SparkSession) -> None:
+    """Remove the bench-created scratch warehouse, guarded so a foreign
+    session's real warehouse is never touched."""
+    import shutil
+
+    if SCRATCH_WH is None:
+        return
+    if spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:").rstrip("/") == SCRATCH_WH.rstrip("/"):
+        spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
+    shutil.rmtree(SCRATCH_WH, ignore_errors=True)
+
+
 def bench_session() -> SparkSession:
     import tempfile
 
+    global SCRATCH_WH
+    SCRATCH_WH = tempfile.mkdtemp(prefix="bcs_bench_wh_")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
         # per-run scratch warehouse: holds the bucketed-layout tables the
-        # bench stages outside the timer (static conf — set at build)
-        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="bcs_bench_wh_"))
+        # bench stages outside the timer (static conf — set at build;
+        # ignored if an earlier session exists, which cleanup_scratch guards)
+        .config("spark.sql.warehouse.dir", SCRATCH_WH)
         .config("spark.driver.memory", "8g")  # headroom: damp GC pauses in the steady runs
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
@@ -209,13 +232,12 @@ def main() -> None:
             }
         )
     )
-    # drop the per-run scratch warehouse (bucketed-layout staging)
-    import shutil
-
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
-    shutil.rmtree(wh, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            cleanup_scratch(s)

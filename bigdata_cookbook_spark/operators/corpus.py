@@ -139,14 +139,13 @@ def length_curriculum(
     """
     from pyspark.sql import Window
 
-    from bigdata_cookbook_spark.functions.text import tokens_expr
+    from bigdata_cookbook_spark.functions.text import token_count_expr
 
     toksed = docs.select(
         id_col,
-        F.coalesce(
-            F.size(F.filter(tokens_expr(F.col(text_col)), lambda t: F.length(t) > 0)),
-            F.lit(0),
-        ).alias("n_tokens"),
+        # the ONE token-count rule (functions/text.py) — its DuckDB CASE
+        # twin is what the length_curriculum oracle uses; null text -> 0
+        F.coalesce(token_count_expr(F.col(text_col)), F.lit(0)).alias("n_tokens"),
     )
     w = Window.orderBy("n_tokens", id_col)
     return toksed.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -34,7 +34,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).select("canonical_doc_id", "n_dups")
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    repartition: bool = True,
+) -> DataFrame:
     """(id, shingle) exploded inverted-index rows; empty-shingle docs drop.
 
     Repartitions by doc_id BEFORE shingling: (a) shingling cost spreads
@@ -42,11 +48,14 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     (b) the output inherits hashpartitioning(doc_id), so the per-doc
     aggregations downstream (minhash_signature's groupBy) reuse it —
     the shuffle moves compact documents, never the ~50x larger exploded
-    shingle rows.
+    shingle rows. Pass ``repartition=False`` for a side that is tiny and
+    about to be broadcast (e.g. contamination_pairs' eval index) — the
+    spread buys nothing there and the Exchange disappears.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par, id_col) if repartition else df
     return (
-        df.repartition(par, id_col)
+        src
         # stage the token array as a bound column BEFORE the higher-order
         # shingle transform, and guard short docs with a FILTER, not a
         # when() around the transform (see shingles_from_tokens contract)
@@ -145,7 +154,7 @@ def contamination_pairs(
     tr = doc_shingles(corpus, text_col, id_col, n).select(
         F.col("doc_id").alias("train_id"), F.xxhash64("shingle").alias("sh")
     )
-    ev = doc_shingles(eval_df, text_col, id_col, n).select(
+    ev = doc_shingles(eval_df, text_col, id_col, n, repartition=False).select(
         F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh")
     )
     ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))

@@ -134,15 +134,20 @@ def _decode_real(kind: str, payload: bytes) -> bytes:
         img = Image.open(io.BytesIO(payload))
         img.load()
         return img.tobytes()
-    # video
-    try:
-        import av  # noqa: F401
-    except ImportError as e:  # pragma: no cover - container lacks PyAV
-        raise ImportError(
-            "real video decoding requires PyAV/ffmpeg (pip install av); "
-            "use decoder='fake' for the dependency-free test path"
-        ) from e
-    raise ValueError("video decode dispatch requires PyAV>=10")  # pragma: no cover
+    if kind == "video":
+        try:
+            import av
+        except ImportError as e:  # pragma: no cover - container lacks PyAV
+            raise ImportError(
+                "real video decoding requires PyAV/ffmpeg (pip install av); "
+                "use decoder='fake' for the dependency-free test path"
+            ) from e
+        with av.open(io.BytesIO(payload)) as container:  # pragma: no cover
+            return b"".join(
+                frame.to_ndarray(format="rgb24").tobytes()
+                for frame in container.decode(video=0)
+            )
+    raise ValueError(f"unknown media kind {kind!r} (expected image|audio|video)")
 
 
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
