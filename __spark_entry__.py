@@ -1590,6 +1590,16 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, eval_df, n=8, threshold=0.3)
 
 
+def q_char_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram LM perplexity per doc
+    (operators/corpus.char_bigram_perplexity) — the CCNet-style
+    statistical quality filter with no external model."""
+    from bigdata_cookbook_spark.operators.corpus import char_bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_bigram_perplexity(docs)
+
+
 def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum bucketing (operators/corpus.length_curriculum):
     8 equal-population token-count tiles with deterministic tie-break —
@@ -1647,7 +1657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: family representatives incl. the bench HEADLINE set --
         "pricing_summary": q_pricing_summary,
         "hit_count_monthly_topk": q_hit_count_monthly_topk,
-        "topk_parts_per_brand": q_topk_parts_per_brand,
         "argmax_day_per_priority": q_argmax_day_per_priority,
         "calendar_densify_daily": q_calendar_densify_daily,
         # round-3 rotation: the four new training-data-tier queries take
@@ -1661,6 +1670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "exact_dedup_docs": q_exact_dedup_docs,
         "length_curriculum": q_length_curriculum,
+        # (topk_parts_per_brand -> tail on its r01+r02 green rows; the W
+        # family stays pinned by argmax_day_per_priority + sector_rank)
+        "char_bigram_perplexity": q_char_bigram_perplexity,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "comention_parts": q_comention_parts,
@@ -1706,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_lag": q_peak_lag,
         "skew_salted_join_segments": q_skew_salted_join_segments,
         # tail (all with double-green r01+r02 rows; rotated out round 3)
+        "topk_parts_per_brand": q_topk_parts_per_brand,
         "weekly_zscore": q_weekly_zscore,
         "dedup_keep_first": q_dedup_keep_first,
         "mode_event_type": q_mode_event_type,
@@ -2222,6 +2235,27 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN evsz USING (eval_id)
             WHERE ROUND(CAST(n_common AS DOUBLE) / n_eval, 4) >= 0.3
               AND train_id <> eval_id
+        """,
+        "char_bigram_perplexity": """
+            WITH d AS (
+                SELECT doc_id, lower(trim(text)) AS t FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) >= 2
+            ),
+            bg AS (
+                SELECT doc_id, substr(t, i, 2) AS b
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, length(t) - 1)) AS i
+                      FROM d)
+            ),
+            cnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+            scored AS (
+                SELECT bg.doc_id, ln((cnt.c + 1.0) / (tot.n + tot.v)) AS lp
+                FROM bg JOIN cnt USING (b), tot
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(exp(-AVG(lp)), 4) AS perplexity
+            FROM scored GROUP BY 1
         """,
         "length_curriculum": """
             WITH t AS (

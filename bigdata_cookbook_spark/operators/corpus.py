@@ -149,3 +149,59 @@ def length_curriculum(
     )
     w = Window.orderBy("n_tokens", id_col)
     return toksed.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def char_bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained character-bigram LM perplexity per document — the
+    CCNet-style statistical quality filter: gibberish/boilerplate scores
+    high perplexity against the corpus's own character statistics, no
+    external model needed.
+
+    Model: add-one-smoothed unigram-of-bigrams, p(b) = (c_b + 1) /
+    (N + V); doc score = exp(-mean(ln p(b_i))). Two aggregation passes:
+    (1) global bigram counts — the shuffle moves only per-partition
+    partial maps (vocab is bounded: |charset|^2, a few K rows), then the
+    count table and the (N, V) scalars BROADCAST; (2) per-doc mean of
+    log-probs — partial aggregation collapses each doc inside its scan
+    partition before the doc_id shuffle. No UDFs, no driver collect;
+    both passes scale linearly at 100 TB.
+
+    The corpus is scanned twice (train pass + score pass) — the honest
+    minimum for a train-then-score filter expressed lazily. In a real
+    100 TB pipeline the count table is persisted ONCE (it is vocab-sized)
+    and reused across scoring runs: pass the bg/cnt staging through
+    plans/checkpoint.py and only the score pass remains per run.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) >= 2)
+    ).select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t") - 1),
+                lambda i: F.col("__t").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        bg.join(F.broadcast(cnt), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+    )

@@ -321,3 +321,26 @@ def test_length_curriculum_buckets_are_balanced_and_monotone(spark, sf_dir):
     # monotone: every token count in bucket k <= every count in bucket k+1
     for k in range(1, 8):
         assert max(by_bucket[k]) <= min(by_bucket[k + 1])
+
+
+def test_char_bigram_perplexity_hand_computed(spark):
+    """Two-doc corpus, hand-computed add-one-smoothed bigram model:
+    'abab' -> bigrams ab,ba,ab; 'xy' -> xy. Counts: ab=2, ba=1, xy=1
+    (N=4, V=3). The doc repeating common bigrams scores LOWER perplexity
+    than the one-off doc."""
+    import math
+
+    from bigdata_cookbook_spark.operators.corpus import char_bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "xy"), (3, None), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_bigram_perplexity(df).collect()}
+    assert set(got) == {1, 2}  # null/blank docs drop
+    p = {"ab": (2 + 1) / 7, "ba": (1 + 1) / 7, "xy": (1 + 1) / 7}
+    want1 = round(math.exp(-(2 * math.log(p["ab"]) + math.log(p["ba"])) / 3), 4)
+    want2 = round(math.exp(-math.log(p["xy"])), 4)
+    assert got[1].n_bigrams == 3 and abs(got[1].perplexity - want1) < 1e-9
+    assert got[2].n_bigrams == 1 and abs(got[2].perplexity - want2) < 1e-9
+    assert got[1].perplexity < got[2].perplexity

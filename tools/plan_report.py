@@ -68,6 +68,9 @@ EXCHANGE_CEILINGS = {
     "domain_mix_sample": 1,
     "benchmark_contamination": 2,
     "length_curriculum": 1,
+    # two corpus passes by design (train bigram counts, then score);
+    # 3 of the 4 exchanges move only vocab-scale data
+    "char_bigram_perplexity": 4,
 }
 
 
@@ -122,6 +125,7 @@ def main() -> None:
         "domain_mix_sample",
         "benchmark_contamination",
         "length_curriculum",
+        "char_bigram_perplexity",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
