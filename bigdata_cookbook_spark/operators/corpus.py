@@ -32,10 +32,18 @@ def corpus_clean(
     min_tokens: int = 10,
     max_stopword_ratio: float = 0.8,
     jaccard_threshold: float = 0.5,
+    eval_df: DataFrame | None = None,
+    contamination_threshold: float = 0.5,
+    contamination_n: int = 8,
 ) -> dict[str, DataFrame]:
-    """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}.
+    """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
+    (+ dropped_contaminated when ``eval_df`` is given).
 
-    kept = quality-passing, exact-canonical, near-dup-free documents.
+    kept = quality-passing, exact-canonical, near-dup-free documents —
+    and, with an eval benchmark set supplied, decontaminated: any
+    surviving doc whose n-gram containment of an eval doc reaches
+    ``contamination_threshold`` (operators/dedup.contamination_pairs) is
+    dropped last, so dedup never masks a contamination hit.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
@@ -63,12 +71,25 @@ def corpus_clean(
     pairs = ngram_jaccard_pairs(exact_kept, threshold=jaccard_threshold)
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_kept.join(near_losers, "doc_id", "left_anti")
-    return {
-        "kept": kept.select("doc_id", "lang", "source", "n_tokens"),
+    out = {
         "dropped_quality": dropped_quality,
         "dropped_exact": dropped_exact,
         "dropped_neardup": near_losers,
     }
+    if eval_df is not None:
+        from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+
+        contaminated = (
+            contamination_pairs(
+                kept, eval_df, n=contamination_n, threshold=contamination_threshold
+            )
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+        out["dropped_contaminated"] = contaminated
+    out["kept"] = kept.select("doc_id", "lang", "source", "n_tokens")
+    return out
 
 
 def token_window_chunks(
@@ -176,11 +197,19 @@ def char_bigram_perplexity(
     and reused across scoring runs: pass the bg/cnt staging through
     plans/checkpoint.py and only the score pass remains per run.
     """
+    bg = _char_bigrams(docs, text_col, id_col)
+    cnt, tot = train_char_bigram_lm(docs, text_col, id_col)
+    return score_char_bigram_perplexity(bg, cnt, tot)
+
+
+def _char_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, b) exploded char-bigram rows; null/blank/1-char docs drop.
+    Stateless projection — runs unchanged under Structured Streaming."""
     t = F.lower(F.trim(F.col(text_col)))
     base = docs.filter(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) >= 2)
     ).select(F.col(id_col).alias("doc_id"), t.alias("__t"))
-    bg = base.select(
+    return base.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -189,16 +218,42 @@ def char_bigram_perplexity(
             )
         ).alias("b"),
     )
-    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(
-        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+
+
+def train_char_bigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Train pass: (count table (b, c), totals (n_total, v_size)).
+    Both outputs are vocab-sized — persist them once (parquet/
+    plans/checkpoint.py) and reuse across scoring runs; this is the
+    static side of the streaming score path."""
+    cnt = _char_bigrams(docs, text_col, id_col).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    tot = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size"))
+    return cnt, tot
+
+
+def score_char_bigram_perplexity(
+    bigrams: DataFrame, cnt: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """Score pass over (doc_id, b) rows against a trained model: a
+    stream-static broadcast join when ``bigrams`` comes from readStream —
+    continuous quality scoring at ingest with corpus statistics trained
+    in batch."""
     scored = (
-        bg.join(F.broadcast(cnt), "b")
+        # LEFT join: a doc scored against a model trained elsewhere can
+        # contain unseen bigrams — they take the smoothed zero count
+        # (c=0 -> p = 1/(N+V)) instead of silently dropping. For batch
+        # self-scoring every bigram is in cnt, so this is join-identical.
+        bigrams.join(F.broadcast(cnt), "b", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.log((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size"))).alias("lp"),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n_total") + F.col("v_size"))
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -344,3 +344,21 @@ def test_char_bigram_perplexity_hand_computed(spark):
     assert got[1].n_bigrams == 3 and abs(got[1].perplexity - want1) < 1e-9
     assert got[2].n_bigrams == 1 and abs(got[2].perplexity - want2) < 1e-9
     assert got[1].perplexity < got[2].perplexity
+
+
+def test_corpus_clean_decontamination_stage(spark, sf_dir):
+    """corpus_clean(eval_df=...) drops contaminated survivors LAST and
+    accounts for them; without eval_df output is unchanged."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    base = corpus_clean(docs)
+    decon = corpus_clean(docs, eval_df=ev, contamination_threshold=0.3)
+    kept_base = {r.doc_id for r in base["kept"].collect()}
+    kept_decon = {r.doc_id for r in decon["kept"].collect()}
+    dropped = {r.doc_id for r in decon["dropped_contaminated"].collect()}
+    assert kept_decon == kept_base - dropped
+    assert kept_decon.isdisjoint(dropped)
+    assert "dropped_contaminated" not in base

@@ -264,3 +264,58 @@ def test_corpus_filter_tier_runs_in_streaming(spark, tmp_path):
     assert "<EMAIL>" in got[1][0] and got[1][1] is True
     assert got[2][1] is False  # repetition fails the keep rule
     assert "<URL>" in got[3][0] and "<PHONE>" in got[3][0]
+
+
+def test_perplexity_scoring_runs_in_streaming(spark, tmp_path):
+    """Train the char-bigram LM in batch, score a STREAM against it: the
+    score path is a stream-static broadcast join + stateless projection,
+    so drained-stream output must equal batch output — continuous
+    quality-filtering at ingest with corpus statistics trained offline.
+    Includes a doc with bigrams unseen at train time (smoothed c=0)."""
+    import pandas as pd
+
+    from bigdata_cookbook_spark.operators.corpus import (
+        _char_bigrams,
+        score_char_bigram_perplexity,
+        train_char_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "the slow brown dog")],
+        "doc_id long, text string",
+    )
+    cnt, tot = train_char_bigram_lm(train)
+    cnt = cnt.cache()  # the persisted vocab-sized model table
+
+    spool = str(tmp_path / "spool")
+    incoming = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the brown fox", "zzz@@@##"]}  # 2: unseen bigrams
+    )
+    spark.createDataFrame(incoming).coalesce(1).write.parquet(spool)
+
+    batch_scores = {
+        r.doc_id: (r.n_bigrams, r.perplexity)
+        for r in score_char_bigram_perplexity(
+            _char_bigrams(spark.read.parquet(spool)), cnt, tot
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(spool)
+    q = (
+        score_char_bigram_perplexity(_char_bigrams(stream), cnt, tot)
+        .writeStream.format("memory")
+        .queryName("ppl_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_bigrams, r.perplexity)
+        for r in spark.sql("SELECT * FROM ppl_stream").collect()
+    }
+    assert got == batch_scores
+    assert set(got) == {1, 2}
+    # the unseen-bigram doc must score strictly worse than the in-domain one
+    assert got[2][1] > got[1][1]
