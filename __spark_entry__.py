@@ -1590,6 +1590,27 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, eval_df, n=8, threshold=0.3)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimators side by side (functions/text.py): exact
+    whitespace count, BPE-ish pretokenizer count (GPT-2-style regex,
+    engine-portable), and the chars/4 heuristic pack_token_budget uses —
+    the three tiers a training pipeline budgets sequences with."""
+    from bigdata_cookbook_spark.functions.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens_ws"),
+        bpe_token_count_expr(F.col("text")).alias("n_tokens_bpe"),
+        F.greatest((F.length("text") / 4).cast("long"), F.lit(1)).alias(
+            "est_tokens_chars4"
+        ),
+    )
+
+
 def q_char_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained char-bigram LM perplexity per doc
     (operators/corpus.char_bigram_perplexity) — the CCNet-style
@@ -1673,12 +1694,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (topk_parts_per_brand -> tail on its r01+r02 green rows; the W
         # family stays pinned by argmax_day_per_priority + sector_rank)
         "char_bigram_perplexity": q_char_bigram_perplexity,
+        # (ngram_jaccard_pairs -> tail on its r01+r02 green rows; near-dup
+        # family stays pinned by minhash/simhash/embedding/clusters)
+        "bpe_token_count": q_bpe_token_count,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "comention_parts": q_comention_parts,
         "simhash": q_simhash,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "lang_id": q_lang_id,
         "bm25_topk": q_bm25_topk,
@@ -1718,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_lag": q_peak_lag,
         "skew_salted_join_segments": q_skew_salted_join_segments,
         # tail (all with double-green r01+r02 rows; rotated out round 3)
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "topk_parts_per_brand": q_topk_parts_per_brand,
         "weekly_zscore": q_weekly_zscore,
         "dedup_keep_first": q_dedup_keep_first,
@@ -2196,8 +2220,29 @@ def _domain_mix_sql(shares: dict[str, float], salt: str = ":mix") -> str:
     """
 
 
+def _bpe_token_count_sql() -> str:
+    """Oracle twin of q_bpe_token_count — the regex literal comes from
+    the SAME constant the engine compiles (functions/text.py
+    BPE_TOKEN_PATTERN), so the two counts cannot drift."""
+    from bigdata_cookbook_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS INT)
+                   AS n_tokens_ws,
+               CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{pat}')) AS INT)
+                   AS n_tokens_bpe,
+               GREATEST(CAST(FLOOR(LENGTH(text) / 4) AS BIGINT), 1)
+                   AS est_tokens_chars4
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_token_count": _bpe_token_count_sql(),
         "training_shuffle": """
             SELECT doc_id,
                    md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,

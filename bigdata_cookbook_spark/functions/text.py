@@ -32,6 +32,24 @@ def token_count_expr(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenization, engine-portable subset: contraction
+# suffixes, space-prefixed letter runs, digit runs capped at 3
+# (Llama-style number splitting), punctuation runs. Leftmost-first
+# alternation only — no lookarounds/backrefs, so Java (Spark) and RE2
+# (DuckDB) regex engines agree match-for-match; applied over lower().
+BPE_TOKEN_PATTERN = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s']+"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish subword-boundary token count (model-budget estimator one
+    tier above whitespace counting and chars/4): number of
+    BPE_TOKEN_PATTERN pretoken matches. The same pattern string drives
+    the DuckDB oracle, so the two engines count identically."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("int")
+
+
 def marker_count(text: Column, words: tuple[str, ...]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.regexp_count(F.lower(text), F.lit(pat))

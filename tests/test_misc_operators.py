@@ -362,3 +362,29 @@ def test_corpus_clean_decontamination_stage(spark, sf_dir):
     assert kept_decon == kept_base - dropped
     assert kept_decon.isdisjoint(dropped)
     assert "dropped_contaminated" not in base
+
+
+def test_bpe_token_count_hand_cases(spark):
+    """BPE-ish pretokenizer count pinned against Python re on the same
+    pattern, plus hand-verified boundary behavior: contraction suffixes
+    split, digit runs cap at 3, punctuation runs are one token."""
+    import re
+
+    from bigdata_cookbook_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count_expr,
+    )
+
+    cases = [
+        "Hello world, it's 2026!",
+        "costs $1,234.56 -- really?",
+        "a",
+        "12345678",          # 8 digits -> 3+3+2 = 3 tokens
+        "don't stop",
+        "  spaced   out  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, t string")
+    got = {r.i: r.n for r in df.select("i", bpe_token_count_expr(F.col("t")).alias("n")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == len(re.findall(BPE_TOKEN_PATTERN, t.lower())), t
+    assert got[3] == 3  # digit-run capping

@@ -71,6 +71,7 @@ EXCHANGE_CEILINGS = {
     # two corpus passes by design (train bigram counts, then score);
     # 3 of the 4 exchanges move only vocab-scale data
     "char_bigram_perplexity": 4,
+    "bpe_token_count": 0,
 }
 
 
@@ -126,6 +127,7 @@ def main() -> None:
         "benchmark_contamination",
         "length_curriculum",
         "char_bigram_perplexity",
+        "bpe_token_count",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
