@@ -23,7 +23,13 @@ CJK_RANGE = "一-鿿"
 
 
 def token_count_expr(text: Column) -> Column:
-    """Whitespace token count; empty/blank text -> 0."""
+    """Whitespace token count; empty/blank text -> 0.
+
+    Splits on Java ``\\s+`` and the DuckDB oracles split on RE2 ``\\s+``;
+    the two classes agree on ASCII space/tab/newline/CR/FF and differ
+    only on exotica (\\x0B, Unicode spaces) — declared corpus contract
+    is common whitespace (see BPE_TOKEN_PATTERN for the spelled-out
+    variant used where the count itself is the oracled value)."""
     trimmed = F.trim(text)
     return (
         F.when(F.length(trimmed) == 0, F.lit(0))
@@ -35,9 +41,12 @@ def token_count_expr(text: Column) -> Column:
 # GPT-2-style pretokenization, engine-portable subset: contraction
 # suffixes, space-prefixed letter runs, digit runs capped at 3
 # (Llama-style number splitting), punctuation runs. Leftmost-first
-# alternation only — no lookarounds/backrefs, so Java (Spark) and RE2
-# (DuckDB) regex engines agree match-for-match; applied over lower().
-BPE_TOKEN_PATTERN = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s']+"
+# alternation only — no lookarounds/backrefs — and the whitespace class
+# is spelled out EXPLICITLY: \s means different sets to Java (includes
+# \x0B), RE2 (excludes it), and Python (all of Unicode), so a literal
+# [ \t\n\f\r] is the only way Spark, the DuckDB oracle, and the
+# Python-re parity test count match-for-match; applied over lower().
+BPE_TOKEN_PATTERN = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 \t\n\f\r']+"
 
 
 def bpe_token_count_expr(text: Column) -> Column:

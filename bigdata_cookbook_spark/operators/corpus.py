@@ -81,7 +81,13 @@ def corpus_clean(
 
         contaminated = (
             contamination_pairs(
-                kept, eval_df, n=contamination_n, threshold=contamination_threshold
+                kept,
+                eval_df,
+                n=contamination_n,
+                threshold=contamination_threshold,
+                # decontamination must flag the training COPY of an eval
+                # doc too — never exempt a pair on id equality here
+                exclude_self=False,
             )
             .select(F.col("train_id").alias("doc_id"))
             .distinct()

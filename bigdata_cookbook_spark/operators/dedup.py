@@ -132,6 +132,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 8,
     threshold: float = 0.5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: training docs whose n-gram overlap
     CONTAINS a large fraction of an eval doc.
@@ -142,6 +143,13 @@ def contamination_pairs(
     embedding a short eval doc scores 1.0 where Jaccard would dilute it).
     Pairs with containment >= threshold are flagged for removal from the
     training side.
+
+    ``exclude_self`` drops train_id == eval_id pairs — right when the
+    eval set is a SUBSET of the corpus and you are only surveying
+    cross-document leakage (the q_benchmark_contamination query). For
+    actual decontamination set it False: the training copy of an eval
+    doc is the worst contaminator of all and must be flagged, id
+    collision or not (corpus_clean does this).
 
     Same inverted-index shape as ngram_jaccard_pairs: only co-shingled
     pairs materialize; the join runs on xxhash64(shingle) longs (oracle
@@ -168,9 +176,10 @@ def contamination_pairs(
         "eval_id",
         F.round(F.col("n_common") / F.col("n_eval"), 4).alias("containment"),
     )
-    return out.filter(
-        (F.col("containment") >= threshold) & (F.col("train_id") != F.col("eval_id"))
-    )
+    out = out.filter(F.col("containment") >= threshold)
+    if exclude_self:
+        out = out.filter(F.col("train_id") != F.col("eval_id"))
+    return out
 
 
 MINHASH_MOD = 1 << 32

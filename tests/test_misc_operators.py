@@ -348,12 +348,16 @@ def test_char_bigram_perplexity_hand_computed(spark):
 
 def test_corpus_clean_decontamination_stage(spark, sf_dir):
     """corpus_clean(eval_df=...) drops contaminated survivors LAST and
-    accounts for them; without eval_df output is unchanged."""
+    accounts for them. The stage must NOT be a no-op: when the eval set
+    is a subset of the corpus, every eval doc that survives the dedup
+    stages is its own worst contaminator (containment 1.0, same id) and
+    MUST be dropped — kept is disjoint from the eval id set."""
     from bigdata_cookbook_spark.operators.corpus import corpus_clean
     from bigdata_cookbook_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 7 == 0)
+    ev_ids = {r.doc_id for r in ev.select("doc_id").collect()}
     base = corpus_clean(docs)
     decon = corpus_clean(docs, eval_df=ev, contamination_threshold=0.3)
     kept_base = {r.doc_id for r in base["kept"].collect()}
@@ -362,6 +366,12 @@ def test_corpus_clean_decontamination_stage(spark, sf_dir):
     assert kept_decon == kept_base - dropped
     assert kept_decon.isdisjoint(dropped)
     assert "dropped_contaminated" not in base
+    # non-vacuous: eval docs that survived dedup were in kept_base (long
+    # enough to shingle) and must now be gone
+    survived_eval = kept_base & ev_ids
+    assert survived_eval, "fixture produced no surviving eval docs"
+    assert survived_eval <= dropped
+    assert kept_decon.isdisjoint(ev_ids)
 
 
 def test_bpe_token_count_hand_cases(spark):
@@ -382,6 +392,8 @@ def test_bpe_token_count_hand_cases(spark):
         "12345678",          # 8 digits -> 3+3+2 = 3 tokens
         "don't stop",
         "  spaced   out  ",
+        "a\x0bb",            # vertical tab: NOT whitespace in the pattern
+        "a\xa0b",            # NBSP: ditto — engine-divergence probes
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, t string")
     got = {r.i: r.n for r in df.select("i", bpe_token_count_expr(F.col("t")).alias("n")).collect()}
