@@ -260,3 +260,69 @@ def board_monitoring(
         "quarterly": quarterly,
         "top_sources": top_sources,
     }
+
+
+def pretraining_pipeline(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    target_shares: dict[str, float] | None = None,
+    lang: str = "en",
+    min_tokens: int = 10,
+    seed: int = 42,
+    n_curriculum_buckets: int = 8,
+) -> dict[str, DataFrame]:
+    """Capstone composition of the training-data tier — the full corpus
+    -> training-set flow, each stage an individually-oracled operator:
+
+        quality filter -> exact dedup -> near-dup removal
+        [-> decontaminate vs eval_df] [-> domain-mix resample]
+        -> deterministic shuffle key + length-curriculum bucket
+
+    Returns {clean, mixed, training_set, accounting}: ``training_set``
+    carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
+    with sampling.deterministic_shuffle's range partitioning and readers
+    stream a reproducible permutation; ``accounting`` is one row per
+    pipeline stage with its drop count (the audit trail a production
+    data pipeline is judged on). Every stage is deterministic: the same
+    corpus + parameters yield the same training set on any engine.
+    """
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean, length_curriculum
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_sample, shuffle_key
+
+    stages = corpus_clean(docs, lang=lang, min_tokens=min_tokens, eval_df=eval_df)
+    clean = stages["kept"]
+
+    mixed = (
+        domain_mix_sample(clean, "source", "doc_id", target_shares)
+        if target_shares
+        else clean
+    )
+
+    curriculum = length_curriculum(
+        mixed.join(docs.select("doc_id", "text"), "doc_id"), n_buckets=n_curriculum_buckets
+    )
+    training_set = (
+        mixed.join(curriculum.select("doc_id", "bucket"), "doc_id")
+        .withColumn("shuffle_key", shuffle_key(F.col("doc_id"), seed))
+        .select("doc_id", "source", "n_tokens", "shuffle_key", "bucket")
+    )
+
+    spark = docs.sparkSession
+    acc_rows = [
+        ("dropped_quality", stages["dropped_quality"]),
+        ("dropped_exact", stages["dropped_exact"]),
+        ("dropped_neardup", stages["dropped_neardup"]),
+    ]
+    if eval_df is not None:
+        acc_rows.append(("dropped_contaminated", stages["dropped_contaminated"]))
+    accounting = spark.createDataFrame(
+        [(name, df.count()) for name, df in acc_rows]
+        + [("dropped_mixing", clean.count() - mixed.count() if target_shares else 0)],
+        "stage string, n_dropped long",
+    )
+    return {
+        "clean": clean,
+        "mixed": mixed,
+        "training_set": training_set,
+        "accounting": accounting,
+    }

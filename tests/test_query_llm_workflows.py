@@ -284,3 +284,39 @@ def test_reporting_entity_fiscal_year_and_control(frame, corpus):
     assert (
         combined.filter(~F.exists("entities", lambda x: x["key"] == F.lit(ctrl))).count() == 0
     )
+
+
+def test_pretraining_pipeline_end_to_end(spark, sf_dir):
+    """Capstone: stages compose without loss or overlap — training_set =
+    clean minus mixing drops, with every row carrying a shuffle key and a
+    curriculum bucket; accounting sums to |docs| - |training_set|;
+    deterministic across reruns."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    shares = {f"src{i}": 1.0 for i in range(10)}  # keep 10 of 20 domains
+    out = pretraining_pipeline(docs, eval_df=ev, target_shares=shares)
+
+    ts = out["training_set"].collect()
+    n_docs = docs.count()
+    acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
+    assert set(acc) == {
+        "dropped_quality", "dropped_exact", "dropped_neardup",
+        "dropped_contaminated", "dropped_mixing",
+    }
+    assert n_docs - sum(acc.values()) == len(ts)
+    assert all(r.shuffle_key and 1 <= r.bucket <= 8 for r in ts)
+    # only targeted domains survive mixing
+    assert {r.source for r in ts} <= {f"src{i}" for i in range(10)}
+    # no eval contamination in the final set
+    ev_ids = {r.doc_id for r in ev.select("doc_id").collect()}
+    assert ev_ids.isdisjoint({r.doc_id for r in ts})
+    # deterministic end to end
+    again = pretraining_pipeline(docs, eval_df=ev, target_shares=shares)
+    assert sorted((r.doc_id, r.shuffle_key, r.bucket) for r in ts) == sorted(
+        (r.doc_id, r.shuffle_key, r.bucket) for r in again["training_set"].collect()
+    )
