@@ -178,9 +178,13 @@ def domain_mix_sample(
     Semantics: output is the LARGEST corpus exactly matching
     ``target_shares`` without replication — n_out = min_d(count_d /
     share_d), each domain keeps floor(share_d * n_out) rows, and WHICH
-    rows is decided by md5-hash order within the domain (deterministic,
-    engine-portable, growth-stable — the kept set for a domain only ever
-    grows as its quota grows).
+    rows is decided by md5-hash order within the domain (deterministic
+    and engine-portable for a given corpus). NOTE on growth: unlike the
+    per-row hash_sample/hash_split family, quota-plus-rank selection is
+    NOT append-stable — new rows interleave into the hash order and can
+    displace previously-kept rows at the quota boundary. For a frozen
+    training-set contract, pin the corpus snapshot (or record the kept
+    doc_ids) rather than re-running the mix on a grown corpus.
 
     Plan: one small aggregate for domain counts (collected — domain
     cardinality is bounded by construction, ~10s-100s at any corpus
