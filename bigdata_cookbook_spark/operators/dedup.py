@@ -219,6 +219,38 @@ def minhash_signature(
     return staged.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_id, band, k0..k{band_size-1}) LSH band-bucket rows — the
+    persistable dedup STATE: store this table per corpus and new batches
+    join against it (incremental_lsh_candidates) instead of re-signing
+    the whole corpus."""
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
+    # one explode instead of a union of per-band branches: the signature
+    # aggregation is computed once, not num_bands times; and join sides
+    # derived from this frame share one exchange via exchange reuse.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"mh{b * band_size + j}").alias(f"k{j}")
+                for j in range(band_size)
+            ],
+        )
+        for b in range(num_hashes // band_size)
+    ]
+    key_cols = [f"k{j}" for j in range(band_size)]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), *[F.col(f"bb.{k}").alias(k) for k in key_cols])
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -234,25 +266,8 @@ def minhash_lsh_candidates(
     columns directly, no re-hash of the band needed. Distinct at the end
     dedups pairs that collide in multiple bands.
     """
-    sig = minhash_signature(df, text_col, id_col, n, num_hashes)
-    # one explode instead of a union of per-band branches: the signature
-    # aggregation is computed once, not num_bands times; and the self-join
-    # sides then share one identical exchange on the band keys which
-    # exchange reuse evaluates a single time.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[
-                F.col(f"mh{b * band_size + j}").alias(f"k{j}")
-                for j in range(band_size)
-            ],
-        )
-        for b in range(num_hashes // band_size)
-    ]
     key_cols = [f"k{j}" for j in range(band_size)]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), *[F.col(f"bb.{k}").alias(k) for k in key_cols])
+    banded = minhash_band_buckets(df, text_col, id_col, n, num_hashes, band_size)
     a = banded.alias("a")
     b2 = banded.alias("b")
     key_eq = F.lit(True)
@@ -300,3 +315,102 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     agg = toks.groupBy("doc_id").agg(*votes)
     bits = F.concat(*[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)])
     return agg.select("doc_id", bits.alias("simhash"))
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Exact dedup of an incoming batch against the ALREADY-INGESTED
+    corpus — the nightly-ingest shape: at 100 TB you never re-dedup the
+    whole corpus per batch; you keep a (text_hash) state table and each
+    batch checks in.
+
+    ``seen_hashes``: one ``text_hash`` (xxhash64) column, the persisted
+    state from prior batches (None = first batch). Returns
+
+        {"kept":        batch survivors (within-batch canonical = min id,
+                        AND not previously seen),
+         "seen_hashes": state to persist for the next batch (old ∪ new
+                        batch's hashes, distinct)}
+
+    Plan: one within-batch groupBy(text_hash) + one left_anti against
+    the state — both shuffle on the hash key, so they co-partition with
+    the state table when it is bucketed on text_hash (plans/layout.py).
+    """
+    h = F.xxhash64(F.col(text_col)).alias("text_hash")
+    hashed = new_docs.withColumn("text_hash", h)
+    canon = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    batch_kept = hashed.join(
+        canon.select("text_hash", id_col), ["text_hash", id_col], "left_semi"
+    )
+    if seen_hashes is not None:
+        batch_kept = batch_kept.join(seen_hashes, "text_hash", "left_anti")
+        new_state = seen_hashes.unionByName(
+            hashed.select("text_hash")
+        ).distinct()
+    else:
+        new_state = hashed.select("text_hash").distinct()
+    return {"kept": batch_kept.drop("text_hash"), "seen_hashes": new_state}
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    seen_buckets: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> dict[str, DataFrame]:
+    """Near-dup candidates of an incoming batch: within-batch pairs PLUS
+    pairs against the persisted corpus state — without re-signing the
+    corpus.
+
+    ``seen_buckets``: a minhash_band_buckets table from prior batches.
+    Returns {"candidates": (doc_id, other_id) — other_id from this batch
+    or the state, deduped; "buckets": state to persist next}. The
+    cross join keys on the same (band, k*) bucket columns as the
+    within-batch self-join; with the state bucketed on those keys the
+    batch side is the only shuffle.
+    """
+    key_cols = [f"k{j}" for j in range(band_size)]
+    banded = minhash_band_buckets(
+        new_docs, text_col, id_col, n, num_hashes, band_size
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    key_eq = F.lit(True)
+    for k in key_cols:
+        key_eq = key_eq & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    within = (
+        a.join(
+            b,
+            key_eq
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other_id"))
+        .distinct()
+    )
+    if seen_buckets is not None:
+        s = seen_buckets.alias("s")
+        key_eq_s = F.lit(True)
+        for k in key_cols:
+            key_eq_s = key_eq_s & (F.col(f"a.{k}") == F.col(f"s.{k}"))
+        cross = (
+            a.join(s, key_eq_s & (F.col("a.band") == F.col("s.band")))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("s.doc_id").alias("other_id"),
+            )
+            .distinct()
+        )
+        candidates = within.unionByName(cross).distinct()
+        new_state = seen_buckets.unionByName(banded)
+    else:
+        candidates = within
+        new_state = banded
+    return {"candidates": candidates, "buckets": new_state}

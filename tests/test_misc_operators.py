@@ -400,3 +400,64 @@ def test_bpe_token_count_hand_cases(spark):
     for i, t in enumerate(cases):
         assert got[i] == len(re.findall(BPE_TOKEN_PATTERN, t.lower())), t
     assert got[3] == 3  # digit-run capping
+
+
+def test_incremental_exact_dedup_two_batches(spark):
+    """Batch 2 docs whose text arrived in batch 1 are dropped; state
+    grows; within-batch dup keeps min id."""
+    from bigdata_cookbook_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_exact_dedup(b1)
+    kept1 = {r.doc_id for r in r1["kept"].collect()}
+    assert kept1 == {1, 2}  # 3 is a within-batch dup of 1
+    assert r1["seen_hashes"].count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_exact_dedup(b2, r1["seen_hashes"])
+    kept2 = {r.doc_id for r in r2["kept"].collect()}
+    assert kept2 == {11}  # 10 seen in batch 1; 12 within-batch dup of 11
+    assert r2["seen_hashes"].count() == 3
+    # idempotence: replaying batch 2 against the new state keeps nothing
+    r3 = incremental_exact_dedup(b2, r2["seen_hashes"])
+    assert r3["kept"].count() == 0
+
+
+def test_incremental_lsh_candidates_cross_batch(spark):
+    """A batch-2 doc near-identical to a batch-1 doc pairs with it via
+    the persisted bucket state — without re-signing batch 1; and the
+    within+cross incremental candidates over two batches cover the
+    all-at-once candidates on the union."""
+    from bigdata_cookbook_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_lsh_candidates(b1)
+    b2 = spark.createDataFrame(
+        [(10, base + " tonight"), (11, "unrelated third topic entirely novel")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_lsh_candidates(b2, r1["buckets"])
+    pairs = {(r.doc_id, r.other_id) for r in r2["candidates"].collect()}
+    assert (10, 1) in pairs  # cross-batch near-dup found via state
+    # parity: batch-wise incremental covers the all-at-once union pairs
+    allpairs = {
+        tuple(sorted((r[0], r[1])))
+        for r in minhash_lsh_candidates(b1.unionByName(b2)).collect()
+    }
+    inc_all = {tuple(sorted((r.doc_id, r.other_id))) for r in r2["candidates"].collect()} | {
+        tuple(sorted((r.doc_id, r.other_id))) for r in r1["candidates"].collect()
+    }
+    assert allpairs <= inc_all
