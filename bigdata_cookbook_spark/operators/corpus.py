@@ -164,8 +164,6 @@ def length_curriculum(
     broadcast as range predicates (identical buckets up to quantile
     error) — the declared scale path, same output schema.
     """
-    from pyspark.sql import Window
-
     from bigdata_cookbook_spark.functions.text import token_count_expr
 
     toksed = docs.select(
@@ -174,8 +172,23 @@ def length_curriculum(
         # twin is what the length_curriculum oracle uses; null text -> 0
         F.coalesce(token_count_expr(F.col(text_col)), F.lit(0)).alias("n_tokens"),
     )
-    w = Window.orderBy("n_tokens", id_col)
-    return toksed.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return length_curriculum_from_counts(toksed, n_buckets, "n_tokens", id_col)
+
+
+def length_curriculum_from_counts(
+    df: DataFrame,
+    n_buckets: int = 8,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum bucketing when the token counts ALREADY exist as a
+    column (e.g. corpus_clean's kept frame carries n_tokens) — same
+    ntile-with-tiebreak rule, no re-tokenization and no join back to the
+    text. pretraining_pipeline uses this form."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(count_col, id_col)
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
 def char_bigram_perplexity(

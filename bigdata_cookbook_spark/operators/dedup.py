@@ -329,7 +329,14 @@ def incremental_exact_dedup(
     batch checks in.
 
     ``seen_hashes``: one ``text_hash`` (xxhash64) column, the persisted
-    state from prior batches (None = first batch). Returns
+    state from prior batches (None = first batch). Declared semantics:
+    equality is 64-BIT-HASH equality, not byte equality — a collision
+    between two distinct texts false-drops the later doc. P(any
+    collision) ~ n^2/2^65: negligible through ~10^8 docs, a handful
+    expected at 10^10 — at that scale widen the state key to 128 bits
+    (md5 hex, or a second independent xxhash64 column) with the same
+    plan shape. The batch-mode exact_dedup groups on the full text and
+    has no such tradeoff. Returns
 
         {"kept":        batch survivors (within-batch canonical = min id,
                         AND not previously seen),
@@ -370,11 +377,15 @@ def incremental_lsh_candidates(
     corpus.
 
     ``seen_buckets``: a minhash_band_buckets table from prior batches.
-    Returns {"candidates": (doc_id, other_id) — other_id from this batch
-    or the state, deduped; "buckets": state to persist next}. The
-    cross join keys on the same (band, k*) bucket columns as the
-    within-batch self-join; with the state bucketed on those keys the
-    batch side is the only shuffle.
+    Returns {"candidates": (doc_a, doc_b) least-id-first — the same
+    orientation and column names as minhash_lsh_candidates, so
+    accumulating candidates across batches set-unions cleanly;
+    "buckets": state to persist next (distinct — replaying a batch
+    cannot grow it)}. A doc present in both the batch and the state
+    (replay, re-ingest) never pairs with itself. The cross join keys on
+    the same (band, k*) bucket columns as the within-batch self-join;
+    with the state bucketed on those keys the batch side is the only
+    shuffle.
     """
     key_cols = [f"k{j}" for j in range(band_size)]
     banded = minhash_band_buckets(
@@ -392,7 +403,7 @@ def incremental_lsh_candidates(
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     if seen_buckets is not None:
@@ -401,16 +412,25 @@ def incremental_lsh_candidates(
         for k in key_cols:
             key_eq_s = key_eq_s & (F.col(f"a.{k}") == F.col(f"s.{k}"))
         cross = (
-            a.join(s, key_eq_s & (F.col("a.band") == F.col("s.band")))
+            a.join(
+                s,
+                key_eq_s
+                & (F.col("a.band") == F.col("s.band"))
+                # replayed/re-ingested docs exist on both sides — a doc
+                # must never become a near-dup candidate of itself
+                & (F.col("a.doc_id") != F.col("s.doc_id")),
+            )
             .select(
-                F.col("a.doc_id").alias("doc_id"),
-                F.col("s.doc_id").alias("other_id"),
+                F.least(F.col("a.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("s.doc_id")).alias("doc_b"),
             )
             .distinct()
         )
         candidates = within.unionByName(cross).distinct()
-        new_state = seen_buckets.unionByName(banded)
+        # distinct: replaying a batch must not duplicate state rows
+        # (duplicates would multiply every future cross-join fan-out)
+        new_state = seen_buckets.unionByName(banded).distinct()
     else:
         candidates = within
-        new_state = banded
+        new_state = banded.distinct()
     return {"candidates": candidates, "buckets": new_state}

@@ -270,6 +270,7 @@ def pretraining_pipeline(
     min_tokens: int = 10,
     seed: int = 42,
     n_curriculum_buckets: int = 8,
+    with_accounting: bool = True,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
@@ -281,16 +282,29 @@ def pretraining_pipeline(
     Returns {clean, mixed, training_set, accounting}: ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
     with sampling.deterministic_shuffle's range partitioning and readers
-    stream a reproducible permutation; ``accounting`` is one row per
-    pipeline stage with its drop count (the audit trail a production
-    data pipeline is judged on). Every stage is deterministic: the same
-    corpus + parameters yield the same training set on any engine.
+    stream a reproducible permutation; ``accounting`` (None when
+    ``with_accounting=False``) is one row per pipeline stage with its
+    drop count (the audit trail a production data pipeline is judged
+    on). Every stage is deterministic: the same corpus + parameters
+    yield the same training set on any engine.
+
+    Cost shape: ``clean`` is persist()ed — it feeds the mix (whose quota
+    pass counts it), the curriculum, and the accounting, and without the
+    persist each of those re-executes the quality/dedup/contamination
+    lineage from scratch. Curriculum buckets come from the n_tokens
+    column clean already carries (length_curriculum_from_counts) — no
+    join back to the text, no re-tokenization. Accounting materializes
+    one count per stage; pass with_accounting=False to keep the whole
+    return lazy (counts skipped, nothing cached but ``clean``).
     """
-    from bigdata_cookbook_spark.operators.corpus import corpus_clean, length_curriculum
+    from bigdata_cookbook_spark.operators.corpus import (
+        corpus_clean,
+        length_curriculum_from_counts,
+    )
     from bigdata_cookbook_spark.operators.sampling import domain_mix_sample, shuffle_key
 
     stages = corpus_clean(docs, lang=lang, min_tokens=min_tokens, eval_df=eval_df)
-    clean = stages["kept"]
+    clean = stages["kept"].persist()
 
     mixed = (
         domain_mix_sample(clean, "source", "doc_id", target_shares)
@@ -298,8 +312,8 @@ def pretraining_pipeline(
         else clean
     )
 
-    curriculum = length_curriculum(
-        mixed.join(docs.select("doc_id", "text"), "doc_id"), n_buckets=n_curriculum_buckets
+    curriculum = length_curriculum_from_counts(
+        mixed.select("doc_id", "n_tokens"), n_buckets=n_curriculum_buckets
     )
     training_set = (
         mixed.join(curriculum.select("doc_id", "bucket"), "doc_id")
@@ -307,19 +321,26 @@ def pretraining_pipeline(
         .select("doc_id", "source", "n_tokens", "shuffle_key", "bucket")
     )
 
-    spark = docs.sparkSession
-    acc_rows = [
-        ("dropped_quality", stages["dropped_quality"]),
-        ("dropped_exact", stages["dropped_exact"]),
-        ("dropped_neardup", stages["dropped_neardup"]),
-    ]
-    if eval_df is not None:
-        acc_rows.append(("dropped_contaminated", stages["dropped_contaminated"]))
-    accounting = spark.createDataFrame(
-        [(name, df.count()) for name, df in acc_rows]
-        + [("dropped_mixing", clean.count() - mixed.count() if target_shares else 0)],
-        "stage string, n_dropped long",
-    )
+    accounting = None
+    if with_accounting:
+        spark = docs.sparkSession
+        acc_rows = [
+            ("dropped_quality", stages["dropped_quality"]),
+            ("dropped_exact", stages["dropped_exact"]),
+            ("dropped_neardup", stages["dropped_neardup"]),
+        ]
+        if eval_df is not None:
+            acc_rows.append(("dropped_contaminated", stages["dropped_contaminated"]))
+        accounting = spark.createDataFrame(
+            [(name, df.count()) for name, df in acc_rows]
+            + [
+                (
+                    "dropped_mixing",
+                    clean.count() - mixed.count() if target_shares else 0,
+                )
+            ],
+            "stage string, n_dropped long",
+        )
     return {
         "clean": clean,
         "mixed": mixed,

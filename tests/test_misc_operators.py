@@ -450,14 +450,17 @@ def test_incremental_lsh_candidates_cross_batch(spark):
         "doc_id long, text string",
     )
     r2 = incremental_lsh_candidates(b2, r1["buckets"])
-    pairs = {(r.doc_id, r.other_id) for r in r2["candidates"].collect()}
-    assert (10, 1) in pairs  # cross-batch near-dup found via state
-    # parity: batch-wise incremental covers the all-at-once union pairs
+    pairs = {(r.doc_a, r.doc_b) for r in r2["candidates"].collect()}
+    assert (1, 10) in pairs  # cross-batch near-dup found via state (least-id-first)
+    # parity: batch-wise incremental covers the all-at-once union pairs,
+    # in the same least-id-first orientation — no sorting needed
     allpairs = {
-        tuple(sorted((r[0], r[1])))
-        for r in minhash_lsh_candidates(b1.unionByName(b2)).collect()
+        (r[0], r[1]) for r in minhash_lsh_candidates(b1.unionByName(b2)).collect()
     }
-    inc_all = {tuple(sorted((r.doc_id, r.other_id))) for r in r2["candidates"].collect()} | {
-        tuple(sorted((r.doc_id, r.other_id))) for r in r1["candidates"].collect()
-    }
+    inc_all = pairs | {(r.doc_a, r.doc_b) for r in r1["candidates"].collect()}
     assert allpairs <= inc_all
+    # replay safety: re-running batch 2 against the updated state adds no
+    # state rows and never pairs a doc with itself
+    r3 = incremental_lsh_candidates(b2, r2["buckets"])
+    assert r3["buckets"].count() == r2["buckets"].count()
+    assert all(r.doc_a != r.doc_b for r in r3["candidates"].collect())
