@@ -49,6 +49,35 @@ def token_count_expr(text: Column) -> Column:
 BPE_TOKEN_PATTERN = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 \t\n\f\r']+"
 
 
+def clean_text_expr(text: Column) -> Column:
+    """Pretraining text normalization as ONE chained codegen'd
+    projection (the cleanup pass that runs before tokenization at
+    100 TB — any Python here would dominate the pipeline):
+
+    - strip C0/C1 control characters (except \\t \\n) and zero-width/
+      BOM code points (ZWSP..ZWJ, U+FEFF) that break tokenizers;
+    - normalize exotic Unicode spaces (NBSP, en/em/thin/ideographic
+      space, U+2000-200A, U+202F, U+205F) to plain space;
+    - collapse whitespace runs to one space and trim.
+
+    NOT full NFC normalization (no ICU in Spark's expression library);
+    compose with an Arrow-batched unicodedata stage if canonical
+    composition is required — for web-crawl cleanup these rules cover
+    the tokenizer-visible cases.
+    """
+    out = F.regexp_replace(
+        text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\uFEFF]",
+        "",
+    )
+    out = F.regexp_replace(
+        out,
+        "[\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]",
+        " ",
+    )
+    return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
 def bpe_token_count_expr(text: Column) -> Column:
     """BPE-ish subword-boundary token count (model-budget estimator one
     tier above whitespace counting and chars/4): number of

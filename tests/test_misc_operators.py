@@ -464,3 +464,22 @@ def test_incremental_lsh_candidates_cross_batch(spark):
     r3 = incremental_lsh_candidates(b2, r2["buckets"])
     assert r3["buckets"].count() == r2["buckets"].count()
     assert all(r.doc_a != r.doc_b for r in r3["candidates"].collect())
+
+
+def test_clean_text_expr_normalization(spark):
+    """Web-crawl cleanup rules: control chars and zero-width/BOM stripped,
+    Unicode spaces normalized, whitespace collapsed, clean text untouched."""
+    from bigdata_cookbook_spark.functions.text import clean_text_expr
+
+    cases = [
+        (0, "plain text stays", "plain text stays"),
+        (1, "zero​width‍join﻿er", "zerowidthjoiner"),
+        (2, "ctrl\x00chars\x1fgone\x7f", "ctrlcharsgone"),
+        (3, "nbsp and em　spaces", "nbsp and em spaces"),
+        (4, "  runs \t\t of\n\n space  ", "runs of space"),
+        (5, "tab\tand\nnewline kept-as-space", "tab and newline kept-as-space"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "i long, t string")
+    got = {r.i: r.c for r in df.select("i", clean_text_expr(F.col("t")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
