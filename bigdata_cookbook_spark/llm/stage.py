@@ -105,6 +105,7 @@ def pack_token_budget(
     text_col: str,
     max_tokens: int,
     order_cols: Sequence[str] | None = None,
+    estimator: str = "chars4",
 ) -> DataFrame:
     """F8: assign each row a pack_id by token budget: a pack's STARTING
     offset (cumulative estimate before the row) is always under
@@ -115,11 +116,27 @@ def pack_token_budget(
     start-offset rule trades that guarantee for a single window pass with
     no driver loop — documented deviation.)
 
-    Token estimate = chars/4 (reference labeling.py:161-162). A running
-    sum window + integer division plans the packing relationally — one
-    shuffle on the group key.
+    ``estimator`` picks the token-count tier (all pure codegen'd
+    expressions, see functions/text.py): 'chars4' = chars/4 (reference
+    labeling.py:161-162 — the oracle-pinned default), 'ws' = exact
+    whitespace count, 'bpe' = the BPE-ish pretokenizer count (closest to
+    real model budgets). A running sum window + integer division plans
+    the packing relationally — one shuffle on the group key.
     """
-    est = F.greatest((F.length(F.col(text_col)) / 4).cast("long"), F.lit(1))
+    from bigdata_cookbook_spark.functions.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    if estimator == "chars4":
+        raw = (F.length(F.col(text_col)) / 4).cast("long")
+    elif estimator == "ws":
+        raw = token_count_expr(F.col(text_col)).cast("long")
+    elif estimator == "bpe":
+        raw = bpe_token_count_expr(F.col(text_col)).cast("long")
+    else:
+        raise ValueError("estimator must be 'chars4', 'ws', or 'bpe'")
+    est = F.greatest(raw, F.lit(1))
     order = [F.col(c) for c in (order_cols or group_cols)]
     w = (
         Window.partitionBy(*group_cols)

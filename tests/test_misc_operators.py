@@ -483,3 +483,32 @@ def test_clean_text_expr_normalization(spark):
     got = {r.i: r.c for r in df.select("i", clean_text_expr(F.col("t")).alias("c")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_pack_token_budget_estimator_tiers(spark):
+    """All three estimator tiers pack validly (start offset < budget);
+    chars4 stays the oracle-pinned default; bad estimator is loud."""
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.llm.stage import pack_token_budget
+
+    rows = [(1, i, "word " * (4 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "stream int, idx int, text string")
+    for est in ("chars4", "ws", "bpe"):
+        out = pack_token_budget(
+            df, ["stream"], "text", max_tokens=20,
+            order_cols=["idx"], estimator=est,
+        ).collect()
+        assert len(out) == 12
+        # per-pack start offsets stay under the budget
+        packs: dict = {}
+        for r in sorted(out, key=lambda r: r.idx):
+            start = packs.get(r.pack_id, 0)
+            assert start < 20, (est, r.pack_id, start)
+            packs[r.pack_id] = start + r.est_tokens
+        assert len(packs) > 1  # budget actually splits the stream
+    default = pack_token_budget(df, ["stream"], "text", 20, ["idx"]).collect()
+    chars4 = pack_token_budget(df, ["stream"], "text", 20, ["idx"], "chars4").collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, chars4))
+    with _pytest.raises(ValueError):
+        pack_token_budget(df, ["stream"], "text", 20, ["idx"], "gpt5")
