@@ -279,3 +279,38 @@ def score_char_bigram_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
     )
+
+
+def nfc_normalize_stage(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode canonical normalization as an Arrow-batched mapInPandas
+    stage — the one text-cleanup rule clean_text_expr cannot express
+    JVM-side (Spark's expression library has no ICU): é as U+00E9 and
+    as U+0065+U+0301 must become one byte sequence before hashing/
+    dedup/tokenization, or visually-identical docs escape every
+    hash-based tier.
+
+    Python is acceptable here by the engine's UDF-quarantine rule
+    because the work is per-row C-implemented (stdlib unicodedata over
+    Arrow batches, no per-row Python objects beyond the string), and
+    normalization runs ONCE at ingest — not in the per-query hot path.
+    Schema and partitioning are preserved.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be NFC|NFD|NFKC|NFKD")
+    schema = docs.schema
+
+    def run(batches):
+        for pdf in batches:
+            if not pdf.empty:
+                pdf[text_col] = pdf[text_col].map(
+                    lambda t: unicodedata.normalize(form, t) if t is not None else None
+                )
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)

@@ -512,3 +512,30 @@ def test_pack_token_budget_estimator_tiers(spark):
     assert sorted(map(tuple, default)) == sorted(map(tuple, chars4))
     with _pytest.raises(ValueError):
         pack_token_budget(df, ["stream"], "text", 20, ["idx"], "gpt5")
+
+
+def test_nfc_normalize_stage_unifies_compositions(spark):
+    """Composed and decomposed é normalize to one form; exact dedup then
+    sees them as equal (the reason the stage exists); schema preserved."""
+    import unicodedata
+
+    from bigdata_cookbook_spark.operators.corpus import nfc_normalize_stage
+    from bigdata_cookbook_spark.operators.dedup import exact_dedup
+
+    composed = "café menu"
+    decomposed = "café menu"
+    assert composed != decomposed  # distinct byte sequences going in
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "doc_id long, text string"
+    )
+    out = nfc_normalize_stage(df)
+    assert out.schema == df.schema
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert texts[1] == texts[2] == unicodedata.normalize("NFC", decomposed)
+    assert texts[3] is None
+    # downstream exact dedup now collapses the pair
+    assert exact_dedup(out.filter("text IS NOT NULL")).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nfc_normalize_stage(df, form="NFX")
