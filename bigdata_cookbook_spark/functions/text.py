@@ -54,10 +54,13 @@ def clean_text_expr(text: Column) -> Column:
     projection (the cleanup pass that runs before tokenization at
     100 TB — any Python here would dominate the pipeline):
 
-    - strip C0/C1 control characters (except \\t \\n) and zero-width/
-      BOM code points (ZWSP..ZWJ, U+FEFF) that break tokenizers;
-    - normalize exotic Unicode spaces (NBSP, en/em/thin/ideographic
-      space, U+2000-200A, U+202F, U+205F) to plain space;
+    - fold whitespace-ACTING controls (VT, FF, CR, NEL U+0085) and
+      exotic Unicode spaces (NBSP, U+1680, U+2000-200A, U+2028/29,
+      U+202F, U+205F, ideographic space) to plain space — they separate
+      words, so stripping them would fuse 'page one\\x0Cpage two';
+    - strip the truly-invisible controls (remaining C0/C1, DEL) and
+      zero-width/BOM code points (ZWSP..ZWJ, U+FEFF) that break
+      tokenizers;
     - collapse whitespace runs to one space and trim.
 
     NOT full NFC normalization (no ICU in Spark's expression library);
@@ -67,12 +70,12 @@ def clean_text_expr(text: Column) -> Column:
     """
     out = F.regexp_replace(
         text,
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\uFEFF]",
+        "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x84\\x86-\\x9F\\u200B-\\u200D\\uFEFF]",
         "",
     )
     out = F.regexp_replace(
         out,
-        "[\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]",
+        "[\\x0B\\x0C\\x85\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]",
         " ",
     )
     return F.trim(F.regexp_replace(out, "\\s+", " "))

@@ -299,18 +299,18 @@ def nfc_normalize_stage(
     normalization runs ONCE at ingest — not in the per-query hot path.
     Schema and partitioning are preserved.
     """
-    import unicodedata
-
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError("form must be NFC|NFD|NFKC|NFKD")
+    if text_col not in docs.columns:
+        raise ValueError(f"column {text_col!r} not in frame: {docs.columns}")
     schema = docs.schema
 
     def run(batches):
         for pdf in batches:
             if not pdf.empty:
-                pdf[text_col] = pdf[text_col].map(
-                    lambda t: unicodedata.normalize(form, t) if t is not None else None
-                )
+                # pandas' cython str dispatch (nulls propagate natively) —
+                # not a per-row Python lambda
+                pdf[text_col] = pdf[text_col].str.normalize(form)
             yield pdf
 
     return docs.mapInPandas(run, schema=schema)

@@ -380,12 +380,15 @@ def incremental_lsh_candidates(
     Returns {"candidates": (doc_a, doc_b) least-id-first — the same
     orientation and column names as minhash_lsh_candidates, so
     accumulating candidates across batches set-unions cleanly;
-    "buckets": state to persist next (distinct — replaying a batch
-    cannot grow it)}. A doc present in both the batch and the state
-    (replay, re-ingest) never pairs with itself. The cross join keys on
-    the same (band, k*) bucket columns as the within-batch self-join;
-    with the state bucketed on those keys the batch side is the only
-    shuffle.
+    "buckets": state to persist next}. A doc present in both the batch
+    and the state (replay, re-ingest) never pairs with itself, and the
+    state update is LATEST-INGEST-WINS: rows for re-ingested doc ids are
+    replaced, so a doc whose text changed never leaves stale signatures
+    behind (and a byte-identical replay leaves the state unchanged).
+    Cost: the candidate cross join keys on the (band, k*) bucket
+    columns, the state replacement anti-joins on doc_id — with the state
+    table bucketed on those keys (plans/layout.py) both are shuffle-free
+    on the state side; nothing re-aggregates the accumulated state.
     """
     key_cols = [f"k{j}" for j in range(band_size)]
     banded = minhash_band_buckets(
@@ -427,10 +430,16 @@ def incremental_lsh_candidates(
             .distinct()
         )
         candidates = within.unionByName(cross).distinct()
-        # distinct: replaying a batch must not duplicate state rows
-        # (duplicates would multiply every future cross-join fan-out)
-        new_state = seen_buckets.unionByName(banded).distinct()
+        # latest-ingest-wins: drop the state's rows for every doc id in
+        # this batch, then append the batch's rows — replays leave the
+        # state unchanged, re-ingests with NEW text replace their stale
+        # signatures (an append-only union would keep both and future
+        # batches would pair against text the doc no longer contains).
+        # banded is already row-unique (one row per doc x band).
+        new_state = seen_buckets.join(
+            banded.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).unionByName(banded)
     else:
         candidates = within
-        new_state = banded.distinct()
+        new_state = banded
     return {"candidates": candidates, "buckets": new_state}

@@ -291,7 +291,10 @@ def pretraining_pipeline(
     Cost shape: ``clean`` is persist()ed — it feeds the mix (whose quota
     pass counts it), the curriculum, and the accounting, and without the
     persist each of those re-executes the quality/dedup/contamination
-    lineage from scratch. Curriculum buckets come from the n_tokens
+    lineage from scratch. The cache is handed to the CALLER: release it
+    with ``out["clean"].unpersist()`` once the outputs are written —
+    repeated invocations (sweeps, nightly jobs) otherwise accumulate one
+    cached corpus copy per call. Curriculum buckets come from the n_tokens
     column clean already carries (length_curriculum_from_counts) — no
     join back to the text, no re-tokenization. Accounting materializes
     one count per stage; pass with_accounting=False to keep the whole

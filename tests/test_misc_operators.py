@@ -539,3 +539,24 @@ def test_nfc_normalize_stage_unifies_compositions(spark):
 
     with _pytest.raises(ValueError):
         nfc_normalize_stage(df, form="NFX")
+
+
+def test_incremental_lsh_reingest_replaces_stale_signatures(spark):
+    """Latest-ingest-wins: a doc re-ingested with NEW text replaces its
+    bucket rows, so later batches never pair against its old content."""
+    from bigdata_cookbook_spark.operators.dedup import incremental_lsh_candidates
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame([(7, text_a)], "doc_id long, text string")
+    r1 = incremental_lsh_candidates(b1)
+    # doc 7 rewritten with unrelated content
+    b2 = spark.createDataFrame(
+        [(7, "entirely new content about columnar shuffles and codegen")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_lsh_candidates(b2, r1["buckets"])
+    # batch 3: a near-copy of doc 7's OLD text must NOT pair with doc 7
+    b3 = spark.createDataFrame([(99, text_a + " tonight")], "doc_id long, text string")
+    r3 = incremental_lsh_candidates(b3, r2["buckets"])
+    pairs = {(r.doc_a, r.doc_b) for r in r3["candidates"].collect()}
+    assert (7, 99) not in pairs
