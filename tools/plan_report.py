@@ -131,8 +131,19 @@ def main() -> None:
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
-        plan = explain_str(qs[name](spark, sf_dir), mode="formatted")
+        df = qs[name](spark, sf_dir)
+        plan = explain_str(df, mode="formatted")
         s = summarize(plan)
+        # codegen spans only appear in the EXECUTED plan under AQE (the
+        # pre-execution formatted plan is the un-finalized adaptive plan,
+        # which is why this column used to read 0 for every query).
+        # collect() — NOT a noop write, which executes a cloned
+        # QueryExecution and leaves df's own plan unfinalized — then
+        # count the *(n) span markers of the final plan. Results are
+        # bounded at sf0.01 (top-k / per-group aggregates).
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        s["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", executed)))
         rows.append((name, s))
 
     out = [
@@ -142,7 +153,8 @@ def main() -> None:
         "plan-affecting changes. Columns: join strategies in the plan; shuffle",
         "Exchange count; whether parquet PushedFilters are present (n/a = full-scan",
         "query with nothing to push); ReadSchema column count per scan (column",
-        "pruning evidence); WholeStageCodegen span count; whether an Arrow/Python",
+        "pruning evidence); WholeStageCodegen span count (from the EXECUTED",
+        "plan — AQE finalizes codegen only at runtime); whether an Arrow/Python",
         "stage exists (expected only for the NumPy GEMM tiers); and red-flag plan",
         "shapes. BroadcastNestedLoopJoin in the joins column is the deliberate",
         "tiny-broadcast cross product (calendar spine, query vectors); the red",
