@@ -191,6 +191,14 @@ def main() -> None:
     unlisted = [n for n, _ in rows if n not in EXCHANGE_CEILINGS]
     if unlisted:
         print("note: no frozen exchange ceiling yet for:", unlisted)
+    # codegen floor: every query must keep >= 1 whole-stage span — a drop
+    # to 0 means the whole plan fell out of codegen into the interpreted
+    # path (an expression change that breaks codegen does this silently;
+    # fewer spans than before is fine, fusion REDUCES the count)
+    no_codegen = [n for n, s in rows if s["codegen_spans"] == 0]
+    if no_codegen:
+        print("CODEGEN DROPOUT (0 whole-stage spans):", no_codegen)
+        failed = True
     # bench_session mkdtemp'd a scratch warehouse this tool never writes to
     benchmod.cleanup_scratch(spark)
     if failed:
