@@ -69,3 +69,34 @@ def test_masking_roundtrip_random_corpora(spark):
         assert restored.filter(F.col("restored") != F.col("text")).count() == 0
 
     check()
+
+
+def test_clean_text_idempotent_random_unicode(spark):
+    """clean_text_expr is idempotent (clean∘clean == clean) and its
+    output never contains the stripped/folded code points — over random
+    unicode including the control/zero-width/space planes it targets.
+    Batched: hypothesis generates string lists, one Spark job per list."""
+    from bigdata_cookbook_spark.functions.text import clean_text_expr
+
+    alphabet = st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates (invalid UTF-8)
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=60), min_size=1, max_size=25))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        once = df.select(
+            "i", clean_text_expr(F.col("t")).alias("c1")
+        ).withColumn("c2", clean_text_expr(F.col("c1")))
+        for r in once.collect():
+            assert r.c2 == r.c1  # idempotent
+            assert "​" not in r.c1 and "﻿" not in r.c1
+            assert "\x00" not in r.c1 and "\x0c" not in r.c1
+            assert " " not in r.c1 and "　" not in r.c1
+            assert "  " not in r.c1  # no residual whitespace runs
+            assert r.c1 == r.c1.strip()
+
+    check()
