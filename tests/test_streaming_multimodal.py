@@ -319,3 +319,47 @@ def test_perplexity_scoring_runs_in_streaming(spark, tmp_path):
     assert set(got) == {1, 2}
     # the unseen-bigram doc must score strictly worse than the in-domain one
     assert got[2][1] > got[1][1]
+
+
+def test_streaming_corpus_dedup_matches_incremental_batch(spark, tmp_path):
+    """Corpus dedup at ingest, streaming form: dropDuplicates on the
+    text hash over a document stream == the incremental batch tier's
+    kept set (first arrival wins under availableNow's in-order drain).
+    This is the continuous-ingest twin of incremental_exact_dedup — the
+    same hash rule, watermark-free because the corpus id space is
+    unbounded (state is the hash set, exactly the batch state table)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.dedup import incremental_exact_dedup
+
+    spool = str(tmp_path / "spool")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha beta", "gamma", "alpha beta", "delta", "gamma"],
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.parquet(spool)
+
+    batch_kept = {
+        r.doc_id
+        for r in incremental_exact_dedup(spark.read.parquet(spool))["kept"].collect()
+    }
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(spool)
+    q = (
+        stream.withColumn("text_hash", F.xxhash64("text"))
+        .dropDuplicates(["text_hash"])
+        .writeStream.format("memory")
+        .queryName("corpus_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM corpus_dedup_stream").collect()
+    }
+    assert got == batch_kept == {1, 2, 4}
