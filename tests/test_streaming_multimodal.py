@@ -358,7 +358,7 @@ def test_streaming_corpus_dedup_matches_incremental_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
     got = {
         r.doc_id for r in spark.sql("SELECT doc_id FROM corpus_dedup_stream").collect()
     }

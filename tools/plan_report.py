@@ -79,7 +79,6 @@ def summarize(plan: str) -> dict[str, object]:
     nodes = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
     joins = [k for k in JOIN_KINDS for n in nodes if n.startswith(k)]
     n_exchange = sum(1 for n in nodes if n == "Exchange")
-    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed_any = any(p.strip() for p in pushed)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
@@ -94,7 +93,9 @@ def summarize(plan: str) -> dict[str, object]:
         "exchanges": n_exchange,
         "pushed_filters": "yes" if pushed_any else ("n/a" if not pushed else "no"),
         "scan_widths": "/".join(map(str, widths)) or "—",
-        "codegen_spans": n_codegen,
+        # codegen_spans is filled by the caller from the EXECUTED plan —
+        # the pre-execution adaptive plan never carries codegen ids
+        "codegen_spans": 0,
         "python_stage": "yes" if python_eval else "no",
         "red_flags": "CartesianProduct" if "CartesianProduct" in joins else "—",
     }
@@ -137,13 +138,19 @@ def main() -> None:
         # codegen spans only appear in the EXECUTED plan under AQE (the
         # pre-execution formatted plan is the un-finalized adaptive plan,
         # which is why this column used to read 0 for every query).
-        # collect() — NOT a noop write, which executes a cloned
-        # QueryExecution and leaves df's own plan unfinalized — then
-        # count the *(n) span markers of the final plan. Results are
-        # bounded at sf0.01 (top-k / per-group aggregates).
-        df.collect()
+        # Drain via toLocalIterator — it finalizes df's OWN
+        # QueryExecution (a noop write executes a cloned one) with
+        # bounded driver memory at any sf_dir — then count the *(n)
+        # span markers of the final plan.
+        for _ in df.toLocalIterator():
+            pass
         executed = df._jdf.queryExecution().executedPlan().toString()
         s["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", executed)))
+        # AQE can replan a broadcast join into a CartesianProduct at
+        # runtime — the shape the red-flag gate exists to forbid — so
+        # check the executed plan too, not just the static one
+        if "CartesianProduct" in executed and s["red_flags"] == "—":
+            s["red_flags"] = "CartesianProduct(runtime)"
         rows.append((name, s))
 
     out = [
