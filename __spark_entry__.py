@@ -1590,6 +1590,32 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, eval_df, n=8, threshold=0.3)
 
 
+def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report per source/domain — the monitoring aggregate
+    a training-data pipeline runs per ingest: volume, token-length and
+    stopword profiles, and the BPE-ish budget estimator, one shuffle on
+    the bounded domain key."""
+    from bigdata_cookbook_spark.functions.text import (
+        bpe_token_count_expr,
+        quality_exprs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_exprs(F.col("text"))
+    scored = docs.select(
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        bpe_token_count_expr(F.col("text")).alias("n_bpe"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget estimators side by side (functions/text.py): exact
     whitespace count, BPE-ish pretokenizer count (GPT-2-style regex,
@@ -1678,7 +1704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: family representatives incl. the bench HEADLINE set --
         "pricing_summary": q_pricing_summary,
         "hit_count_monthly_topk": q_hit_count_monthly_topk,
-        "argmax_day_per_priority": q_argmax_day_per_priority,
         "calendar_densify_daily": q_calendar_densify_daily,
         # round-3 rotation: the four new training-data-tier queries take
         # scored-window slots from four DOUBLE-green entries (r01+r02 hash
@@ -1697,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ngram_jaccard_pairs -> tail on its r01+r02 green rows; near-dup
         # family stays pinned by minhash/simhash/embedding/clusters)
         "bpe_token_count": q_bpe_token_count,
+        # (argmax_day_per_priority -> tail on its r01+r02 green rows; the
+        # W family stays pinned in-window by calendar_densify_daily)
+        "source_quality_profile": q_source_quality_profile,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "comention_parts": q_comention_parts,
@@ -1741,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_lag": q_peak_lag,
         "skew_salted_join_segments": q_skew_salted_join_segments,
         # tail (all with double-green r01+r02 rows; rotated out round 3)
+        "argmax_day_per_priority": q_argmax_day_per_priority,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "topk_parts_per_brand": q_topk_parts_per_brand,
         "weekly_zscore": q_weekly_zscore,
@@ -2243,6 +2272,30 @@ def _bpe_token_count_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_count": _bpe_token_count_sql(),
+        "source_quality_profile": """
+            WITH scored AS (
+                SELECT source,
+                       CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                            END AS INT) AS n_tokens,
+                       ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                            ELSE CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                                 '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE)
+                                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                            END, 4) AS stopword_ratio,
+                       LEN(REGEXP_EXTRACT_ALL(LOWER(text), '<BPE>')) AS n_bpe
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_tokens), 4) AS avg_tokens,
+                   ROUND(AVG(stopword_ratio), 4) AS avg_stopword_ratio,
+                   ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens
+            FROM scored GROUP BY source
+        """.replace(
+            "<BPE>", __import__(
+                "bigdata_cookbook_spark.functions.text", fromlist=["BPE_TOKEN_PATTERN"]
+            ).BPE_TOKEN_PATTERN.replace("'", "''")
+        ),
         "training_shuffle": """
             SELECT doc_id,
                    md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,

@@ -72,6 +72,7 @@ EXCHANGE_CEILINGS = {
     # 3 of the 4 exchanges move only vocab-scale data
     "char_bigram_perplexity": 4,
     "bpe_token_count": 0,
+    "source_quality_profile": 1,
 }
 
 
@@ -129,6 +130,7 @@ def main() -> None:
         "length_curriculum",
         "char_bigram_perplexity",
         "bpe_token_count",
+        "source_quality_profile",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
