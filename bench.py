@@ -92,14 +92,20 @@ SCRATCH_WH: str | None = None
 
 
 def cleanup_scratch(spark: SparkSession) -> None:
-    """Remove the bench-created scratch warehouse, guarded so a foreign
-    session's real warehouse is never touched."""
+    """Drop the bench-created table and remove the scratch warehouse.
+
+    The DROP always runs — bench_li_bucketed is bench-created regardless
+    of which warehouse it landed in, so leaving it behind in an attached
+    foreign session would leak the table AND its data files there (DROP
+    on the managed table removes both). The rmtree targets only
+    SCRATCH_WH, the temp dir this module itself created — a foreign
+    session's warehouse path is never touched.
+    """
     import shutil
 
     if SCRATCH_WH is None:
         return
-    if spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:").rstrip("/") == SCRATCH_WH.rstrip("/"):
-        spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
     shutil.rmtree(SCRATCH_WH, ignore_errors=True)
 
 

@@ -35,6 +35,7 @@ def corpus_clean(
     eval_df: DataFrame | None = None,
     contamination_threshold: float = 0.5,
     contamination_n: int = 8,
+    broadcast_eval: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
     (+ dropped_contaminated when ``eval_df`` is given).
@@ -44,6 +45,10 @@ def corpus_clean(
     surviving doc whose n-gram containment of an eval doc reaches
     ``contamination_threshold`` (operators/dedup.contamination_pairs) is
     dropped last, so dedup never masks a contamination hit.
+
+    ``broadcast_eval`` passes through to contamination_pairs: leave True
+    only when eval_df is benchmark-sized (the broadcast contract there);
+    set False for an eval side that scales with the corpus.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
@@ -88,6 +93,7 @@ def corpus_clean(
                 # decontamination must flag the training COPY of an eval
                 # doc too — never exempt a pair on id equality here
                 exclude_self=False,
+                broadcast_eval=broadcast_eval,
             )
             .select(F.col("train_id").alias("doc_id"))
             .distinct()

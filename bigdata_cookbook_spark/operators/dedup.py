@@ -133,6 +133,7 @@ def contamination_pairs(
     n: int = 8,
     threshold: float = 0.5,
     exclude_self: bool = True,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: training docs whose n-gram overlap
     CONTAINS a large fraction of an eval doc.
@@ -153,11 +154,18 @@ def contamination_pairs(
 
     Same inverted-index shape as ngram_jaccard_pairs: only co-shingled
     pairs materialize; the join runs on xxhash64(shingle) longs (oracle
-    intersects the strings — hashes never reach the result). The eval
-    side is tiny by construction (a benchmark suite), so its shingle
-    index broadcasts; the corpus side streams through in one pass. At
-    100 TB add the document-frequency cap on shingles before the join
-    (stopword-like n-grams would otherwise fan out).
+    intersects the strings — hashes never reach the result).
+
+    ``broadcast_eval`` (default True) hints the eval shingle index for
+    broadcast — the force-hint bypasses Spark's size threshold, so the
+    default is a CONTRACT that eval_df is benchmark-sized (at most a few
+    GB of shingles: every executor holds a full copy). For an eval side
+    that scales with the corpus — or whenever the contract is in doubt —
+    pass False: same plan shape with a shuffle hash join on the shingle
+    key, no driver/executor memory cliff. The corpus side streams
+    through in one pass either way. At 100 TB add the
+    document-frequency cap on shingles before the join (stopword-like
+    n-grams would otherwise fan out).
     """
     tr = doc_shingles(corpus, text_col, id_col, n).select(
         F.col("doc_id").alias("train_id"), F.xxhash64("shingle").alias("sh")
@@ -166,12 +174,14 @@ def contamination_pairs(
         F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh")
     )
     ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    ev_side = F.broadcast(ev) if broadcast_eval else ev.hint("shuffle_hash")
     inter = (
-        tr.join(F.broadcast(ev), "sh")
+        tr.join(ev_side, "sh")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = inter.join(F.broadcast(ev_sz), "eval_id").select(
+    sz_side = F.broadcast(ev_sz) if broadcast_eval else ev_sz
+    out = inter.join(sz_side, "eval_id").select(
         "train_id",
         "eval_id",
         F.round(F.col("n_common") / F.col("n_eval"), 4).alias("containment"),
@@ -355,9 +365,11 @@ def incremental_exact_dedup(
     )
     if seen_hashes is not None:
         batch_kept = batch_kept.join(seen_hashes, "text_hash", "left_anti")
-        new_state = seen_hashes.unionByName(
-            hashed.select("text_hash")
-        ).distinct()
+        # batch_kept carries exactly one row per NOVEL hash (within-batch
+        # canonical + anti-joined against state), so appending it keeps the
+        # state globally distinct by construction — no re-aggregation of
+        # the full accumulated state per batch.
+        new_state = seen_hashes.unionByName(batch_kept.select("text_hash"))
     else:
         new_state = hashed.select("text_hash").distinct()
     return {"kept": batch_kept.drop("text_hash"), "seen_hashes": new_state}

@@ -81,8 +81,10 @@ def cooccurrence_pairs(
     With ``pack=True`` (default) pairs pack into one long (a<<32 | b,
     strict a<b ordering) so the pair shuffle rows and aggregate hash keys
     are a single fixed-width column, decoded only after the HAVING filter
-    has shrunk the result. That requires both item ids < 2^32 (holds for
-    TPC-H part keys through ~SF10k); beyond it — or for non-integer
+    has shrunk the result. That requires both item ids <= 2^31-1 (the
+    smaller id is multiplied by 2^32, so ids >= 2^31 overflow the signed
+    64-bit product into a negative key that decodes wrongly; TPC-H part
+    keys stay under 2^31 through ~SF10k); beyond it — or for non-integer
     items — ``pack=False`` shuffles the pair as a two-column key:
     identical semantics and plan shape, a fatter shuffle row (tested
     row-identical).

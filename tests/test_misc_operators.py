@@ -305,6 +305,18 @@ def test_contamination_pairs_planted_dup(spark):
     }
     assert got == {(2, 1): 1.0}
 
+    # broadcast_eval=False (eval side too big for the broadcast contract):
+    # identical results, and the shingle-index join runs as a shuffle
+    # hash join instead of the force-broadcast. (AQE may still broadcast
+    # the tiny per-eval-doc COUNT side — that one is size-gated, not
+    # forced, which is the behavior the flag exists to restore.)
+    nb = contamination_pairs(df, ev, n=8, threshold=0.3, broadcast_eval=False)
+    got_nb = {(r.train_id, r.eval_id): r.containment for r in nb.collect()}
+    assert got_nb == got
+    plan = nb._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [sh" in plan
+    assert "BroadcastHashJoin [sh" not in plan
+
 
 def test_length_curriculum_buckets_are_balanced_and_monotone(spark, sf_dir):
     from bigdata_cookbook_spark.operators.corpus import length_curriculum

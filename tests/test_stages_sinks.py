@@ -226,9 +226,21 @@ def test_bench_cleanup_scratch_never_touches_foreign_warehouse(spark, tmp_path):
     # the running test session's warehouse is NOT the scratch dir
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     assert wh.rstrip("/") != str(scratch)
-    benchmod.cleanup_scratch(spark)
-    assert not scratch.exists()          # our dir removed
-    assert os.path.exists(wh) or True    # foreign warehouse path untouched (no rmtree call against it)
+    os.makedirs(wh, exist_ok=True)
+    sentinel = os.path.join(wh, "bcs_foreign_sentinel")
+    with open(sentinel, "w") as f:
+        f.write("x")
+    try:
+        benchmod.cleanup_scratch(spark)
+        assert not scratch.exists()      # our dir removed
+        # foreign warehouse survived — dir AND its contents
+        assert os.path.exists(wh)
+        assert os.path.exists(sentinel)
+        # the bench-created table is gone from the catalog either way
+        assert not spark.catalog.tableExists("bench_li_bucketed")
+    finally:
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
     # None-state is a no-op
     benchmod.SCRATCH_WH = None
     benchmod.cleanup_scratch(spark)
