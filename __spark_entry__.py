@@ -1550,18 +1550,19 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle (training-data serving order).
 
     Emits the md5(id:seed) shuffle key (operators/sampling.shuffle_key)
-    and the total-order position under it. The production operator —
-    sampling.deterministic_shuffle — realizes the SAME order with
-    repartitionByRange + sortWithinPartitions (no single-reducer sort;
-    tests/test_sampling.py pins the file order == this rank order); the
-    registry query materializes the rank explicitly so the permutation
-    itself is value-oracled against DuckDB."""
-    from bigdata_cookbook_spark.operators.sampling import shuffle_key
+    and the total-order position under it via sampling.global_rank —
+    the distributed rank (range partition + local sort + broadcast
+    offsets), NOT a partitionless row_number window, so the fact table
+    never funnels through one task. The production serving operator —
+    sampling.deterministic_shuffle — realizes the same order as a file
+    layout (tests/test_sampling.py pins file order == this rank order);
+    the registry query materializes the rank explicitly so the
+    permutation itself is value-oracled against DuckDB."""
+    from bigdata_cookbook_spark.operators.sampling import global_rank, shuffle_key
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", shuffle_key(F.col("doc_id"), 42).alias("shuffle_key"))
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return keyed.withColumn("rank", F.row_number().over(w))
+    return global_rank(keyed, ["shuffle_key", "doc_id"], rank_col="rank")
 
 
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,11 +164,12 @@ def length_curriculum(
 
     Exact ntile over (n_tokens, id) — the id tiebreak makes bucket
     boundaries deterministic, so the assignment is engine-portable (the
-    DuckDB oracle reproduces it bit-for-bit). ntile's global ordering is
-    a single-reducer sort; that is fine up to ~10^8 docs of 8-byte pairs,
-    and beyond it the same contract is served by approxQuantile cutoffs
-    broadcast as range predicates (identical buckets up to quantile
-    error) — the declared scale path, same output schema.
+    DuckDB oracle reproduces it bit-for-bit with NTILE). Realized
+    WITHOUT the single-reducer ntile window: sampling.global_rank gives
+    the distributed total-order rank (range partition + local sort),
+    and the SQL NTILE assignment is a closed-form expression of (rank,
+    total count, n_buckets) — bit-identical buckets, fact table moves
+    through one range exchange.
     """
     from bigdata_cookbook_spark.functions.text import token_count_expr
 
@@ -190,11 +191,29 @@ def length_curriculum_from_counts(
     """Curriculum bucketing when the token counts ALREADY exist as a
     column (e.g. corpus_clean's kept frame carries n_tokens) — same
     ntile-with-tiebreak rule, no re-tokenization and no join back to the
-    text. pretraining_pipeline uses this form."""
-    from pyspark.sql import Window
+    text. pretraining_pipeline uses this form.
 
-    w = Window.orderBy(count_col, id_col)
-    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    SQL NTILE(n) over N rows puts q+1 rows in each of the first
+    ``rem = N mod n`` buckets and q = N div n in the rest; given the
+    total-order rank r that is
+        r <= rem*(q+1)  ->  (r-1) div (q+1) + 1
+        else            ->  rem + (r-1-rem*(q+1)) div q + 1
+    — evaluated as a column expression over global_rank's (rank, total),
+    so no partitionless window ever touches the fact table. Parity with
+    F.ntile is pinned by tests/test_sampling.py."""
+    from bigdata_cookbook_spark.operators.sampling import global_rank
+
+    ranked = global_rank(
+        df, [count_col, id_col], rank_col="__r", total_col="__N"
+    )
+    r, big_n = F.col("__r"), F.col("__N")
+    n = F.lit(n_buckets)
+    q = (big_n / n).cast("long")
+    rem = big_n % n
+    bucket = F.when(
+        r <= rem * (q + 1), ((r - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((r - 1 - rem * (q + 1)) / q).cast("long") + 1)
+    return ranked.select(*df.columns, bucket.cast("int").alias("bucket"))
 
 
 def char_bigram_perplexity(

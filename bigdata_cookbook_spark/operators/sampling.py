@@ -164,6 +164,70 @@ def deterministic_shuffle(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column | str],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Total-order 1-based rank with NO single-reducer window — the
+    distributed equivalent of ``row_number().over(Window.orderBy(...))``.
+
+    A partitionless window forces the whole input through one task
+    (Exchange SinglePartition) — the plan shape tools/plan_report.py
+    red-flags on fact tables. This operator realizes the identical rank
+    values scale-correctly: range-partition + local sort (the standard
+    Spark total-order path — sampled boundaries, every partition sorts
+    in parallel), then ``monotonically_increasing_id`` reads off the
+    within-partition position JVM-side (rows stream out of the sort in
+    order; id = pid<<33 | local_index), and a partition-count aggregate
+    (tiny: one row per partition) yields broadcast cumulative offsets.
+    rank = offset(pid) + local_index + 1. Rank values are independent of
+    where the sampled range boundaries fall because the ordering is
+    total — ``order_by`` MUST be a total order (include an id
+    tiebreaker), or ranks within ties become partition-layout-dependent.
+
+    The fact table moves through exactly ONE shuffle (the range
+    exchange); the offsets branch re-reads that shuffle's files and
+    aggregates to partition-count scale. Per-partition row counts are
+    bounded by 2^33 (the monotonic-id local field) — at 8.6B rows per
+    partition you have a partitioning problem long before an id one.
+
+    ``total_col``: also attach the global row count (needed e.g. by the
+    exact-ntile formula in operators/corpus.length_curriculum).
+    """
+    sess = df.sparkSession
+    n = n_partitions or sess.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    tagged = parted.withColumn("__mid", F.monotonically_increasing_id())
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = tagged.groupBy(F.shiftright("__mid", 33).alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    off_cols = [
+        F.col("__pid"),
+        (F.sum("__n").over(w_run) - F.col("__n")).alias("__off"),
+    ]
+    if total_col is not None:
+        off_cols.append(
+            F.sum("__n").over(Window.partitionBy(F.lit(1))).alias(total_col)
+        )
+    offsets = counts.select(*off_cols)
+    joined = tagged.join(
+        F.broadcast(offsets), F.shiftright("__mid", 33) == F.col("__pid"), "inner"
+    )
+    keep = [c for c in df.columns]
+    out_cols = keep + [(F.col("__off") + local + 1).alias(rank_col)]
+    if total_col is not None:
+        out_cols.append(F.col(total_col))
+    return joined.select(*out_cols)
+
+
 def domain_mix_sample(
     df: DataFrame,
     domain_col: str,

@@ -157,3 +157,109 @@ def test_domain_mix_exact_quotas_and_stability(spark, sf_dir):
     # unknown domain -> loud error
     with pytest.raises(ValueError):
         domain_mix_sample(docs, "source", "doc_id", {"nope": 1.0})
+
+
+def test_global_rank_matches_partitionless_row_number(spark, sf_dir):
+    """global_rank == row_number().over(Window.orderBy(...)) bit-for-bit,
+    asc and desc, while the plan keeps the fact table out of any
+    single-partition exchange (the scale point of the operator)."""
+    from pyspark.sql import Window as W
+
+    from bigdata_cookbook_spark.operators.sampling import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    cases = [
+        (["doc_id"], W.orderBy("doc_id")),
+        (
+            [F.length("text").desc(), F.col("doc_id")],
+            W.orderBy(F.length("text").desc(), F.col("doc_id")),
+        ),
+    ]
+    for cols, win in cases:
+        got = {r.doc_id: r.rk for r in global_rank(docs, cols, rank_col="rk").collect()}
+        want = {
+            r.doc_id: r.rk
+            for r in docs.withColumn("rk", F.row_number().over(win)).collect()
+        }
+        assert got == want
+
+    # ranks invariant under the range-partition width (boundaries move,
+    # total order does not)
+    for n in (3, 7, 64):
+        got_n = {
+            r.doc_id: r.rk
+            for r in global_rank(docs, ["doc_id"], rank_col="rk", n_partitions=n).collect()
+        }
+        assert got_n == {r.doc_id: r.rk for r in global_rank(docs, ["doc_id"], rank_col="rk").collect()}
+
+    # total_col carries the exact global count on every row
+    tot = global_rank(docs, ["doc_id"], total_col="N").select("N").distinct().collect()
+    assert [r.N for r in tot] == [docs.count()]
+
+
+def test_global_rank_plan_has_no_single_partition_fact_exchange(spark, sf_dir):
+    """The executed plan's only SinglePartition exchanges sit above the
+    tiny per-partition-count aggregate, never on the fact path — exactly
+    what the plan_report GlobalWindowOverScan gate checks for."""
+    import importlib.util
+
+    from bigdata_cookbook_spark.operators.sampling import global_rank
+
+    spec = importlib.util.spec_from_file_location("prmod", "/root/repo/tools/plan_report.py")
+    pr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pr)
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = global_rank(docs, ["doc_id"], rank_col="rk")
+    for _ in df.toLocalIterator():
+        pass
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert pr.global_windows_over_scans(executed) == []
+
+
+def test_plan_gate_flags_planted_global_window_over_scan(spark, sf_dir):
+    """The done-criterion for the round-4 gate: a partitionless ordered
+    window straight over a fact scan IS flagged; the legitimate shapes
+    (partitioned, partition-no-order, post-aggregate, post-limit) are
+    NOT."""
+    import importlib.util
+
+    from pyspark.sql import Window as W
+
+    spec = importlib.util.spec_from_file_location("prmod", "/root/repo/tools/plan_report.py")
+    pr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pr)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def executed_plan(df):
+        for _ in df.toLocalIterator():
+            pass
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    planted = docs.withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    assert pr.global_windows_over_scans(executed_plan(planted)), "planted fact-table global window must be flagged"
+
+    partitioned = docs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    assert pr.global_windows_over_scans(executed_plan(partitioned)) == []
+
+    part_no_order = docs.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    assert pr.global_windows_over_scans(executed_plan(part_no_order)) == []
+
+    post_agg = (
+        docs.groupBy("source")
+        .count()
+        .withColumn("rn", F.row_number().over(W.orderBy("source")))
+    )
+    assert pr.global_windows_over_scans(executed_plan(post_agg)) == []
+
+    post_limit = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    )
+    assert pr.global_windows_over_scans(executed_plan(post_limit)) == []

@@ -64,16 +64,99 @@ EXCHANGE_CEILINGS = {
     "sequence_pack": 2,
     "bm25_topk": 2,
     "hybrid_search_rrf": 2,
-    "training_shuffle": 1,
+    # global_rank (round 4): the FACT table moves through exactly one
+    # range exchange; the other three are partition-count-scale (tiny
+    # offsets aggregate + its running-sum/total windows). Traded up from
+    # the round-3 single-exchange plan whose one exchange was an
+    # Exchange SinglePartition over the whole fact table — the shape
+    # the GlobalWindowOverScan red flag now forbids.
+    "training_shuffle": 4,
     "domain_mix_sample": 1,
     "benchmark_contamination": 2,
-    "length_curriculum": 1,
+    "length_curriculum": 4,
     # two corpus passes by design (train bigram counts, then score);
     # 3 of the 4 exchanges move only vocab-scale data
     "char_bigram_perplexity": 4,
     "bpe_token_count": 0,
     "source_quality_profile": 1,
 }
+
+
+# Queries allowed to run a partitionless Window directly over a scan —
+# each entry must carry the reason the global frame is safe at scale.
+# Everything else that does so fails the gate: a global window over a
+# fact table funnels the whole input through ONE task (Exchange
+# SinglePartition), the canonical silent 100x-scale killer.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split 'Window [a], [b], [c]...' argument text into its top-level
+    [...] groups (brackets inside expressions nest correctly)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def global_windows_over_scans(plan: str) -> list[str]:
+    """Return the Window lines that have NO partition spec and NO
+    aggregate anywhere beneath them in ``plan`` (a physical-plan tree
+    string, e.g. ``executedPlan().toString()``).
+
+    A Window node prints [functions], [partitionSpec], [orderSpec] with
+    EMPTY specs omitted: three groups = partitioned; two groups is
+    ambiguous (partitioned-unordered OR partitionless-ordered) and is
+    told apart by the order-direction tokens (ASC/DESC) every sort
+    order carries — a second group WITH them is an order spec, i.e. no
+    partition. A partitionless Window's required child distribution is
+    a single partition, so unless an upstream Aggregate has already
+    collapsed the frame to group-level rows, the entire input
+    serializes through one task. Post-aggregation global windows (the
+    W8/W9/A10 family — peak detection, cross-source alignment, score
+    normalization over weekly/per-entity frames) are legitimate and
+    pass: their subtree contains the Aggregate.
+    """
+    lines = plan.splitlines()
+    offending = []
+    for i, line in enumerate(lines):
+        m = re.match(r"^([\s:+|*()\d-]*?)Window (\[.*)$", line)
+        if m is None:
+            continue
+        indent = len(m.group(1))
+        groups = _top_level_groups(m.group(2))
+        if len(groups) >= 3:
+            continue  # partitioned (and ordered)
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # partitioned, no order spec (e.g. count over partition)
+        bounded = False
+        for below in lines[i + 1 :]:
+            m2 = re.match(r"^([\s:+|-]*)", below)
+            if len(m2.group(1)) <= indent or not below.strip():
+                break
+            # nodes that bound the frame the window sees: an aggregate
+            # collapses to group-level rows; a limit (TakeOrdered /
+            # Global/CollectLimit) caps it at k rows — both make the
+            # single-partition requirement a constant-size frame
+            if re.search(r"Aggregate\(|TakeOrderedAndProject|GlobalLimit|CollectLimit", below):
+                bounded = True
+                break
+        if not bounded:
+            offending.append(line.strip())
+    return offending
 
 
 def summarize(plan: str) -> dict[str, object]:
@@ -153,6 +236,9 @@ def main() -> None:
         # check the executed plan too, not just the static one
         if "CartesianProduct" in executed and s["red_flags"] == "—":
             s["red_flags"] = "CartesianProduct(runtime)"
+        if name not in GLOBAL_WINDOW_ALLOWLIST and global_windows_over_scans(executed):
+            flag = "GlobalWindowOverScan"
+            s["red_flags"] = flag if s["red_flags"] == "—" else f"{s['red_flags']}, {flag}"
         rows.append((name, s))
 
     out = [
