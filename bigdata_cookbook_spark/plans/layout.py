@@ -194,6 +194,85 @@ def write_zordered(
     )
 
 
+def _write_manifest(path: str, payload: dict) -> None:
+    """Atomically publish a commit manifest: write to a temp name, fsync,
+    rename into place. The rename is the commit point — a manifest either
+    exists complete or not at all."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _promote(staged: str, dst: str, retired_root: str) -> None:
+    """Swap one directory into place with recoverable renames: retire the
+    current dst (atomic rename into the staging area's __retired__ pen),
+    then promote the staged dir (atomic rename). A crash between the two
+    leaves dst absent — but the manifest + staged dir make roll-forward
+    (recover_pending) complete the promote; the OLD data is never deleted
+    until the whole commit is done."""
+    import shutil
+
+    if os.path.isdir(dst):
+        os.makedirs(retired_root, exist_ok=True)
+        retired = os.path.join(retired_root, os.path.basename(dst.rstrip("/")))
+        if os.path.isdir(retired):  # re-run after crash mid-promote
+            shutil.rmtree(retired)
+        os.rename(dst, retired)
+    os.rename(staged, dst)
+
+
+def recover_pending(base_path: str) -> dict[str, int]:
+    """Roll FORWARD any interrupted compact_files/upsert_partitions commit
+    on ``base_path``: manifests are written only after staging succeeded,
+    so the staged data is complete by construction and finishing the
+    renames is always safe. Idempotent — call it at open time or before
+    re-running the operator. Returns {"recovered": n_manifests,
+    "promoted": n_dirs}.
+
+    Manifest/staging names are dot-prefixed, so Spark/Hadoop listings of
+    ``base_path`` (or its parent) never see in-flight commit state; a
+    reader during the crash window sees the OLD partition bytes, or
+    briefly none for the one directory mid-promote — never a half-written
+    mix."""
+    import json
+    import shutil
+
+    recovered = promoted = 0
+    parent = os.path.dirname(base_path.rstrip("/"))
+    for where in {parent, base_path.rstrip("/")}:
+        if not os.path.isdir(where):
+            continue
+        for fn in sorted(os.listdir(where)):
+            if not (fn.startswith("._commit_manifest_") and fn.endswith(".json")):
+                continue
+            mpath = os.path.join(where, fn)
+            with open(mpath) as f:
+                m = json.load(f)
+            if os.path.abspath(m["base"]) != os.path.abspath(base_path.rstrip("/")):
+                continue
+            tmp = m["tmp"]
+            retired_root = os.path.join(tmp, "__retired__")
+            for rel in m["promote"]:
+                # rel == "" is the whole-dir swap (compact): staged
+                # content lives at tmp/__data__ so the retired pen can
+                # sit beside it inside tmp
+                staged = os.path.join(tmp, rel or "__data__")
+                dst = os.path.join(m["base"], rel) if rel else m["base"]
+                if os.path.isdir(staged):
+                    _promote(staged, dst, retired_root)
+                    promoted += 1
+            os.remove(mpath)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            recovered += 1
+    return {"recovered": recovered, "promoted": promoted}
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -212,14 +291,19 @@ def compact_files(
     file count, its own swap), so sizing is truly per partition value
     and an interrupted run leaves at most one partition mid-rewrite.
 
-    The temp-dir-then-swap keeps the rewrite out of readers' view until
-    the swap, but the rmtree+rename pair itself is NOT atomic on a plain
-    filesystem: a concurrent reader can catch the gap between the two
-    calls, and a crash inside it leaves the data only under the
-    ``__compact_*`` temp dir (recoverable by hand). Table formats
-    (Delta/Iceberg) solve this with metadata commits; this operator is
-    the plain-parquet best effort. Returns {"files_before": n,
-    "files_after": m} (totals across partitions).
+    Commit protocol (write-audit-publish, round 4): stage the rewrite to
+    a dot-prefixed temp dir, atomically publish a commit manifest
+    (temp-write + fsync + rename), then promote via two renames (retire
+    old -> promote staged). The OLD bytes are never deleted until the
+    commit completes, and a crash at ANY point is recoverable: before
+    the manifest, the base is untouched (stale temp dirs are inert);
+    after it, ``recover_pending`` rolls the commit forward from the
+    staged data — which the manifest's existence guarantees is complete.
+    Readers on a plain filesystem see old bytes, or new bytes, or (for
+    the one directory mid-promote) briefly none — never a half-written
+    mix; table formats (Delta/Iceberg) close that last absence window
+    with metadata commits, which plain parquet cannot express. Returns
+    {"files_before": n, "files_after": m} (totals across partitions).
     """
     import math
     import shutil
@@ -247,6 +331,7 @@ def compact_files(
             after_total += r["files_after"]
         return {"files_before": before_total, "files_after": after_total}
 
+    recover_pending(path)  # finish any interrupted prior commit first
     before, total_bytes = dir_stats(path)
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     # dot-prefixed temp dir: Spark/Hadoop file listing skips ._* names,
@@ -254,10 +339,15 @@ def compact_files(
     # sees the half-written rewrite (matters for the per-partition case,
     # where the temp dir is a sibling inside the table root)
     parent, base = os.path.split(path.rstrip("/"))
-    tmp = os.path.join(parent, f"._compact_{base}_{uuid.uuid4().hex[:8]}")
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    cid = uuid.uuid4().hex[:8]
+    tmp = os.path.join(parent, f"._compact_{base}_{cid}")
+    staged = os.path.join(tmp, "__data__")
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staged)
+    manifest = os.path.join(parent, f"._commit_manifest_{cid}.json")
+    _write_manifest(manifest, {"base": path.rstrip("/"), "tmp": tmp, "promote": [""]})
+    _promote(staged, path.rstrip("/"), os.path.join(tmp, "__retired__"))
+    os.remove(manifest)
+    shutil.rmtree(tmp, ignore_errors=True)
     after, _ = dir_stats(path)
     return {"files_before": before, "files_after": after}
 
@@ -286,20 +376,26 @@ def upsert_partitions(
     partition directory into place. The shuffle is one anti-join keyed
     on ``keys`` over the affected slice, never the whole table.
 
-    Staging + swap (the compact_files pattern) rather than an in-place
-    dynamic partition overwrite: the base is being READ by the same job
-    that would overwrite it, and a mid-commit failure of an in-place
-    write can leave touched partitions half-rewritten; with staging, a
-    failure before the swap leaves the base untouched, and the swap
-    itself is per-partition (at most one partition mid-swap on a
-    crash). No session conf is mutated. Untouched partitions stay
-    byte-identical. Returns {"partitions_rewritten": n, "rows_upserted": m}.
+    Staging + manifest commit (the compact_files protocol) rather than
+    an in-place dynamic partition overwrite: the base is being READ by
+    the same job that would overwrite it, and a mid-commit failure of an
+    in-place write can leave touched partitions half-rewritten. Here a
+    failure before the manifest leaves the base untouched (stale ._
+    staging dirs are inert and invisible to Spark listings); after the
+    manifest, the staged data is complete by construction and
+    ``recover_pending`` — run automatically at the next call, or
+    explicitly — rolls the commit forward. Old partition bytes are
+    retired by rename (not deleted) until the commit finishes, so no
+    crash point can strand a half-written or lost partition. No session
+    conf is mutated. Untouched partitions stay byte-identical. Returns
+    {"partitions_rewritten": n, "rows_upserted": m}.
     """
     import shutil
     import uuid
 
     from pyspark.sql import functions as F
 
+    recover_pending(base_path)  # finish any interrupted prior commit
     updates = updates.persist()
     try:
         n_rows = updates.count()  # materializes the one evaluation
@@ -312,18 +408,22 @@ def upsert_partitions(
         survivors = base.join(updates.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(updates.select(*survivors.columns))
         parent, name = os.path.split(base_path.rstrip("/"))
-        tmp = os.path.join(parent, f"._upsert_{name}_{uuid.uuid4().hex[:8]}")
+        cid = uuid.uuid4().hex[:8]
+        tmp = os.path.join(parent, f"._upsert_{name}_{cid}")
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-        swapped = 0
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith(f"{partition_col}="):
-                continue
-            dst = os.path.join(base_path, d)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.rename(os.path.join(tmp, d), dst)
-            swapped += 1
+        staged_dirs = sorted(
+            d for d in os.listdir(tmp) if d.startswith(f"{partition_col}=")
+        )
+        manifest = os.path.join(base_path, f"._commit_manifest_{cid}.json")
+        _write_manifest(
+            manifest,
+            {"base": base_path.rstrip("/"), "tmp": tmp, "promote": staged_dirs},
+        )
+        retired_root = os.path.join(tmp, "__retired__")
+        for d in staged_dirs:
+            _promote(os.path.join(tmp, d), os.path.join(base_path, d), retired_root)
+        os.remove(manifest)
         shutil.rmtree(tmp, ignore_errors=True)
-        return {"partitions_rewritten": swapped, "rows_upserted": n_rows}
+        return {"partitions_rewritten": len(staged_dirs), "rows_upserted": n_rows}
     finally:
         updates.unpersist()

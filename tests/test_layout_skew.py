@@ -387,3 +387,149 @@ class TestUpsertPartitions:
         )
         assert stats == {"partitions_rewritten": 0, "rows_upserted": 0}
         assert spark.read.parquet(path).count() == 1
+
+
+class TestCrashSafeCommit:
+    """Fault injection for the round-4 write-audit-publish commit:
+    whatever point the process dies at, a reader sees old-or-new table
+    bytes (never a half-written mix), and recover_pending rolls any
+    post-manifest crash forward to the new state."""
+
+    @staticmethod
+    def _mktable(spark, tmp_path, name):
+        base = spark.createDataFrame(
+            [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+            "k int, v string, day string",
+        )
+        path = str(tmp_path / name)
+        base.write.mode("overwrite").partitionBy("day").parquet(path)
+        return path
+
+    def test_crash_between_stage_and_manifest_leaves_base_untouched(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Die after staging but BEFORE the manifest rename: the base is
+        bit-identical old state; the stale ._ staging dir is invisible to
+        Spark and inert; a later upsert run succeeds normally."""
+        import bigdata_cookbook_spark.plans.layout as layout
+
+        path = self._mktable(spark, tmp_path, "t_pre_manifest")
+        old = {(r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()}
+        updates = spark.createDataFrame(
+            [(3, "c2", "d2")], "k int, v string, day string"
+        )
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before manifest")
+
+        monkeypatch.setattr(layout, "_write_manifest", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            layout.upsert_partitions(spark, path, updates, ["k"], "day")
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == old
+        monkeypatch.undo()
+        stats = layout.upsert_partitions(spark, path, updates, ["k"], "day")
+        assert stats["partitions_rewritten"] == 1
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == {(1, "d1"): "a", (2, "d1"): "b", (3, "d2"): "c2"}
+
+    def test_crash_between_manifest_and_swap_rolls_forward(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Die AFTER the manifest publish, before any promote: readers
+        still see the complete OLD state; recover_pending completes the
+        commit to the complete NEW state."""
+        import bigdata_cookbook_spark.plans.layout as layout
+
+        path = self._mktable(spark, tmp_path, "t_post_manifest")
+        old = {(r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()}
+        updates = spark.createDataFrame(
+            [(3, "c2", "d2"), (4, "d", "d3")], "k int, v string, day string"
+        )
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before promote")
+
+        monkeypatch.setattr(layout, "_promote", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            layout.upsert_partitions(spark, path, updates, ["k"], "day")
+        # old state fully readable (manifest + staging are ._-prefixed)
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == old
+        monkeypatch.undo()
+        rec = layout.recover_pending(path)
+        assert rec["recovered"] == 1 and rec["promoted"] == 2
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == {(1, "d1"): "a", (2, "d1"): "b", (3, "d2"): "c2", (4, "d3"): "d"}
+        # idempotent: nothing left to recover
+        assert layout.recover_pending(path) == {"recovered": 0, "promoted": 0}
+
+    def test_crash_mid_promote_retired_but_not_promoted(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Die between the retire rename and the promote rename of one
+        partition (the worst point): the partition is briefly absent, the
+        rest of the table is old bytes, and recovery restores the NEW
+        partition — nothing is ever half-written or lost."""
+        import os
+
+        import bigdata_cookbook_spark.plans.layout as layout
+
+        path = self._mktable(spark, tmp_path, "t_mid_promote")
+        updates = spark.createDataFrame(
+            [(3, "c2", "d2")], "k int, v string, day string"
+        )
+        real_rename = os.rename
+        state = {"renames": 0}
+
+        def flaky_rename(src, dst):
+            real_rename(src, dst)
+            # first rename inside _promote is the retire; die right after
+            if "__retired__" in dst:
+                raise RuntimeError("injected crash mid-promote")
+
+        monkeypatch.setattr(layout.os, "rename", flaky_rename)
+        with pytest.raises(RuntimeError, match="mid-promote"):
+            layout.upsert_partitions(spark, path, updates, ["k"], "day")
+        monkeypatch.undo()
+        # d2 is mid-swap (absent), d1 intact old bytes — and recovery
+        # completes to the new state
+        assert not os.path.isdir(os.path.join(path, "day=d2"))
+        rec = layout.recover_pending(path)
+        assert rec["recovered"] == 1 and rec["promoted"] == 1
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == {(1, "d1"): "a", (2, "d1"): "b", (3, "d2"): "c2"}
+
+    def test_compact_crash_after_manifest_rolls_forward(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """compact_files same protocol: crash after manifest -> old bytes
+        still served; recover_pending publishes the compacted dir."""
+        import glob as globmod
+
+        import bigdata_cookbook_spark.plans.layout as layout
+
+        df = spark.range(1000).withColumn("v", F.col("id") * 2)
+        path = str(tmp_path / "cmp")
+        df.repartition(24).write.mode("overwrite").parquet(path)
+        n_before = len(globmod.glob(f"{path}/*.parquet"))
+        assert n_before >= 24
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before promote")
+
+        monkeypatch.setattr(layout, "_promote", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            layout.compact_files(spark, path, target_mb=256)
+        assert spark.read.parquet(path).count() == 1000  # old state intact
+        assert len(globmod.glob(f"{path}/*.parquet")) == n_before
+        monkeypatch.undo()
+        rec = layout.recover_pending(path)
+        assert rec["recovered"] == 1 and rec["promoted"] == 1
+        assert spark.read.parquet(path).count() == 1000
+        assert len(globmod.glob(f"{path}/*.parquet")) == 1  # compacted
