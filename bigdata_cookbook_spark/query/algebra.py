@@ -173,13 +173,25 @@ class Similarity:
     Not a boolean predicate — contributes the relevance score used by
     sort/rerank (Q11). Cosine is computed JVM-side over the embedding
     column against a broadcast-literal query vector.
+
+    ``embedder`` plugs in the model that embeds the QUERY sentence
+    (signature ``(text, dim) -> list[float]``): None = the deterministic
+    hashing-trick stub — the test tier, matching the fixture corpus's
+    precomputed column. A live model (llm/embedding_backend.
+    make_openai_embedding_backend) slots in as
+    ``embedder=lambda t, d: backend([t])[0]`` — and the corpus-side
+    column it must pair with comes from embedding_backend.embed_stage
+    with the same backend. Query-side embedding happens ONCE at plan
+    build (driver-side, one string), never per row.
     """
 
     sentence: str
     dim: int = 16
+    embedder: object = None
 
     def score_column(self) -> Column:
-        q = _embedding(self.sentence, self.dim)
+        embed = self.embedder if self.embedder is not None else _embedding
+        q = embed(self.sentence, self.dim)
         qcol = F.array(*[F.lit(float(v)) for v in q])
         e = F.col("embedding").cast("array<double>")
         dot = F.aggregate(

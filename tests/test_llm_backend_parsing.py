@@ -198,3 +198,131 @@ def test_backend_concurrency_capped_by_semaphore():
     out = backend([{"id": i, "entity_id": "E", "text": "t"} for i in range(6)])
     assert len(out) == 6 and len(log) == 6
     assert state["max_inflight"] == 2  # semaphore is the ceiling
+
+
+class _FakeEmbedData:
+    def __init__(self, index, embedding):
+        self.index = index
+        self.embedding = embedding
+
+
+class _FakeEmbedResp:
+    def __init__(self, data):
+        self.data = data
+
+
+def _fake_embed_client(fail_times=0, dim=4, calls=None):
+    """OpenAI-shaped fake: embeddings.create returns per-input vectors
+    derived from text length (deterministic), failing the first
+    ``fail_times`` calls to exercise the retry path."""
+    state = {"n": 0}
+
+    class _Embeddings:
+        async def create(self, model, input):
+            state["n"] += 1
+            if calls is not None:
+                calls.append(list(input))
+            if state["n"] <= fail_times:
+                raise RuntimeError("transient provider error")
+            return _FakeEmbedResp(
+                [
+                    # reversed index order: the backend must reorder by
+                    # the index field, not trust list position
+                    _FakeEmbedData(i, [float(len(t))] * dim)
+                    for i, t in reversed(list(enumerate(input)))
+                ]
+            )
+
+    class _Client:
+        embeddings = _Embeddings()
+
+    return _Client()
+
+
+def test_embedding_backend_orders_batches_and_retries():
+    from bigdata_cookbook_spark.llm.embedding_backend import (
+        make_openai_embedding_backend,
+    )
+
+    calls = []
+    sleeps = []
+
+    async def fake_sleep(s):
+        sleeps.append(s)
+
+    backend = make_openai_embedding_backend(
+        client_factory=lambda: _fake_embed_client(fail_times=2, calls=calls),
+        batch_rows=2,
+        max_retries=3,
+        sleep=fake_sleep,
+    )
+    texts = ["a", "bb", "ccc", "dddd", "eeeee"]
+    vecs = backend(texts)
+    # order-preserving across micro-batches AND within (index field)
+    assert [v[0] for v in vecs] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    # 5 texts / batch_rows=2 -> 3 successful calls (+2 failed retries)
+    assert len(calls) == 5
+    # the instant fake sleep never yields, so the first chunk eats both
+    # injected failures: backoff 2^0 then 2^1
+    assert sleeps == [1.0, 2.0]
+
+
+def test_embedding_backend_exhausted_retries_raise():
+    from bigdata_cookbook_spark.llm.embedding_backend import (
+        make_openai_embedding_backend,
+    )
+
+    async def fake_sleep(s):
+        pass
+
+    backend = make_openai_embedding_backend(
+        client_factory=lambda: _fake_embed_client(fail_times=10),
+        max_retries=2,
+        sleep=fake_sleep,
+    )
+    with pytest.raises(RuntimeError, match="transient"):
+        backend(["x"])
+
+
+def test_embed_stage_unique_texts_and_similarity_plug(spark):
+    """embed_stage embeds each unique text once (dedup -> join-back),
+    emits array<float>, and the hash backend column matches the fixture
+    _embedding exactly — so Similarity's default query-side stub pairs
+    with it. A custom embedder changes scores; the default matches."""
+    from bigdata_cookbook_spark.llm.embedding_backend import (
+        embed_stage,
+        make_hash_embedding_backend,
+    )
+    from bigdata_cookbook_spark.query.algebra import Similarity
+    from bigdata_cookbook_spark.sources.fixtures import _embedding
+
+    rows = [(i, t) for i, t in enumerate(["alpha beta", "gamma", "alpha beta", None])]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # executor-side call counting needs an accumulator (a closure list
+    # would mutate only the serialized worker copy)
+    n_embedded = spark.sparkContext.accumulator(0)
+    inner = make_hash_embedding_backend(dim=16)
+
+    def counting_backend(texts):
+        n_embedded.add(len(texts))
+        return inner(texts)
+
+    out = embed_stage(df, counting_backend)
+    got = {r.doc_id: r.embedding for r in out.collect()}
+    assert len(got) == 4
+    assert n_embedded.value == 3  # unique texts only (dedup -> join-back)
+    want = _embedding("alpha beta", 16)
+    assert got[0] == got[2]
+    # array<float> storage is float32 — compare at that precision
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got[0], want))
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+
+    sim_default = Similarity("alpha beta", dim=16)
+    scored = out.filter("doc_id = 0").select(sim_default.score_column().alias("s")).first()
+    assert abs(scored.s - 1.0) < 1e-6  # same stub both sides -> cosine 1
+
+    sim_custom = Similarity(
+        "alpha beta", dim=16, embedder=lambda t, d: [1.0] * d
+    )
+    s2 = out.filter("doc_id = 0").select(sim_custom.score_column().alias("s")).first()
+    assert abs(s2.s - scored.s) > 1e-9  # pluggable path actually used
