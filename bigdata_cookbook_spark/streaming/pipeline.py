@@ -1,0 +1,286 @@
+"""Streaming capstone: the pretraining corpus-clean stages (quality ->
+exact dedup -> near-dup removal -> decontamination) as a continuous
+ingest pipeline over persisted state tables.
+
+The batch capstone (operators/corpus.corpus_clean, workflows.
+pretraining_pipeline) re-derives everything from the full corpus; at
+100 TB with nightly/continuous ingest you never re-scan the corpus per
+batch. This module is the incremental twin: each incoming batch checks
+in against two append-only state tables —
+
+    seen_hashes   one xxhash64(text) per ever-kept exact-canonical text
+                  (incremental_exact_dedup's state), and
+    shingles      the word-n-gram inverted index (doc_id, shingle hash,
+                  per-doc shingle count) of every exact-kept doc so far
+                  (the pair SOURCE set of corpus_clean, which includes
+                  near-dup losers — see parity note below)
+
+and only the batch is ever (re)signed. Both states grow append-only:
+the per-batch delta is written under its own ``ingest_batch=<id>``
+directory with overwrite mode, so a foreachBatch replay after a crash
+rewrites the same delta instead of duplicating it (the same
+write-audit-publish discipline as plans/layout.upsert_partitions).
+
+Parity contract (tested in tests/test_streaming_pipeline.py): when
+documents are ingested in non-decreasing doc_id order — the natural
+shape for append-only ingest ids — the union of per-batch kept sets
+equals corpus_clean(union of batches)["kept"] exactly, drop accounting
+included. corpus_clean's near-dup rule is "drop any doc that is the
+larger side of a >=threshold Jaccard pair over ALL exact-kept docs";
+first-arrival-wins under ordered ingest is the same rule, PROVIDED the
+shingle state keeps every exact-kept doc (not just survivors) — a
+near-dup loser can still be the smaller side of a later doc's pair.
+Out-of-order ingest degrades gracefully to first-ingest-wins (declared
+engine semantics for the streaming form, same as streaming_dedup).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.text import quality_exprs
+from bigdata_cookbook_spark.operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+def _batch_shingle_index(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle=xxhash64, n_sh) inverted-index rows — the same
+    shingle definition and hash key as ngram_jaccard_pairs, with the
+    per-doc shingle count denormalized onto every row so cross-batch
+    Jaccard needs no extra join against a size table."""
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, "text", "doc_id", n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    return sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
+def _cross_batch_neardup(
+    batch_idx: DataFrame, state_idx: DataFrame, threshold: float
+) -> DataFrame:
+    """Batch doc_ids whose Jaccard vs ANY state doc reaches threshold.
+
+    Inverted-index join on the shingle hash (only co-shingled pairs
+    materialize), intersection by pair count, |A∪B| = n_a + n_b - common
+    — identical arithmetic to ngram_jaccard_pairs, but batch-vs-state
+    instead of self-join. The state side arrives straight off parquet;
+    with the state laid out bucketed on the shingle key the state-side
+    shuffle disappears (plans/layout.write_bucketed), and the batch side
+    is one micro-batch — the join cost is proportional to the BATCH, not
+    the corpus.
+    """
+    a = batch_idx.alias("a")
+    s = state_idx.alias("s")
+    inter = (
+        a.join(s, F.col("a.shingle") == F.col("s.shingle"))
+        # replay/re-ingest: a doc never near-dups itself
+        .filter(F.col("a.doc_id") != F.col("s.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("s.doc_id").alias("state_doc"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("s.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = inter.select(
+        "doc_id",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_id").distinct()
+
+
+def incremental_corpus_clean(
+    batch_docs: DataFrame,
+    seen_hashes: DataFrame | None = None,
+    shingle_state: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.8,
+    jaccard_threshold: float = 0.5,
+    contamination_threshold: float = 0.5,
+    contamination_n: int = 8,
+    ngram_n: int = 3,
+    broadcast_eval: bool = True,
+) -> dict[str, DataFrame]:
+    """One ingest batch through quality -> exact dedup (vs hash state)
+    -> near-dup removal (within batch + vs shingle state) ->
+    decontamination. The batch-callable core of the streaming capstone
+    (streaming_corpus_clean wraps it in foreachBatch); parameters and
+    stage semantics mirror operators/corpus.corpus_clean stage for
+    stage.
+
+    Returns::
+
+        {"kept":            batch survivors (doc_id, lang, source,
+                            n_tokens — corpus_clean's kept schema),
+         "dropped_quality": ..., "dropped_exact": ...,
+         "dropped_neardup": ...,
+         "dropped_contaminated": ... (only when eval_df given),
+         "new_hashes":      DELTA to append to the seen_hashes state,
+         "new_shingles":    DELTA to append to the shingle state}
+
+    State deltas are pure appends — novel hashes only (globally distinct
+    by construction via the anti-join) and the batch's exact-kept
+    shingle rows. Nothing re-reads or re-aggregates the accumulated
+    state; a replay of the same batch yields empty kept and empty
+    deltas (idempotence, tested).
+    """
+    feats = quality_exprs(F.col("text"))
+    scored = batch_docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+    quality_ok = (
+        (F.col("lang") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    passed = scored.filter(quality_ok)
+    dropped_quality = scored.filter(~quality_ok).select("doc_id")
+
+    # exact tier: within-batch canonical (min doc_id per text), then
+    # anti-join against the persisted hash state — incremental_exact_dedup's
+    # rule, inlined here so the drop SET is also reported
+    hashed = passed.withColumn("text_hash", F.xxhash64("text"))
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = hashed.join(
+        canon.select("text_hash", "doc_id"), ["text_hash", "doc_id"], "left_semi"
+    )
+    if seen_hashes is not None:
+        exact_kept = exact_kept.join(seen_hashes, "text_hash", "left_anti")
+    dropped_exact = passed.join(
+        exact_kept.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    new_hashes = exact_kept.select("text_hash")
+
+    # near-dup tier: within-batch pairs (drop the larger side) PLUS
+    # batch-vs-state pairs (drop the batch side — first arrival wins)
+    within = ngram_jaccard_pairs(
+        exact_kept, n=ngram_n, threshold=jaccard_threshold
+    ).select(F.col("doc_b").alias("doc_id"))
+    batch_idx = _batch_shingle_index(exact_kept, ngram_n)
+    if shingle_state is not None:
+        cross = _cross_batch_neardup(batch_idx, shingle_state, jaccard_threshold)
+        near_losers = within.unionByName(cross).distinct()
+    else:
+        near_losers = within.distinct()
+    kept = exact_kept.join(near_losers, "doc_id", "left_anti")
+    # state keeps EVERY exact-kept doc (incl. near-dup losers): they stay
+    # valid pair sources for future batches — the parity condition with
+    # corpus_clean, whose pair set is computed over all exact-kept docs
+    new_shingles = batch_idx
+
+    out: dict[str, DataFrame] = {
+        "dropped_quality": dropped_quality,
+        "dropped_exact": dropped_exact,
+        "dropped_neardup": near_losers,
+        "new_hashes": new_hashes,
+        "new_shingles": new_shingles,
+    }
+    if eval_df is not None:
+        from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+
+        contaminated = (
+            contamination_pairs(
+                kept,
+                eval_df,
+                n=contamination_n,
+                threshold=contamination_threshold,
+                exclude_self=False,
+                broadcast_eval=broadcast_eval,
+            )
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+        out["dropped_contaminated"] = contaminated
+    out["kept"] = kept.select("doc_id", "lang", "source", "n_tokens")
+    return out
+
+
+def _read_state(spark: SparkSession, path: str, cols: list[str]) -> DataFrame | None:
+    """Accumulated state = every ingest_batch=<id> delta under ``path``
+    (schema from the parquet footers; the ingest_batch partition column
+    is projected away — state consumers key on content, not batch)."""
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select(*cols)
+
+
+def streaming_corpus_clean(
+    stream_docs: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    eval_df: DataFrame | None = None,
+    query_name: str = "streaming_corpus_clean",
+    available_now: bool = True,
+    **clean_kwargs: Any,
+):
+    """Continuous-ingest form of the pretraining capstone's cleaning
+    stages: quality -> incremental exact dedup -> incremental near-dup
+    -> decontamination, as a foreachBatch Structured Streaming sink over
+    parquet state tables.
+
+    Layout (all append-only; per-batch deltas land under their own
+    ``ingest_batch=<id>`` directory with overwrite mode, so Spark's
+    batch-replay-after-crash rewrites a delta in place instead of
+    double-appending — the streaming twin of layout.py's
+    write-audit-publish):
+
+        {state_dir}/seen_hashes/ingest_batch=<id>/   novel text hashes
+        {state_dir}/shingles/ingest_batch=<id>/      exact-kept shingle index
+        {output_dir}/ingest_batch=<id>/              kept docs
+
+    Readers of the training set stream ``output_dir`` as it grows; the
+    state tables are only ever read by the next micro-batch (scan cost
+    per batch = one parquet read of the state, join cost proportional to
+    the batch — see _cross_batch_neardup). eval_df (static benchmark
+    set) decontaminates every batch.
+
+    Returns the started StreamingQuery. ``available_now=False`` runs the
+    default micro-batch trigger for true continuous ingest.
+    """
+    hash_root = os.path.join(state_dir, "seen_hashes")
+    shingle_root = os.path.join(state_dir, "shingles")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = _read_state(spark, hash_root, ["text_hash"])
+        shingles = _read_state(
+            spark, shingle_root, ["doc_id", "shingle", "n_sh"]
+        )
+        res = incremental_corpus_clean(
+            batch_df, seen, shingles, eval_df=eval_df, **clean_kwargs
+        )
+        res["kept"].write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"ingest_batch={batch_id}")
+        )
+        res["new_hashes"].write.mode("overwrite").parquet(
+            os.path.join(hash_root, f"ingest_batch={batch_id}")
+        )
+        res["new_shingles"].write.mode("overwrite").parquet(
+            os.path.join(shingle_root, f"ingest_batch={batch_id}")
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

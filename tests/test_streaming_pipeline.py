@@ -1,0 +1,142 @@
+"""Streaming capstone parity: the foreachBatch corpus-clean pipeline
+(streaming/pipeline.py) over persisted state tables must reproduce the
+batch capstone (operators/corpus.corpus_clean) on a multi-batch replay
+— kept-set equality, drop accounting, state idempotence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.corpus import corpus_clean
+from bigdata_cookbook_spark.sources.testdata import load_table
+from bigdata_cookbook_spark.streaming.pipeline import (
+    incremental_corpus_clean,
+    streaming_corpus_clean,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark, docs):
+    # benchmark set: a small id-stable slice of the corpus (same shape the
+    # q_benchmark_contamination query uses)
+    return docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+
+def _ids(df):
+    return {r[0] for r in df.select("doc_id").collect()}
+
+
+def test_incremental_two_batches_match_batch_capstone(spark, docs, eval_docs):
+    """Ordered two-batch ingest == corpus_clean over the union: kept set
+    AND every drop set (quality / exact / near-dup / contaminated)."""
+    batch = corpus_clean(docs, eval_df=eval_docs)
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    r1 = incremental_corpus_clean(b1, eval_df=eval_docs)
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        eval_df=eval_docs,
+    )
+
+    for key in (
+        "kept",
+        "dropped_quality",
+        "dropped_exact",
+        "dropped_neardup",
+        "dropped_contaminated",
+    ):
+        inc = _ids(r1[key]) | _ids(r2[key])
+        assert inc == _ids(batch[key]), key
+
+    # kept payload columns, not just ids
+    want = {tuple(r) for r in batch["kept"].collect()}
+    got = {tuple(r) for r in r1["kept"].collect()} | {
+        tuple(r) for r in r2["kept"].collect()
+    }
+    assert got == want
+
+
+def test_incremental_replay_is_idempotent(spark, docs):
+    """Re-ingesting an already-processed batch yields empty kept and
+    empty state deltas — the crash-replay safety property."""
+    b1 = docs.limit(200)
+    r1 = incremental_corpus_clean(b1)
+    r2 = incremental_corpus_clean(
+        b1, seen_hashes=r1["new_hashes"], shingle_state=r1["new_shingles"]
+    )
+    assert r2["kept"].count() == 0
+    assert r2["new_hashes"].count() == 0
+    # every replayed quality-passing doc is classified as an exact dup
+    # (the hash state catches it before shingling even matters), whether
+    # it was originally kept, an exact dup, or a near-dup loser
+    assert _ids(r2["dropped_exact"]) == (
+        _ids(r1["kept"]) | _ids(r1["dropped_exact"]) | _ids(r1["dropped_neardup"])
+    )
+    assert _ids(r2["dropped_neardup"]) == set()
+
+
+def test_streaming_form_matches_batch_capstone(spark, docs, eval_docs, tmp_path):
+    """foreachBatch end-to-end: two spool files drained one per
+    micro-batch; union of per-batch kept outputs == corpus_clean over
+    the union; state tables carry one delta dir per batch."""
+    sample = docs.filter(F.col("doc_id") < 3000)
+    mid = 1500
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    # one file per batch, written in id order (mtime order == ingest order)
+    sample.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(spool, "f1")
+    )
+    sample.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        os.path.join(spool, "f2")
+    )
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).option("maxFilesPerTrigger", 1).parquet(os.path.join(spool, "*", "*.parquet"))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    q = streaming_corpus_clean(
+        stream,
+        state_dir=state,
+        output_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_df=eval_docs,
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    want = corpus_clean(sample, eval_df=eval_docs)["kept"]
+    got = spark.read.parquet(out).drop("ingest_batch")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # state grew append-only: one delta dir per micro-batch, and the
+    # accumulated hash state matches the kept-or-dropped-neardup corpus
+    hash_dirs = [d for d in os.listdir(os.path.join(state, "seen_hashes"))
+                 if d.startswith("ingest_batch=")]
+    assert len(hash_dirs) >= 2  # one file per trigger -> >=2 batches
+    n_state = spark.read.parquet(os.path.join(state, "seen_hashes")).count()
+    n_exact_kept = (
+        spark.read.parquet(os.path.join(state, "shingles"))
+        .select("doc_id").distinct().count()
+    )
+    # every exact-kept doc contributed exactly one novel hash; docs too
+    # short to shingle appear in the hash state but not the shingle index
+    assert n_state >= n_exact_kept
