@@ -253,18 +253,32 @@ def _cell_xml(ref: str, value) -> str:
 
 
 def write_xlsx(sheets: Mapping[str, tuple[Sequence[str], Sequence[Sequence]]], path: str) -> None:
-    """Write {sheet_name: (column_names, rows)} as one .xlsx file."""
+    """Write {sheet_name: (column_names, rows)} as one .xlsx file.
+
+    Byte-reproducible: identical sheets yield an identical file. A bare
+    ``writestr(name, ...)`` stamps wall-clock time into each zip entry's
+    header, so two runs of the same pipeline would differ — every entry
+    is written through a ZipInfo pinned to the DOS epoch instead (the
+    same trick reproducible-build tooling uses for jars/wheels).
+    """
     if not sheets:
         raise ValueError("write_xlsx requires at least one sheet")
     names = list(sheets)
+
+    def _entry(name: str) -> zipfile.ZipInfo:
+        zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        zi.external_attr = 0o644 << 16
+        return zi
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         overrides = "\n".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
             for i in range(len(names))
         )
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=overrides))
-        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr(_entry("[Content_Types].xml"), _CONTENT_TYPES.format(sheet_overrides=overrides))
+        zf.writestr(_entry("_rels/.rels"), _ROOT_RELS)
         sheet_tags = "".join(
             # attribute context: escape() alone leaves double quotes,
             # which would terminate the name="..." attribute early
@@ -272,7 +286,7 @@ def write_xlsx(sheets: Mapping[str, tuple[Sequence[str], Sequence[Sequence]]], p
             for i, n in enumerate(names)
         )
         zf.writestr(
-            "xl/workbook.xml",
+            _entry("xl/workbook.xml"),
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
             'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
@@ -289,12 +303,12 @@ def write_xlsx(sheets: Mapping[str, tuple[Sequence[str], Sequence[Sequence]]], p
             'Target="styles.xml"/>'
         )
         zf.writestr(
-            "xl/_rels/workbook.xml.rels",
+            _entry("xl/_rels/workbook.xml.rels"),
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             f"{rels}</Relationships>",
         )
-        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr(_entry("xl/styles.xml"), _STYLES)
         for i, n in enumerate(names):
             cols, rows = sheets[n]
             parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>']
@@ -312,4 +326,4 @@ def write_xlsx(sheets: Mapping[str, tuple[Sequence[str], Sequence[Sequence]]], p
                 )
                 parts.append(f'<row r="{ri}">{cells}</row>')
             parts.append("</sheetData></worksheet>")
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", "".join(parts))
+            zf.writestr(_entry(f"xl/worksheets/sheet{i + 1}.xml"), "".join(parts))

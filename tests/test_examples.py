@@ -1,0 +1,36 @@
+"""The examples/ scripts must actually run (MIGRATION.md made
+executable) and produce byte-stable artifacts — run twice, compare
+bytes."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"),
+)
+
+import thematic_screener_migration as example
+
+
+def _digest(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
+    p1 = example.main(spark, str(tmp_path / "run1"))
+    p2 = example.main(spark, str(tmp_path / "run2"))
+
+    for key in ("html", "xlsx"):
+        assert os.path.getsize(p1[key]) > 0
+        assert _digest(p1[key]) == _digest(p2[key]), key
+
+    html = open(p1["html"], encoding="utf-8").read()
+    assert "Thematic exposure" in html
+    assert "<section>" in html  # at least one sector section rendered
+    # xlsx is a real zip container (stdlib OOXML writer)
+    assert open(p1["xlsx"], "rb").read(2) == b"PK"
