@@ -732,7 +732,12 @@ def q_comention_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kernel lives in operators/graph.cooccurrence_pairs; the bench runs
     the same kernel over the bucketed lineitem layout (pre_partitioned,
-    one Exchange) — the 100 TB storage plan."""
+    one Exchange) — the 100 TB storage plan. Round 4 exhausted the
+    kernel space (four formulations within noise; decomposition table in
+    the cooccurrence_pairs docstring): ~75% of the runtime is the
+    pair-key Exchange + ~1.2M-distinct-key hash aggregate, common to
+    every variant — the measured engine floor for a distributed pair
+    count at this toy scale, with the scale-out plan already optimal."""
     from bigdata_cookbook_spark.operators.graph import cooccurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem")

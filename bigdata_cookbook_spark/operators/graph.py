@@ -71,6 +71,25 @@ def cooccurrence_pairs(
     alternatives (round 2/3, sf0.1): sort-merge self-join ~2x slower;
     sorted-bucket self-join 0.93s vs 0.56s; mapInPandas 1.3s vs 0.6s.
 
+    Round-4 exhaustion of the kernel space (sf0.1, pre-partitioned
+    input, min-of-4 each, rows verified identical): this HOF expansion
+    0.527s; positional double-explode via posexplode+slice (codegen'd
+    Generates, no interpreted lambdas) 0.478-0.531s; SHUFFLE_HASH
+    self-join 0.615s — every formulation lands within noise of ~0.5s.
+    Stage decomposition shows why: groupBy+collect_list 0.143s, + pair
+    expansion (1.2M pairs) 0.162s, + pair aggregate 0.565s — i.e. ~0.4s
+    (75%) is the pair-key Exchange plus the ~1.2M-distinct-key hash
+    aggregate, identical in every variant (partial aggregation merges
+    almost nothing: duplicate pairs are spread across partitions, so
+    the map side cannot shrink the shuffle). The same-box DuckDB warm
+    number is 0.069s (empty two-stage Spark job floor: 0.026s). The gap
+    is therefore the per-row cost of Spark's general two-stage
+    distributed aggregate on a dataset DuckDB fuses into one in-memory
+    radix-agg pipeline — an engine constant factor at single-node toy
+    scale, not a removable plan property: the plan itself (expand in
+    place, aggregate partitioned by pair key) is the one that scales
+    out, with no single-node structure anywhere.
+
     ``pre_partitioned=True`` declares the input already hash-distributed
     on ``group_col`` (a bucketed table from plans/layout.write_bucketed,
     or an upstream repartition) — the group shuffle disappears and the
