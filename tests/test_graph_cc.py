@@ -86,3 +86,16 @@ def test_dedup_clusters_end_to_end(spark, sf_dir):
     # at least one multi-doc cluster exists in the fixture corpus
     multi = out.groupBy("canonical_id").count().filter(F.col("count") > 1)
     assert multi.count() > 0
+
+
+def test_long_chain_converges_via_pointer_jumping(spark):
+    """The round-4 sf1 failure class: a chain whose diameter far exceeds
+    max_iter. Pointer jumping (label <- label(label) each round) makes
+    convergence O(log diameter) — a 300-node path must converge well
+    inside the default 20-round budget (propagation-only would need
+    300) and still label every node with the chain minimum."""
+    df = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(300)])
+    got = connected_components(df, max_iter=12)
+    assert got.select(F.countDistinct("component")).collect()[0][0] == 1
+    assert got.agg(F.max("component")).collect()[0][0] == 0
+    assert got.count() == 301

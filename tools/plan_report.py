@@ -76,7 +76,11 @@ EXCHANGE_CEILINGS = {
     "length_curriculum": 4,
     # two corpus passes by design (train bigram counts, then score);
     # 3 of the 4 exchanges move only vocab-scale data
-    "char_bigram_perplexity": 4,
+    # 4 -> 6 in round 4: one repartition(doc_id) per corpus pass (train +
+    # score), spreading the bigram explode over all cores instead of the
+    # 1-2 single-file scan tasks — measured 8.6s -> 1.3s per pass at sf1.
+    # Still the by-design two-pass train/score shape.
+    "char_bigram_perplexity": 6,
     "bpe_token_count": 0,
     "source_quality_profile": 1,
 }

@@ -1,0 +1,139 @@
+"""Scale rehearsal (round-4 VERDICT item 1): run the headline set plus
+the training-data tier across scale factors — the driver's sf0.01/sf0.1
+tiers and the locally generated sf1 (tools/gen_scale_data.py, 10x the
+bench tier) — and emit the per-query scaling curve.
+
+The point is direct evidence for the "plans you'd want at 100x" claim:
+for each query, time t(sf) at sf ∈ {0.01, 0.1, 1} and the step ratios
+r10 = t(0.1)/t(0.01), r100 = t(1)/t(0.1). Data grows 10x per step, so a
+scale-healthy operator shows r <= ~10 once it outgrows Spark's fixed
+job floor (~0.1-0.3 s, which makes small-SF ratios look flat); r well
+above 10 on the sf0.1 -> sf1 step flags super-linear behavior worth a
+plan audit.
+
+Methodology matches bench.py: one session, AQE on, tables cached and
+materialized outside the timer per SF (shared-scan position), DataFrame
+built once, min-of-3 noop-sink runs per query. comention_parts runs its
+plain (non-bucketed) registry form here — same kernel at every SF, so
+the CURVE is apples-to-apples even though the bench's bucketed layout
+is faster in absolute terms.
+
+Usage: python tools/scale_rehearsal.py [out.json]
+       SPARK_GRAFT_SF1_DIR=.scale/sf1 to point at a different sf1 copy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from bench import HEADLINE, bench_session
+
+# the training-data tier beyond bench.py's HEADLINE — dedup/ANN/corpus
+# families the 100 TB story leans on, each a registry query
+TIER = [
+    "corpus_clean",
+    "training_shuffle",
+    "domain_mix_sample",
+    "benchmark_contamination",
+    "char_bigram_perplexity",
+    "bpe_token_count",
+    "gopher_quality",
+    "pii_redaction",
+    "token_window_chunks",
+    "sequence_pack",
+    "neardup_canonical_clusters",
+    "bm25_topk",
+    "hybrid_search_rrf",
+    "ann_lsh_buckets",
+    "continuous_aggregate_daily",
+    "skew_salted_distinct_users",
+]
+
+SFS: list[tuple[str, str]] = [
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", os.environ.get("SPARK_GRAFT_SF1_DIR", ".scale/sf1")),
+]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    spark = bench_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = HEADLINE + [q for q in TIER if q not in HEADLINE]
+
+    from bigdata_cookbook_spark.sources.testdata import TABLES, load_table
+
+    results: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf, sf_dir in SFS:
+        if not os.path.isdir(sf_dir):
+            print(f"-- skipping sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        cached = []
+        for tbl in TABLES:
+            df = load_table(spark, sf_dir, tbl)
+            df.cache()
+            df.write.format("noop").mode("overwrite").save()
+            cached.append(df)
+        for name in names:
+            # a query that breaks at a higher SF is itself a rehearsal
+            # FINDING (that is the point of the exercise) — record it and
+            # keep measuring the rest instead of losing the whole run
+            try:
+                df = qs[name](spark, sf_dir)
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - t0)
+                results[name][sf] = round(min(times), 3)
+                print(f"sf{sf} {name}: {results[name][sf]}", file=sys.stderr, flush=True)
+            except Exception as exc:  # noqa: BLE001
+                results[name][sf] = None
+                results[name][f"err_{sf}"] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"sf{sf} {name}: FAILED {type(exc).__name__}", file=sys.stderr, flush=True)
+        for df in cached:
+            df.unpersist()
+        spark.catalog.clearCache()
+
+    table = []
+    for name in names:
+        r = results[name]
+        row = {"query": name, **{f"sf{sf}": r.get(sf) for sf, _ in SFS}}
+        if r.get("0.1") and r.get("0.01"):
+            row["r10"] = round(r["0.1"] / r["0.01"], 2)
+        if r.get("1") and r.get("0.1"):
+            row["r100"] = round(r["1"] / r["0.1"], 2)
+        table.append(row)
+    with open(out_path, "w") as f:
+        json.dump({"unit": "sec", "min_of": 3, "rows": table}, f, indent=1)
+    print(json.dumps({"wrote": out_path, "queries": len(table)}))
+
+    # markdown table for BASELINE.md
+    print("\n| query | sf0.01 | sf0.1 | sf1 | t(0.1)/t(0.01) | t(1)/t(0.1) |")
+    print("|---|---|---|---|---|---|")
+    for row in table:
+        print(
+            f"| {row['query']} | {row.get('sf0.01', '—')} | {row.get('sf0.1', '—')} "
+            f"| {row.get('sf1', '—')} | {row.get('r10', '—')} | {row.get('r100', '—')} |"
+        )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    finally:
+        from pyspark.sql import SparkSession
+
+        from bench import cleanup_scratch
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            cleanup_scratch(s)
