@@ -510,6 +510,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the document-frequency cap — the linear-cost
+    form of q_ngram_jaccard_pairs the sf1 rehearsal mandates at scale
+    (join fan-out sum(df^2) grew 89x for 10x data without it; see
+    operators/dedup.ngram_jaccard_pairs). df_cap=5 bites at every SF
+    tier, so the oracle checks the capped SEMANTICS, not a no-op path:
+    Jaccard over the capped shingle sets, boilerplate-only overlap
+    scoring zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, df_cap=5)
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates from MinHash(12 hashes) + LSH(6 bands × 2):
     pairs sharing any band bucket."""
@@ -1782,6 +1794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "mode_event_type": q_mode_event_type,
         "doc_fingerprint": q_doc_fingerprint,
+        # round-4 additions (enter OUTSIDE the scored window; rotate in
+        # only over double-green rows per the rotation discipline)
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
     }
 
 
@@ -2646,6 +2661,26 @@ def oracle_sql() -> dict[str, str]:
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "ngram_jaccard_capped": f"""
+            WITH {_SHINGLES_CTE},
+            capped AS (
+                SELECT doc_id, shingle FROM sh
+                QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 5
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM capped a JOIN capped b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

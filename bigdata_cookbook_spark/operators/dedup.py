@@ -74,14 +74,40 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Doc pairs with word-n-gram Jaccard >= threshold.
 
     Inverted-index self-join on shingle (only co-shingled pairs are ever
     materialized), then |A∩B| via pair count and |A∪B| = |A|+|B|-|A∩B|.
     At 100 TB, run after LSH banding (minhash_lsh_candidates) to bound the
-    join; high-frequency shingles should additionally be dropped by a
-    document-frequency cap.
+    join — and set ``df_cap``.
+
+    ``df_cap`` (round-4 sf1 rehearsal finding): the self-join materializes
+    sum(df^2) rows over the shingle document frequencies, so on corpora
+    whose shingle vocabulary saturates (templated/boilerplate text — the
+    norm for web-scale dedup), df grows linearly with corpus size and the
+    join QUADRATICALLY: measured 2.8M join rows at 5k docs -> 249M at 50k
+    docs (89x for 10x data; 0.73s -> 28.4s). With ``df_cap=k``, shingles
+    occurring in more than k documents are dropped on BOTH sides before
+    the join — Jaccard is then computed over the capped shingle sets
+    (|A|,|B| too, so the score stays internally consistent): pairs whose
+    only overlap is ultra-common boilerplate count as non-duplicates,
+    which is the behavior production dedup wants from its stopword-shingle
+    guard, and the join bound becomes sum(min(df,k)^2) <= k * corpus
+    instances — linear in the corpus. The hot-shingle set (df > k) is the
+    Zipf head, at most instances/k entries, broadcast as a left-anti so
+    the doc_id partitioning of the shingle rows survives untouched. The
+    exact (df_cap=None) form stays the default and the oracle tier;
+    ``ngram_jaccard_capped`` oracles the capped form end-to-end.
+
+    Plan note for the capped form: the capped-shingle lineage is planned
+    once per self-join side (exchange reuse does not collapse subtrees
+    across the anti-join boundary), so shingling runs ~4x — still linear
+    and fully parallel, 2.0s at sf1 vs 28.4s exact. At corpus scale,
+    stage the capped shingle index once (persist(), or
+    plans/checkpoint.stage_checkpoint) and self-join the staged frame —
+    the same caller-owned-cache pattern as workflows.pretraining_pipeline.
     """
     from pyspark.sql import Window
 
@@ -97,6 +123,14 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(df, text_col, id_col, n).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # carry |shingles(doc)| on every row via a window (input is already
     # hash-partitioned by doc_id, so this is sort-only, no shuffle) — the
     # two size lookups then ride along the join instead of needing two

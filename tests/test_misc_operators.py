@@ -572,3 +572,45 @@ def test_incremental_lsh_reingest_replaces_stale_signatures(spark):
     r3 = incremental_lsh_candidates(b3, r2["buckets"])
     pairs = {(r.doc_a, r.doc_b) for r in r3["candidates"].collect()}
     assert (7, 99) not in pairs
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_only_pairs(spark):
+    """df_cap semantics: a shingle occurring in more than cap docs stops
+    contributing — docs whose only overlap is that boilerplate no longer
+    pair, while genuine near-dups (low-df overlap) survive with their
+    Jaccard computed over the capped sets. With a cap no shingle
+    exceeds, output is identical to the exact form."""
+    from bigdata_cookbook_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        # genuine near-dup pair: long shared unique prefix
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (2, "alpha beta gamma delta epsilon zeta eta iota " + boiler),
+    ] + [
+        # unrelated docs sharing ONLY the boilerplate tail
+        (10 + i, f"unique{i} words{i} here{i} now{i} " + boiler)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, df_cap=5).collect()
+    }
+    # the boilerplate shingles sit in all 10 docs (> cap), so the
+    # boilerplate-only pairs disappear; the real near-dup pair remains
+    assert (1, 2) in uncapped and (1, 2) in capped
+    assert any(a >= 10 and b >= 10 for a, b in uncapped)
+    assert not any(a >= 10 and b >= 10 for a, b in capped)
+
+    # cap that nothing reaches == exact form, value-identical
+    loose = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.3, df_cap=100).collect())
+    )
+    exact = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.3).collect()))
+    assert loose == exact

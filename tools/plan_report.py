@@ -83,6 +83,13 @@ EXCHANGE_CEILINGS = {
     "char_bigram_perplexity": 6,
     "bpe_token_count": 0,
     "source_quality_profile": 1,
+    # round 4: the scale form of ngram_jaccard_pairs. The capped shingle
+    # subtree (repartition + hot-shingle aggregate) is planned once per
+    # self-join side — exchange reuse does not collapse it across the
+    # anti-join boundary — so the exchange count doubles vs the uncapped
+    # form's shared lineage. Work stays linear (measured 28.4s -> 2.0s at
+    # sf1); at corpus scale persist the capped index first (docstring).
+    "ngram_jaccard_capped": 6,
 }
 
 
@@ -218,6 +225,7 @@ def main() -> None:
         "char_bigram_perplexity",
         "bpe_token_count",
         "source_quality_profile",
+        "ngram_jaccard_capped",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

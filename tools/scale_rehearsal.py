@@ -47,6 +47,7 @@ TIER = [
     "pii_redaction",
     "token_window_chunks",
     "sequence_pack",
+    "ngram_jaccard_capped",
     "neardup_canonical_clusters",
     "bm25_topk",
     "hybrid_search_rrf",
