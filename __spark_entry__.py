@@ -1599,13 +1599,16 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (operators/dedup.contamination_pairs):
     flag training docs whose 8-gram set contains >= 30% of an eval doc's
     8-grams. Eval set = doc_id % 7 == 0 (a deterministic stand-in for a
-    held-out benchmark suite). The eval shingle index broadcasts; the
-    corpus streams through once."""
+    held-out benchmark suite) — which GROWS with the corpus, so this
+    query runs the broadcast_eval=False tier: shuffle hash join on the
+    shingle key, no broadcast-size cliff (the force-broadcast default is
+    the contract for genuinely benchmark-sized eval sets; round-3 ADVICE
+    item, made honest here rather than only documented)."""
     from bigdata_cookbook_spark.operators.dedup import contamination_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 7 == 0)
-    return contamination_pairs(docs, eval_df, n=8, threshold=0.3)
+    return contamination_pairs(docs, eval_df, n=8, threshold=0.3, broadcast_eval=False)
 
 
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

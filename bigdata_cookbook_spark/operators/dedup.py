@@ -204,9 +204,13 @@ def contamination_pairs(
     tr = doc_shingles(corpus, text_col, id_col, n).select(
         F.col("doc_id").alias("train_id"), F.xxhash64("shingle").alias("sh")
     )
-    ev = doc_shingles(eval_df, text_col, id_col, n, repartition=False).select(
-        F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh")
-    )
+    # eval side: skip the pre-shingle spread only when it is about to be
+    # broadcast (doc_shingles' contract); on the shuffle tier the eval
+    # set scales with the corpus and its shingling needs the same
+    # scan-parallelism guard as the training side
+    ev = doc_shingles(
+        eval_df, text_col, id_col, n, repartition=not broadcast_eval
+    ).select(F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh"))
     ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
     ev_side = F.broadcast(ev) if broadcast_eval else ev.hint("shuffle_hash")
     inter = (

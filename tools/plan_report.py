@@ -72,7 +72,14 @@ EXCHANGE_CEILINGS = {
     # the GlobalWindowOverScan red flag now forbids.
     "training_shuffle": 4,
     "domain_mix_sample": 1,
-    "benchmark_contamination": 2,
+    # 2 -> 6 in round 4: the registry query's eval set scales with the
+    # corpus (doc_id % 7), so it now runs contamination_pairs'
+    # broadcast_eval=False tier (round-3 ADVICE honesty item): both
+    # shingle sides spread + exchange on the shingle key, pair aggregate,
+    # eval-size aggregate — no force-broadcast memory cliff. The 2-
+    # exchange broadcast plan remains the default for benchmark-sized
+    # eval sets (corpus_clean's decontamination path).
+    "benchmark_contamination": 6,
     "length_curriculum": 4,
     # two corpus passes by design (train bigram counts, then score);
     # 3 of the 4 exchanges move only vocab-scale data
