@@ -100,3 +100,111 @@ def test_clean_text_idempotent_random_unicode(spark):
             assert r.c1 == r.c1.strip()
 
     check()
+
+
+def test_connected_components_matches_union_find_random_graphs(spark):
+    """Pointer-jumped CC (operators/graph.py) == a Python union-find
+    reference over random edge lists — labels exactly the component
+    minimum for every node, across topologies hypothesis invents
+    (chains, cliques, stars, isolated pairs)."""
+    from bigdata_cookbook_spark.operators.graph import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),
+                st.integers(min_value=0, max_value=60),
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def check(edges):
+        real = [(a, b) for a, b in edges if a != b]
+        if not real:
+            return
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in real:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for n in parent:
+            comps = want.setdefault(find(n), [])
+            comps.append(n)
+        expect = {n: min(members) for root, members in want.items() for n in members}
+
+        df = spark.createDataFrame(real, "src long, dst long")
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        assert got == expect
+
+    check()
+
+
+def test_jaccard_df_cap_matches_python_reference(spark):
+    """ngram_jaccard_pairs(df_cap=k) == brute-force Python Jaccard over
+    the capped distinct-shingle sets, for random template-y corpora
+    (high shared-shingle density — the regime the cap exists for)."""
+    from bigdata_cookbook_spark.operators.dedup import ngram_jaccard_pairs
+
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "big", "sun"]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+            min_size=2,
+            max_size=14,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    def check(docs_tokens, cap):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        # python reference: distinct 3-gram sets, df-capped, exact jaccard
+        sets = {
+            i: {
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            }
+            for i, toks in enumerate(docs_tokens)
+            if len(toks) >= 3
+        }
+        df_count: dict[str, int] = {}
+        for s in sets.values():
+            for sh in s:
+                df_count[sh] = df_count.get(sh, 0) + 1
+        capped = {
+            i: {sh for sh in s if df_count[sh] <= cap} for i, s in sets.items()
+        }
+        expect = set()
+        ids = sorted(capped)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(capped[a] & capped[b])
+                union = len(capped[a] | capped[b])
+                if union and round(inter / union, 4) >= 0.5:
+                    expect.add((a, b))
+
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                threshold=0.5,
+                df_cap=cap,
+            ).collect()
+        }
+        assert got == expect
+
+    check()

@@ -140,3 +140,30 @@ def test_streaming_form_matches_batch_capstone(spark, docs, eval_docs, tmp_path)
     # every exact-kept doc contributed exactly one novel hash; docs too
     # short to shingle appear in the hash state but not the shingle index
     assert n_state >= n_exact_kept
+
+
+def test_out_of_order_ingest_is_first_arrival_wins(spark):
+    """The documented degradation for ids arriving out of order: the
+    incremental pipeline keeps the FIRST-ingested copy, where the batch
+    capstone would keep the min-id copy. Pinned so the contract in
+    streaming/pipeline.py's module docstring stays true."""
+    b1 = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today again", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(50, "the quick brown fox jumps over the lazy dog today again", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r1 = incremental_corpus_clean(b1, min_tokens=5)
+    r2 = incremental_corpus_clean(
+        b2, seen_hashes=r1["new_hashes"], shingle_state=r1["new_shingles"],
+        min_tokens=5,
+    )
+    assert _ids(r1["kept"]) == {100}  # first arrival wins...
+    assert _ids(r2["kept"]) == set()  # ...the later, smaller id drops
+    assert _ids(r2["dropped_exact"]) == {50}
+    # batch over the union would pick the min id instead — the divergence
+    # is exactly the documented one
+    batch = corpus_clean(b1.unionByName(b2), min_tokens=5)
+    assert _ids(batch["kept"]) == {50}
