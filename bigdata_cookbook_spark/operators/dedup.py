@@ -108,6 +108,11 @@ def ngram_jaccard_pairs(
     stage the capped shingle index once (persist(), or
     plans/checkpoint.stage_checkpoint) and self-join the staged frame —
     the same caller-owned-cache pattern as workflows.pretraining_pipeline.
+    Measured alternative (round 4): a cooccurrence-style group-expand
+    (repartition to shingle, window df count, collect doc lists <= cap,
+    in-array pair explode) computes shingles once but LOSES — 3.45s vs
+    1.57s at sf1 — because the per-shingle window sort over the exploded
+    rows costs more than the duplicated-but-parallel anti-join lineage.
     """
     from pyspark.sql import Window
 

@@ -73,6 +73,18 @@ def _cross_batch_neardup(
     shuffle disappears (plans/layout.write_bucketed), and the batch side
     is one micro-batch — the join cost is proportional to the BATCH, not
     the corpus.
+
+    Scale caveat (the sf1-rehearsal lesson applies here too): the join
+    materializes sum(df_batch x df_state) rows per shingle, and on a
+    vocabulary-saturating corpus df_state grows with everything ever
+    ingested — per-batch cost then creeps up over the corpus lifetime.
+    At the 100 TB tier, run the LSH form instead: incremental_lsh_
+    candidates (operators/dedup.py) keeps band-bucket state whose
+    per-bucket occupancy LSH bounds, and this exact-shingle join becomes
+    the verify tier over its candidate pairs — mirroring the batch-side
+    minhash_lsh_candidates -> ngram_jaccard_pairs(df_cap=...) funnel.
+    The exact-state form here is the parity tier (it reproduces
+    corpus_clean bit-for-bit, which LSH pruning by design does not).
     """
     a = batch_idx.alias("a")
     s = state_idx.alias("s")
