@@ -1,0 +1,138 @@
+"""Figure-spec sinks (viz.py): Vega-Lite v5 specs, d3 node-link JSON,
+mind-map tree JSON — structure, type inference, determinism, and parity
+with the operators that feed them."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.viz import (
+    bar_chart_spec,
+    heatmap_spec,
+    node_link_json,
+    timeseries_spec,
+    tree_json,
+    vega_lite_spec,
+)
+
+
+@pytest.fixture()
+def weekly(spark):
+    return spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), "P", 10),
+            (datetime.date(2024, 1, 8), "P", 13),
+            (datetime.date(2024, 1, 1), "N", 4),
+            (datetime.date(2024, 1, 8), "N", 6),
+        ],
+        "week date, label string, cnt long",
+    )
+
+
+def test_timeseries_spec_types_and_determinism(weekly):
+    s1 = timeseries_spec(weekly, "week", "cnt", series="label", title="vol")
+    s2 = timeseries_spec(weekly, "week", "cnt", series="label", title="vol")
+    assert json.dumps(s1, sort_keys=True) == json.dumps(s2, sort_keys=True)
+    assert s1["$schema"].endswith("v5.json")
+    assert s1["mark"] == {"type": "line"}
+    assert s1["encoding"]["x"] == {"field": "week", "type": "temporal"}
+    assert s1["encoding"]["y"] == {"field": "cnt", "type": "quantitative"}
+    assert s1["encoding"]["color"] == {"field": "label", "type": "nominal"}
+    assert len(s1["data"]["values"]) == 4
+    assert s1["data"]["values"][0]["week"] == "2024-01-01"  # json-safe
+    json.dumps(s1)  # fully serializable
+
+
+def test_bar_grouped_vs_stacked(weekly):
+    grouped = bar_chart_spec(weekly, "label", "cnt", group="label")
+    assert grouped["encoding"]["xOffset"] == {"field": "label"}
+    stacked = bar_chart_spec(weekly, "label", "cnt", group="label", stacked=True)
+    assert "xOffset" not in stacked["encoding"]
+
+
+def test_heatmap_quantitative_color(weekly):
+    s = heatmap_spec(weekly, "week", "label", "cnt")
+    assert s["mark"] == {"type": "rect"}
+    assert s["encoding"]["color"] == {"field": "cnt", "type": "quantitative"}
+
+
+def test_vega_lite_unknown_column_raises(weekly):
+    with pytest.raises(KeyError):
+        vega_lite_spec(weekly, "bar", "nope", "cnt")
+
+
+def test_node_link_from_comention_edges(spark):
+    """Weighted degree == sum of incident edge weights; deterministic
+    ordering; groups carried per side (bipartite company/topic shape)."""
+    edges = spark.createDataFrame(
+        [
+            ("acme", "ai", 3, "COMP", "TOPI"),
+            ("acme", "cloud", 2, "COMP", "TOPI"),
+            ("bolt", "ai", 1, "COMP", "TOPI"),
+        ],
+        "src_name string, dst_name string, weight long, st string, dt string",
+    )
+    g = node_link_json(edges, src_group="st", dst_group="dt")
+    by_id = {n["id"]: n for n in g["nodes"]}
+    assert by_id["acme"]["size"] == 5.0 and by_id["acme"]["group"] == "COMP"
+    assert by_id["ai"]["size"] == 4.0 and by_id["ai"]["group"] == "TOPI"
+    assert [l["source"] for l in g["links"]] == ["acme", "acme", "bolt"]
+    json.dumps(g)
+
+
+def test_tree_json_roundtrips_taxonomy(spark):
+    """taxonomy tree -> edge frame -> nested JSON reproduces the tree's
+    parent/child structure exactly."""
+    from bigdata_cookbook_spark.llm.taxonomy import (
+        generate_theme_tree,
+        tree_to_edges,
+    )
+
+    tree = generate_theme_tree("AI Cost Reduction")
+    edges = tree_to_edges(spark, tree)
+    nested = tree_json(edges, root_label=tree["Label"])
+
+    def labels(node, out):
+        out.add(node["label"])
+        for c in node.get("children", []):
+            labels(c, out)
+        return out
+
+    def ref_labels(node, out):
+        out.add(node["Label"])
+        for c in node.get("Children") or []:
+            ref_labels(c, out)
+        return out
+
+    assert labels(nested, set()) == ref_labels(tree, set())
+    # children of the root match the reference tree's first level
+    want = sorted(c["Label"] for c in tree["Children"])
+    assert [c["label"] for c in nested["children"]] == want
+
+
+def test_tree_json_detects_bad_root(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "parent_label string, child_label string"
+    )
+    with pytest.raises(ValueError, match="not a root"):
+        tree_json(edges, root_label="b")
+
+
+def test_specs_over_real_workflow_outputs(spark, sf_dir):
+    """End-to-end: the engine's own analytics frames feed the spec sinks
+    without adaptation — weekly event counts to a line spec, top-k parts
+    to a bar spec."""
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"), "event_type")
+        .count()
+    )
+    s = timeseries_spec(weekly, "week", "count", series="event_type")
+    assert s["encoding"]["x"]["type"] == "temporal"
+    assert len(s["data"]["values"]) == weekly.count()
