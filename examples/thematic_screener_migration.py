@@ -13,6 +13,8 @@ Reference flow -> engine flow (cell numbers from the notebook):
     cells 27-28  ScreenerLabeler.get_labels       -> workflows.thematic_screener
              + df merge/postprocess                  (normalize -> llm_label_stage -> pivots)
     cell 30  df_company / df_industry             -> out["by_company"] / out["by_industry"]
+    cell 31  display_figures_cookbooks(df_company) -> viz.bar_chart_spec
+             (plotly figure)                          (Vega-Lite v5 JSON)
     cell 32  display(HTML(...))                   -> sinks.html_report
     cell 34  Excel export                         -> sinks.workbook_xlsx_sink
 
@@ -107,6 +109,24 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
         F.col("composite_score").desc(), "entity_industry"
     )
 
+    # -- cell 31: the exposure figure, as a renderer-agnostic Vega-Lite
+    # spec (the notebook's plotly bar chart of company composite scores)
+    import json
+
+    from bigdata_cookbook_spark.viz import bar_chart_spec
+
+    spec = bar_chart_spec(
+        by_company.limit(25),
+        category="entity_name",
+        value="composite_score",
+        group="entity_sector",
+        stacked=True,
+        title=f"Top thematic exposure: {THEME}",
+    )
+    spec_path = os.path.join(out_dir, "exposure_chart.vl.json")
+    with open(spec_path, "w", encoding="utf-8") as f:
+        json.dump(spec, f, indent=1, sort_keys=True)
+
     # -- cell 32: HTML exposure report (one section per sector)
     html_path = os.path.join(out_dir, "thematic_exposure.html")
     with open(html_path, "w", encoding="utf-8") as f:
@@ -125,7 +145,7 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
     workbook_xlsx_sink(
         {"By Company": by_company, "By Industry": by_industry}, xlsx_path
     )
-    return {"html": html_path, "xlsx": xlsx_path}
+    return {"html": html_path, "xlsx": xlsx_path, "chart": spec_path}
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     p1 = example.main(spark, str(tmp_path / "run1"))
     p2 = example.main(spark, str(tmp_path / "run2"))
 
-    for key in ("html", "xlsx"):
+    for key in ("html", "xlsx", "chart"):
         assert os.path.getsize(p1[key]) > 0
         assert _digest(p1[key]) == _digest(p2[key]), key
 
@@ -34,3 +34,9 @@ def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     assert "<section>" in html  # at least one sector section rendered
     # xlsx is a real zip container (stdlib OOXML writer)
     assert open(p1["xlsx"], "rb").read(2) == b"PK"
+    # chart is a valid Vega-Lite v5 spec with data inlined
+    import json
+
+    spec = json.load(open(p1["chart"], encoding="utf-8"))
+    assert spec["$schema"].endswith("vega-lite/v5.json")
+    assert spec["data"]["values"]
