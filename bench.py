@@ -122,7 +122,10 @@ def bench_session() -> SparkSession:
         # bench stages outside the timer (static conf — set at build;
         # ignored if an earlier session exists, which cleanup_scratch guards)
         .config("spark.sql.warehouse.dir", SCRATCH_WH)
-        .config("spark.driver.memory", "8g")  # headroom: damp GC pauses in the steady runs
+        # headroom: damp GC pauses in the steady runs; raise via env for
+        # scale rehearsals that cache >= sf10 tables (local mode: driver
+        # heap IS the executor heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         # let AQE collapse KB-scale shuffles all the way down

@@ -56,11 +56,32 @@ TIER = [
     "skew_salted_distinct_users",
 ]
 
-SFS: list[tuple[str, str]] = [
-    ("0.01", "/root/testdata/sf0.01"),
-    ("0.1", "/root/testdata/sf0.1"),
-    ("1", os.environ.get("SPARK_GRAFT_SF1_DIR", ".scale/sf1")),
-]
+def _sf_dirs() -> list[tuple[str, str]]:
+    """Default curve 0.01/0.1/1; override with SPARK_GRAFT_SCALE_SFS
+    (comma list, e.g. "0.1,1,10" — <=0.1 resolve to the driver testdata
+    tiers, larger to .scale/sf<N> from tools/gen_scale_data.py).
+    SPARK_GRAFT_SKIP_QUERIES (comma names) drops queries whose exact
+    forms are out of budget at the big tiers (recorded as skipped, not
+    silently absent). For >= sf10 set SPARK_GRAFT_DRIVER_MEM=32g —
+    the cached tables outgrow the default 8g local-mode heap."""
+    spec = os.environ.get("SPARK_GRAFT_SCALE_SFS", "0.01,0.1,1")
+    out = []
+    for sf in [s.strip() for s in spec.split(",") if s.strip()]:
+        if float(sf) <= 0.1:
+            out.append((sf, f"/root/testdata/sf{sf}"))
+        elif sf == "1":
+            out.append((sf, os.environ.get("SPARK_GRAFT_SF1_DIR", ".scale/sf1")))
+        else:
+            out.append((sf, f".scale/sf{sf}"))
+    return out
+
+
+SFS: list[tuple[str, str]] = _sf_dirs()
+SKIP = {
+    s.strip()
+    for s in os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "").split(",")
+    if s.strip()
+}
 
 
 def main() -> None:
@@ -84,6 +105,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             cached.append(df)
         for name in names:
+            if name in SKIP:
+                results[name][f"err_{sf}"] = "skipped (SPARK_GRAFT_SKIP_QUERIES)"
+                print(f"sf{sf} {name}: SKIPPED", file=sys.stderr, flush=True)
+                continue
             # a query that breaks at a higher SF is itself a rehearsal
             # FINDING (that is the point of the exercise) — record it and
             # keep measuring the rest instead of losing the whole run
@@ -104,27 +129,38 @@ def main() -> None:
             df.unpersist()
         spark.catalog.clearCache()
 
+    # step ratios between CONSECUTIVE measured SFs (generic over the
+    # SPARK_GRAFT_SCALE_SFS list)
+    steps = [(SFS[i][0], SFS[i + 1][0]) for i in range(len(SFS) - 1)]
     table = []
     for name in names:
         r = results[name]
         row = {"query": name, **{f"sf{sf}": r.get(sf) for sf, _ in SFS}}
-        if r.get("0.1") and r.get("0.01"):
-            row["r10"] = round(r["0.1"] / r["0.01"], 2)
-        if r.get("1") and r.get("0.1"):
-            row["r100"] = round(r["1"] / r["0.1"], 2)
+        for a, b in steps:
+            if r.get(b) and r.get(a):
+                row[f"r_{a}_{b}"] = round(r[b] / r[a], 2)
+        err = {k: v for k, v in r.items() if k.startswith("err_")}
+        row.update(err)
         table.append(row)
     with open(out_path, "w") as f:
         json.dump({"unit": "sec", "min_of": 3, "rows": table}, f, indent=1)
     print(json.dumps({"wrote": out_path, "queries": len(table)}))
 
     # markdown table for BASELINE.md
-    print("\n| query | sf0.01 | sf0.1 | sf1 | t(0.1)/t(0.01) | t(1)/t(0.1) |")
-    print("|---|---|---|---|---|---|")
+    hdr = (
+        "| query | "
+        + " | ".join(f"sf{sf}" for sf, _ in SFS)
+        + " | "
+        + " | ".join(f"t({b})/t({a})" for a, b in steps)
+        + " |"
+    )
+    print("\n" + hdr)
+    print("|" + "---|" * (1 + len(SFS) + len(steps)))
     for row in table:
-        print(
-            f"| {row['query']} | {row.get('sf0.01', '—')} | {row.get('sf0.1', '—')} "
-            f"| {row.get('sf1', '—')} | {row.get('r10', '—')} | {row.get('r100', '—')} |"
-        )
+        cells = [row["query"]]
+        cells += [str(row.get(f"sf{sf}", "—")) for sf, _ in SFS]
+        cells += [str(row.get(f"r_{a}_{b}", "—")) for a, b in steps]
+        print("| " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
