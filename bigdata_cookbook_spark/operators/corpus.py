@@ -36,6 +36,7 @@ def corpus_clean(
     contamination_threshold: float = 0.5,
     contamination_n: int = 8,
     broadcast_eval: bool = True,
+    jaccard_df_cap: int | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
     (+ dropped_contaminated when ``eval_df`` is given).
@@ -49,6 +50,11 @@ def corpus_clean(
     ``broadcast_eval`` passes through to contamination_pairs: leave True
     only when eval_df is benchmark-sized (the broadcast contract there);
     set False for an eval side that scales with the corpus.
+
+    ``jaccard_df_cap`` passes through to ngram_jaccard_pairs: REQUIRED
+    at corpus scale (the exact form's self-join is quadratic on
+    vocabulary-saturated corpora — sf1-rehearsal finding, measured in
+    BASELINE.md §D); None keeps the exact oracle-tier semantics.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
@@ -73,7 +79,9 @@ def corpus_clean(
         "doc_id"
     )
 
-    pairs = ngram_jaccard_pairs(exact_kept, threshold=jaccard_threshold)
+    pairs = ngram_jaccard_pairs(
+        exact_kept, threshold=jaccard_threshold, df_cap=jaccard_df_cap
+    )
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_kept.join(near_losers, "doc_id", "left_anti")
     out = {

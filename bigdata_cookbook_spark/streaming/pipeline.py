@@ -109,6 +109,66 @@ def _cross_batch_neardup(
     return jac.filter(F.col("jaccard") >= threshold).select("doc_id").distinct()
 
 
+def _verify_candidates(
+    candidates: DataFrame,
+    batch_idx: DataFrame,
+    shingle_state: DataFrame | None,
+    batch_ids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs; returns the
+    BATCH doc_ids that verify as near-dups (first-arrival-wins: a batch
+    doc loses to any verified partner that is in the state, or to a
+    smaller-id batch partner).
+
+    Every join here keys on candidate doc_ids, so the cost is bounded
+    by |candidates| x per-doc shingle count — never the inverted-index
+    sum(df^2). The shingle lookup side is the batch index plus the
+    persisted state (state docs only ever appear as the KEPT partner).
+    """
+    idx = (
+        batch_idx
+        if shingle_state is None
+        else batch_idx.unionByName(shingle_state)
+    )
+    # candidates are least-id-first (doc_a < doc_b); under ingest-once
+    # ordered ids the batch side of a cross pair is doc_b, and within
+    # batch doc_b is the larger id — the loser in both cases
+    cand = candidates.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+    )
+    a = idx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle").alias("sh"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle").alias("sh"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # expand each pair to doc_a's shingle rows, then equi-join the b side
+    # on BOTH (doc_b, sh) — intersection rows materialize directly, never
+    # the per-pair |sh_a| x |sh_b| cross product
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = inter.select(
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ).alias("jaccard"),
+    )
+    return (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
 def incremental_corpus_clean(
     batch_docs: DataFrame,
     seen_hashes: DataFrame | None = None,
@@ -122,13 +182,32 @@ def incremental_corpus_clean(
     contamination_n: int = 8,
     ngram_n: int = 3,
     broadcast_eval: bool = True,
+    near_dup: str = "exact",
+    bucket_state: DataFrame | None = None,
+    lsh_num_hashes: int = 12,
+    lsh_band_size: int = 2,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
-    -> near-dup removal (within batch + vs shingle state) ->
-    decontamination. The batch-callable core of the streaming capstone
+    -> near-dup removal (within batch + vs state) -> decontamination.
+    The batch-callable core of the streaming capstone
     (streaming_corpus_clean wraps it in foreachBatch); parameters and
     stage semantics mirror operators/corpus.corpus_clean stage for
     stage.
+
+    ``near_dup`` picks the near-dup tier:
+
+    - ``"exact"`` (default): every co-shingled pair is scored — the
+      parity tier, reproducing corpus_clean bit-for-bit, with the exact
+      form's quadratic exposure on vocabulary-saturated corpora
+      (BASELINE.md §D).
+    - ``"lsh"``: the 100 TB funnel made executable — MinHash band
+      buckets generate candidates (within batch + vs the persisted
+      ``bucket_state``, operators/dedup.incremental_lsh_candidates),
+      then EXACT Jaccard verifies only the candidate pairs (the
+      verification joins key on candidate doc_ids, cost bounded by the
+      candidate count, never sum(df^2)). Kept set is a SUPERSET of the
+      exact tier's (LSH can miss pairs, never invents them — tested);
+      returns an extra ``new_buckets`` state delta.
 
     Returns::
 
@@ -138,14 +217,21 @@ def incremental_corpus_clean(
          "dropped_neardup": ...,
          "dropped_contaminated": ... (only when eval_df given),
          "new_hashes":      DELTA to append to the seen_hashes state,
-         "new_shingles":    DELTA to append to the shingle state}
+         "new_shingles":    DELTA to append to the shingle state,
+         "new_buckets":     (lsh mode) DELTA to append to bucket_state}
 
     State deltas are pure appends — novel hashes only (globally distinct
-    by construction via the anti-join) and the batch's exact-kept
-    shingle rows. Nothing re-reads or re-aggregates the accumulated
-    state; a replay of the same batch yields empty kept and empty
-    deltas (idempotence, tested).
+    by construction via the anti-join), the batch's exact-kept shingle
+    rows, and (lsh) the batch's band-bucket rows. Nothing re-reads or
+    re-aggregates the accumulated state; a replay of the same batch
+    yields empty kept and empty hash deltas (idempotence, tested).
+    Append-only bucket deltas assume ingest-once doc ids (the streaming
+    norm); for re-ingest-with-changed-text workloads use
+    incremental_lsh_candidates directly — its latest-ingest-wins state
+    replacement is the re-ingest-safe tier.
     """
+    if near_dup not in ("exact", "lsh"):
+        raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
     feats = quality_exprs(F.col("text"))
     scored = batch_docs.select(
         "doc_id",
@@ -180,15 +266,43 @@ def incremental_corpus_clean(
 
     # near-dup tier: within-batch pairs (drop the larger side) PLUS
     # batch-vs-state pairs (drop the batch side — first arrival wins)
-    within = ngram_jaccard_pairs(
-        exact_kept, n=ngram_n, threshold=jaccard_threshold
-    ).select(F.col("doc_b").alias("doc_id"))
     batch_idx = _batch_shingle_index(exact_kept, ngram_n)
-    if shingle_state is not None:
-        cross = _cross_batch_neardup(batch_idx, shingle_state, jaccard_threshold)
-        near_losers = within.unionByName(cross).distinct()
+    new_buckets = None
+    if near_dup == "lsh":
+        from bigdata_cookbook_spark.operators.dedup import (
+            incremental_lsh_candidates,
+        )
+
+        lsh = incremental_lsh_candidates(
+            exact_kept.select("doc_id", "text"),
+            seen_buckets=bucket_state,
+            n=ngram_n,
+            num_hashes=lsh_num_hashes,
+            band_size=lsh_band_size,
+        )
+        batch_ids = exact_kept.select("doc_id")
+        near_losers = _verify_candidates(
+            lsh["candidates"], batch_idx, shingle_state, batch_ids,
+            jaccard_threshold,
+        )
+        # append-only delta: just this batch's band rows (see docstring
+        # for the ingest-once assumption vs lsh["buckets"]'s replacement)
+        new_buckets = (
+            lsh["buckets"]
+            if bucket_state is None
+            else lsh["buckets"].join(bucket_state, ["doc_id"], "left_anti")
+        )
     else:
-        near_losers = within.distinct()
+        within = ngram_jaccard_pairs(
+            exact_kept, n=ngram_n, threshold=jaccard_threshold
+        ).select(F.col("doc_b").alias("doc_id"))
+        if shingle_state is not None:
+            cross = _cross_batch_neardup(
+                batch_idx, shingle_state, jaccard_threshold
+            )
+            near_losers = within.unionByName(cross).distinct()
+        else:
+            near_losers = within.distinct()
     kept = exact_kept.join(near_losers, "doc_id", "left_anti")
     # state keeps EVERY exact-kept doc (incl. near-dup losers): they stay
     # valid pair sources for future batches — the parity condition with
@@ -202,6 +316,8 @@ def incremental_corpus_clean(
         "new_hashes": new_hashes,
         "new_shingles": new_shingles,
     }
+    if new_buckets is not None:
+        out["new_buckets"] = new_buckets
     if eval_df is not None:
         from bigdata_cookbook_spark.operators.dedup import contamination_pairs
 
@@ -268,6 +384,11 @@ def streaming_corpus_clean(
     """
     hash_root = os.path.join(state_dir, "seen_hashes")
     shingle_root = os.path.join(state_dir, "shingles")
+    bucket_root = os.path.join(state_dir, "buckets")
+    lsh_mode = clean_kwargs.get("near_dup") == "lsh"
+    band_cols = ["doc_id", "band"] + [
+        f"k{j}" for j in range(clean_kwargs.get("lsh_band_size", 2))
+    ]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -275,6 +396,10 @@ def streaming_corpus_clean(
         shingles = _read_state(
             spark, shingle_root, ["doc_id", "shingle", "n_sh"]
         )
+        if lsh_mode:
+            clean_kwargs["bucket_state"] = _read_state(
+                spark, bucket_root, band_cols
+            )
         res = incremental_corpus_clean(
             batch_df, seen, shingles, eval_df=eval_df, **clean_kwargs
         )
@@ -287,6 +412,10 @@ def streaming_corpus_clean(
         res["new_shingles"].write.mode("overwrite").parquet(
             os.path.join(shingle_root, f"ingest_batch={batch_id}")
         )
+        if lsh_mode:
+            res["new_buckets"].select(band_cols).write.mode("overwrite").parquet(
+                os.path.join(bucket_root, f"ingest_batch={batch_id}")
+            )
 
     writer = (
         stream_docs.writeStream.foreachBatch(_process)

@@ -271,6 +271,7 @@ def pretraining_pipeline(
     seed: int = 42,
     n_curriculum_buckets: int = 8,
     with_accounting: bool = True,
+    jaccard_df_cap: int | None = None,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
@@ -306,7 +307,15 @@ def pretraining_pipeline(
     )
     from bigdata_cookbook_spark.operators.sampling import domain_mix_sample, shuffle_key
 
-    stages = corpus_clean(docs, lang=lang, min_tokens=min_tokens, eval_df=eval_df)
+    # jaccard_df_cap: REQUIRED at corpus scale (quadratic exact form —
+    # BASELINE.md §D); default None keeps the oracle-tier semantics
+    stages = corpus_clean(
+        docs,
+        lang=lang,
+        min_tokens=min_tokens,
+        eval_df=eval_df,
+        jaccard_df_cap=jaccard_df_cap,
+    )
     clean = stages["kept"].persist()
 
     mixed = (
