@@ -1678,6 +1678,53 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_curriculum(docs, n_buckets=8)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules — the n-gram half of table A1 that
+    q_gopher_quality scopes out (Rae et al. 2021): top-2/3/4-gram
+    character-coverage fractions, duplicate-5/10-gram fractions, and
+    the keep conjunction at the paper's thresholds.
+
+    Plan shape: linear scan, zero shuffle — every metric is a
+    per-document run-length aggregate over a sorted n-gram array
+    (functions/text.py:_gram_char_stats), NOT an explode+groupBy
+    (which would shuffle 5-10x the corpus size to compute
+    doc-local statistics). The filter tier must stay a scan at 100 TB."""
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_keep_expr,
+        repetition_metrics_exprs,
+        tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toksed = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 10)
+    m = repetition_metrics_exprs(F.col("toks"))
+    # no orderBy: the driver compare is order-insensitive and a global
+    # sort would add a pointless range exchange to a scan-shaped plan
+    return toksed.select(
+        "doc_id",
+        *[c.alias(k) for k, c in m.items()],
+        repetition_keep_expr(m).alias("keep"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
+    SRP-bucket the embedding space with fixed +-1 hyperplanes, drop any
+    doc >= 0.4 cosine to an earlier doc in its bucket, return kept ids
+    with bucket. Bucket bits and cosine are codegen'd expressions; the
+    quadratic work is confined within buckets (n_planes controls bucket
+    granularity at scale)."""
+    from bigdata_cookbook_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64).select(
+        "vec_id", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -1718,8 +1765,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": q_stratified_sample_orders,
         "weighted_sample_orders": q_weighted_sample_orders,
         "price_percentiles": q_price_percentiles,
-        "rolling_hour_avg": q_rolling_hour_avg,
-        "rollup_order_volumes": q_rollup_order_volumes,
+        # round-4 rotation: the two new training-data-tier queries take
+        # scored-window slots from two DOUBLE-green entries (r02+r03
+        # hash rows on record: rolling_hour_avg, rollup_order_volumes —
+        # moved to the tail; their families stay pinned in-window by
+        # sliding_window_counts (rolling windows) and
+        # continuous_aggregate_daily (rollup)).
+        "gopher_repetition": q_gopher_repetition,
+        "semantic_dedup": q_semantic_dedup,
         "continuous_aggregate_daily": q_continuous_aggregate_daily,
         "profile_orders": q_profile_orders,
         # -- tier 2: family representatives incl. the bench HEADLINE set --
@@ -1800,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (enter OUTSIDE the scored window; rotate in
         # only over double-green rows per the rotation discipline)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        # rotated out round 4 (double-green r02+r03 rows on record)
+        "rolling_hour_avg": q_rolling_hour_avg,
+        "rollup_order_volumes": q_rollup_order_volumes,
     }
 
 
@@ -2293,9 +2349,87 @@ def _bpe_token_count_sql() -> str:
     """
 
 
+def _gopher_repetition_sql() -> str:
+    """Oracle twin of q_gopher_repetition: per-(doc, n-gram) counts via
+    UNNEST(RANGE(...)) + list slicing, the same heaviest-gram /
+    duplicate-gram character fractions, the same Gopher thresholds."""
+
+    def block(n: int) -> str:
+        return f"""
+    g{n} AS (
+      SELECT doc_id, ARRAY_TO_STRING(t[i:i+{n - 1}], ' ') AS gram
+      FROM base CROSS JOIN UNNEST(RANGE(1, LEN(t) - {n} + 2)) AS r(i)
+    ),
+    c{n} AS (
+      SELECT doc_id, COUNT(*) AS cnt, COUNT(*)*LENGTH(gram) AS chars
+      FROM g{n} GROUP BY doc_id, gram
+    ),
+    m{n} AS (
+      SELECT doc_id,
+             ROUND(MAX(chars) * 1.0 / SUM(chars), 4) AS top{n}gram_char_frac,
+             ROUND(SUM(CASE WHEN cnt > 1 THEN chars ELSE 0 END) * 1.0
+                   / SUM(chars), 4) AS dup{n}gram_char_frac
+      FROM c{n} GROUP BY doc_id
+    )"""
+
+    blocks = ",".join(block(n) for n in (2, 3, 4, 5, 10))
+    return f"""
+        WITH base AS (
+          SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS t
+          FROM documents
+          WHERE CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END >= 10
+        ),{blocks}
+        SELECT b.doc_id,
+               m2.top2gram_char_frac, m3.top3gram_char_frac,
+               m4.top4gram_char_frac,
+               m5.dup5gram_char_frac, m10.dup10gram_char_frac,
+               (m2.top2gram_char_frac <= 0.20
+                AND m3.top3gram_char_frac <= 0.18
+                AND m4.top4gram_char_frac <= 0.16
+                AND m5.dup5gram_char_frac <= 0.15
+                AND m10.dup10gram_char_frac <= 0.10) AS keep
+        FROM base b
+        JOIN m2 USING(doc_id) JOIN m3 USING(doc_id) JOIN m4 USING(doc_id)
+        JOIN m5 USING(doc_id) JOIN m10 USING(doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """Oracle twin of q_semantic_dedup over the SAME srp_planes
+    constants (emitted as list literals by srp_bucket_sql)."""
+    from bigdata_cookbook_spark.operators.dedup import (
+        srp_bucket_sql,
+        srp_planes,
+    )
+
+    bsql = srp_bucket_sql("v", srp_planes(64, 4))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS n,
+                     {bsql} AS bucket
+              FROM e),
+        dropped AS (
+          SELECT DISTINCT bb.vec_id
+          FROM b aa JOIN b bb
+            ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+          WHERE ROUND(LIST_DOT_PRODUCT(aa.v, bb.v) / (aa.n * bb.n), 4)
+                >= 0.4
+        )
+        SELECT vec_id, CAST(bucket AS INT) AS bucket FROM b
+        WHERE NOT EXISTS (SELECT 1 FROM dropped d
+                          WHERE d.vec_id = b.vec_id)
+        ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_count": _bpe_token_count_sql(),
+        "gopher_repetition": _gopher_repetition_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "source_quality_profile": """
             WITH scored AS (
                 SELECT source,

@@ -325,3 +325,136 @@ def redaction_counts_exprs(text: Column) -> dict[str, Column]:
         out[f"n_{kind}"] = F.regexp_count(staged, F.lit(pat)).cast("int")
         staged = F.regexp_replace(staged, pat, repl)
     return out
+
+
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Word n-gram array WITH duplicates (occurrence counts preserved —
+    contrast shingles_from_tokens, which distincts for set semantics).
+
+    PRECONDITION: size(toks) >= n (same contract and same measured
+    reasons as shingles_from_tokens: no when() guard, bound column,
+    element_at not slice)."""
+    count = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+
+
+def _gram_char_stats(grams: Column) -> Column:
+    """Run-length statistics over a sorted n-gram array, as ONE
+    aggregate expression per document — no explode, no shuffle, the
+    whole repetition tier stays a linear scan.
+
+    Sorting groups equal grams into runs; a single left-to-right
+    F.aggregate then flushes each run when the value changes, tracking
+      best = max over distinct grams of count*length (chars covered by
+             the heaviest gram),
+      dup  = sum of count*length over grams occurring more than once,
+      tot  = sum of count*length over all grams (the denominator).
+    Returns struct<best, dup, tot> (longs).
+
+    The alternative — explode + groupBy(doc_id, gram) — shuffles every
+    n-gram occurrence across the cluster to compute a statistic that is
+    local to one document; at 100 TB that is the difference between a
+    scan and a corpus-wide shuffle of 5-10x the corpus size."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("dup"),
+        zero.alias("tot"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = acc["prev"] == x
+        runchars = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same | (runchars <= acc["best"]), acc["best"])
+            .otherwise(runchars)
+            .alias("best"),
+            F.when(~same & (acc["run"] > 1), acc["dup"] + runchars)
+            .otherwise(acc["dup"])
+            .alias("dup"),
+            F.when(same, acc["tot"])
+            .otherwise(acc["tot"] + runchars)
+            .alias("tot"),
+        )
+
+    def finish(acc: Column) -> Column:
+        runchars = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            F.greatest(acc["best"], runchars).alias("best"),
+            F.when(acc["run"] > 1, acc["dup"] + runchars)
+            .otherwise(acc["dup"])
+            .alias("dup"),
+            (acc["tot"] + runchars).alias("tot"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
+def repetition_metrics_exprs(
+    toks: Column,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> dict[str, Column]:
+    """Gopher repetition rules (Rae et al. 2021 table A1, n-gram half —
+    the half gopher_quality_exprs scopes out) as pure column
+    expressions over a bound token-array column.
+
+    top{n}gram_char_frac: fraction of n-gram-covered characters
+    belonging to the HEAVIEST n-gram, weight = occurrences x gram
+    length. (Engine-pinned semantics: the paper says "most frequently
+    occurring n-gram"; weighting by chars directly makes the metric
+    monotone in what it measures — how much of the text one phrase
+    covers — and gives both engines one deterministic argmax.)
+
+    dup{n}gram_char_frac: fraction of n-gram-covered characters
+    belonging to n-grams that occur more than once.
+
+    PRECONDITION: size(toks) >= max(top_ns + dup_ns) — filter rows
+    first (short docs are below every Gopher length gate anyway).
+    """
+    out: dict[str, Column] = {}
+    for n in top_ns:
+        st = _gram_char_stats(ngrams_expr(toks, n))
+        out[f"top{n}gram_char_frac"] = F.round(st["best"] / st["tot"], 4)
+    for n in dup_ns:
+        st = _gram_char_stats(ngrams_expr(toks, n))
+        out[f"dup{n}gram_char_frac"] = F.round(st["dup"] / st["tot"], 4)
+    return out
+
+
+def repetition_keep_expr(
+    m: dict[str, Column],
+    max_top_fracs: dict[int, float] | None = None,
+    max_dup_fracs: dict[int, float] | None = None,
+) -> Column:
+    """Conjunction of the repetition keep-rules. Default thresholds are
+    the Gopher paper's (top 2/3/4-gram <= 0.20/0.18/0.16; duplicate
+    5/10-gram <= 0.15/0.10), applied to whichever metrics are present
+    in ``m``."""
+    top_t = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_t = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    if max_top_fracs:
+        top_t.update(max_top_fracs)
+    if max_dup_fracs:
+        dup_t.update(max_dup_fracs)
+    keep = F.lit(True)
+    for name, col in m.items():
+        if name.startswith("top"):
+            n = int(name[3 : name.index("gram")])
+            # off-table n falls back to the tightest tabled threshold
+            keep = keep & (col <= F.lit(top_t.get(n, min(top_t.values()))))
+        elif name.startswith("dup"):
+            n = int(name[3 : name.index("gram")])
+            keep = keep & (col <= F.lit(dup_t.get(n, min(dup_t.values()))))
+    return keep

@@ -498,3 +498,143 @@ def incremental_lsh_candidates(
         candidates = within
         new_state = banded
     return {"candidates": candidates, "buckets": new_state}
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def srp_planes(
+    dim: int, n_planes: int = 4, seed: int = 0x5EED
+) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (+-1 entries
+    from a 64-bit LCG). The SAME constants drive the Spark expression
+    and the DuckDB oracle SQL, so bucket assignment is engine-portable
+    by construction — no RNG at query time (scripts and oracles must be
+    replay-stable)."""
+    planes: list[list[float]] = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row: list[float] = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            row.append(1.0 if state >> 63 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket_expr(vec, planes: list[list[float]]):
+    """LSH bucket id from hyperplane sign bits: bit j = sign of
+    dot(vec, planes[j]). Pure column expression — one pass over the
+    embedding array per plane, JVM-side, no UDF. 2^n_planes buckets."""
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int | None = None,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop any document whose
+    embedding is >= ``threshold`` cosine-similar to an EARLIER (lower
+    id) document in the same SRP bucket; return the kept rows with
+    their bucket ids.
+
+    SemDeDup proper partitions the space with k-means and prunes
+    within clusters; signed random projections give the same
+    partition-then-prune shape with a deterministic, engine-portable
+    cluster function (the k-means form is available via ml/ivf.py's
+    trained centroids when a model-driven partition is wanted — this
+    operator is the zero-training tier).
+
+    Scale: the bucket join is an equi-join on the bucket id — one
+    shuffle of (id, bucket, vec) — and the quadratic cosine work is
+    confined within buckets, which n_planes controls directly (each
+    plane halves expected bucket size; at 100 TB raise n_planes so
+    buckets stay ~10^3-10^4 and add the IVF funnel for recall). The
+    keep-rule anti-join is on the id alone. No driver-side state, no
+    UDF: bucket bits and cosine are both codegen'd expressions.
+
+    Reference parity: the cookbook dedups retrieved chunks by exact
+    text only (e.g. Narrative_Miners sentence dedup); semantic near-dup
+    pruning is a beyond-parity training-data-tier operator.
+    """
+    if dim is None:
+        # embeddings are fixed-width by contract; sample one row only to
+        # bind plane width (bounded collect: one row, scalar)
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            return df.select(
+                F.col(id_col), F.lit(0).alias("bucket")
+            ).limit(0)
+        dim = first[0]
+    planes = srp_planes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    b = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        norm.alias("__n"),
+        srp_bucket_expr(v, planes).alias("bucket"),
+    )
+    a_side = b.select(
+        F.col(id_col).alias("__a_id"),
+        F.col("__v").alias("__a_v"),
+        F.col("__n").alias("__a_n"),
+        F.col("bucket").alias("__a_bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__a_v"), F.col("__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("__a_n") * F.col("__n")), 4)
+    dropped = (
+        b.join(
+            a_side,
+            (F.col("__a_bucket") == F.col("bucket"))
+            & (F.col("__a_id") < F.col(id_col)),
+        )
+        .where(cos >= F.lit(threshold))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    return (
+        b.join(dropped, id_col, "left_anti")
+        .select(id_col, "bucket")
+    )
+
+
+def srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """The DuckDB-SQL twin of srp_bucket_expr over the same plane
+    constants (oracle construction helper)."""
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT({vec_sql}, {lit}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)

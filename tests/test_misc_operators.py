@@ -614,3 +614,146 @@ def test_ngram_jaccard_df_cap_drops_boilerplate_only_pairs(spark):
     )
     exact = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.3).collect()))
     assert loose == exact
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_keep_expr,
+        repetition_metrics_exprs,
+        tokens_expr,
+    )
+
+    # doc A: "x y" repeated 10x -> the 2-gram population is
+    # [x y]*10 + [y x]*9; heaviest 2-gram = "x y" (10 occ * 3 chars = 30)
+    # over tot = 10*3 + 9*3 = 57; every 2-gram duplicates -> dup frac 1.
+    # doc B: 20 distinct tokens -> no repetition at all.
+    rows = [
+        (1, " ".join(["x", "y"] * 10)),
+        (2, " ".join(f"t{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toksed = df.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 10)
+    m = repetition_metrics_exprs(F.col("toks"), top_ns=(2,), dup_ns=(2,))
+    out = {
+        r["doc_id"]: r
+        for r in toksed.select(
+            "doc_id",
+            *[c.alias(k) for k, c in m.items()],
+            repetition_keep_expr(m).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["top2gram_char_frac"] == round(30 / 57, 4)
+    assert out[1]["dup2gram_char_frac"] == 1.0
+    assert out[1]["keep"] is False  # blown past every threshold
+    # doc B grams are all distinct; heaviest is "t18 t19" (7 chars, one
+    # occurrence) over tot = 9*5 ("t0 t1".."t8 t9") + 6 ("t9 t10")
+    # + 9*7 ("t10 t11".."t18 t19") = 114
+    assert out[2]["top2gram_char_frac"] == round(7 / 114, 4)
+    assert out[2]["dup2gram_char_frac"] == 0.0
+    assert out[2]["keep"] is True
+
+
+def test_repetition_metrics_no_shuffle_plan(spark):
+    # the repetition tier must stay a scan: per-doc HOF aggregate, no
+    # explode+groupBy (which would shuffle every n-gram occurrence)
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_metrics_exprs,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    toksed = df.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 10)
+    m = repetition_metrics_exprs(F.col("toks"))
+    out = toksed.select("doc_id", *[c.alias(k) for k, c in m.items()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_drops_within_bucket_only(spark):
+    import math
+
+    from bigdata_cookbook_spark.operators.dedup import (
+        semantic_dedup,
+        srp_planes,
+    )
+
+    dim = 8
+    planes = srp_planes(dim, n_planes=2)
+
+    def bucket_of(v):
+        b = 0
+        for j, p in enumerate(planes):
+            if sum(a * x for a, x in zip(v, p)) > 0:
+                b |= 1 << j
+        return b
+
+    base = [1.0] * dim
+    dup = [0.9] * dim  # cosine 1.0 with base -> must drop (higher id)
+    # orthogonal-ish vector: flip half the signs -> cosine 0
+    orth = [1.0] * (dim // 2) + [-1.0] * (dim // 2)
+    rows = [(0, base), (1, dup), (2, orth)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semantic_dedup(
+        df, threshold=0.9, n_planes=2, dim=dim
+    ).collect()
+    kept_ids = sorted(r["vec_id"] for r in kept)
+    assert kept_ids == [0, 2]
+    # bucket ids must match the Python-side plane math exactly
+    for r in kept:
+        v = dict(rows)[r["vec_id"]]
+        assert r["bucket"] == bucket_of(v)
+    # LSH contract, stated honestly: a near-dup pair split across
+    # buckets is NOT dropped (recall is traded for bucket-local work;
+    # raise n_planes/add IVF funnel to tune). Construct a pair that
+    # lands in different buckets to pin the semantics.
+    v_a = base
+    v_b = [x * 1.0 for x in base]
+    # perturb one coordinate until the bucket differs but cosine stays
+    # above threshold
+    found = None
+    for k in range(dim):
+        cand = list(base)
+        cand[k] = -6.0
+        cos = sum(a * b for a, b in zip(base, cand)) / (
+            math.sqrt(sum(a * a for a in base))
+            * math.sqrt(sum(b * b for b in cand))
+        )
+        if bucket_of(cand) != bucket_of(v_a) and cos > 0.1:
+            found = (cand, cos)
+            break
+    if found is not None:
+        cand, cos = found
+        df2 = spark.createDataFrame(
+            [(0, v_a), (1, cand)], ["vec_id", "embedding"]
+        )
+        kept2 = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                df2, threshold=cos - 0.05, n_planes=2, dim=dim
+            ).collect()
+        )
+        assert kept2 == [0, 1]
+
+
+def test_semantic_dedup_empty_and_determinism(spark):
+    from bigdata_cookbook_spark.operators.dedup import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert semantic_dedup(empty, dim=4).count() == 0
+    # same input -> same kept set, twice (replay-stable: fixed planes)
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    a = sorted(r["vec_id"] for r in semantic_dedup(df, dim=4).collect())
+    b = sorted(r["vec_id"] for r in semantic_dedup(df, dim=4).collect())
+    assert a == b

@@ -97,6 +97,12 @@ EXCHANGE_CEILINGS = {
     # form's shared lineage. Work stays linear (measured 28.4s -> 2.0s at
     # sf1); at corpus scale persist the capped index first (docstring).
     "ngram_jaccard_capped": 6,
+    # round 4 additions: gopher_repetition is the scan-shaped repetition
+    # filter (its one exchange is the repartition spread); semantic_dedup
+    # is bucket-join (broadcast) + keep-rule anti-join (one hash exchange
+    # per anti-join side, AQE-coalesced)
+    "gopher_repetition": 1,
+    "semantic_dedup": 2,
 }
 
 
@@ -233,6 +239,8 @@ def main() -> None:
         "bpe_token_count",
         "source_quality_profile",
         "ngram_jaccard_capped",
+        "gopher_repetition",
+        "semantic_dedup",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
