@@ -1710,6 +1710,33 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-span removal
+    (operators/corpus.span_dedup): non-overlapping 5-token spans, keep
+    the first occurrence of each distinct span corpus-wide, reassemble
+    docs with drop accounting. The synthetic corpus has natural span
+    dups, and the query additionally plants a fixed 5-token boilerplate
+    prefix on doc_id % 7 == 0 (identical expression in the oracle) so
+    the cross-document removal path is always exercised."""
+    from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(planted)
+
+
+_SPAN_BOILER = "legal disclaimer boilerplate repeated verbatim"
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
     SRP-bucket the embedding space with fixed +-1 hyperplanes, drop any
@@ -1764,7 +1791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "stratified_sample_orders": q_stratified_sample_orders,
         "weighted_sample_orders": q_weighted_sample_orders,
-        "price_percentiles": q_price_percentiles,
+        # round-4 rotation (slot 3): span_dedup over price_percentiles
+        # (double-green r02+r03; the robust-stats family stays pinned
+        # in-window by iqr_outliers).
+        "span_dedup": q_span_dedup,
         # round-4 rotation: the two new training-data-tier queries take
         # scored-window slots from two DOUBLE-green entries (r02+r03
         # hash rows on record: rolling_hour_avg, rollup_order_volumes —
@@ -1856,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out round 4 (double-green r02+r03 rows on record)
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
+        "price_percentiles": q_price_percentiles,
     }
 
 
@@ -2396,6 +2427,53 @@ def _gopher_repetition_sql() -> str:
     """
 
 
+def _span_dedup_sql() -> str:
+    """Oracle twin of q_span_dedup: same plant, same span segmentation
+    (list slicing over RANGE), first-occurrence keeper via ROW_NUMBER
+    over (doc_id, idx), ordered STRING_AGG reassembly."""
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '{_SPAN_BOILER} ' || text ELSE text END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS t
+          FROM planted
+          WHERE CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END >= 1
+        ),
+        spans AS (
+          SELECT doc_id, i AS idx,
+                 ARRAY_TO_STRING(t[i*5+1 : i*5+5], ' ') AS span
+          FROM base CROSS JOIN
+               UNNEST(RANGE(0, CAST(CEIL(LEN(t) / 5.0) AS BIGINT))) AS r(i)
+        ),
+        kept AS (
+          SELECT doc_id, idx, span FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY span ORDER BY doc_id, idx
+            ) AS rn FROM spans
+          ) WHERE rn = 1
+        ),
+        reassembled AS (
+          SELECT doc_id, STRING_AGG(span, ' ' ORDER BY idx) AS text_deduped,
+                 CAST(COUNT(*) AS INT) AS n_spans_kept
+          FROM kept GROUP BY doc_id
+        ),
+        totals AS (
+          SELECT doc_id, CAST(CEIL(LEN(t) / 5.0) AS INT) AS n_spans_total
+          FROM base
+        )
+        SELECT t.doc_id,
+               COALESCE(r.text_deduped, '') AS text_deduped,
+               COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
+               t.n_spans_total
+        FROM totals t LEFT JOIN reassembled r USING(doc_id)
+    """
+
+
 def _semantic_dedup_sql() -> str:
     """Oracle twin of q_semantic_dedup over the SAME srp_planes
     constants (emitted as list literals by srp_bucket_sql)."""
@@ -2430,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "span_dedup": _span_dedup_sql(),
         "source_quality_profile": """
             WITH scored AS (
                 SELECT source,

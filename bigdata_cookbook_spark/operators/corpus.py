@@ -377,3 +377,96 @@ def nfc_normalize_stage(
             yield pdf
 
     return docs.mapInPandas(run, schema=schema)
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2: "we
+    removed all but one of any three-sentence span occurring more than
+    once"), at token-window granularity: split each document into
+    non-overlapping ``span_tokens``-token spans, keep exactly ONE
+    occurrence of every distinct span corpus-wide (the lexicographically
+    smallest (doc, position)), and reassemble documents from their
+    surviving spans.
+
+    Token windows instead of sentence triples because the declared
+    corpus contract is one unpunctuated text blob per row; the span
+    boundary rule is pinned (non-overlapping, aligned to the document
+    start) so both engines segment identically.
+
+    Returns (id, text_deduped, n_spans_kept, n_spans_total) — one row
+    per input document, empty string if every span was removed (the
+    drop-accounting columns are what a pipeline audits).
+
+    Scale shape: posexplode spans (linear in corpus — spans are
+    NON-overlapping, so the exploded table is ~the corpus size, unlike
+    a shingle explode at ~n x corpus), one shuffle to group identical
+    spans on their 64-bit hash, one shuffle to reassemble per doc.
+    Both keys are high-cardinality and unskewed (span hashes); this is
+    the canonical distributed exact-substring-dedup plan. slice() here
+    is fine — spans don't overlap, total copied work stays linear
+    (contrast shingles_from_tokens, where per-position slice would be
+    quadratic).
+    """
+    from bigdata_cookbook_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") >= 1
+    )
+    n_spans = F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int")
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("__toks"),
+                        i * span_tokens + 1,
+                        span_tokens,
+                    ),
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    # one row per distinct span: its first occurrence. min over a
+    # struct orders lexicographically by (id, idx) — the pinned keeper.
+    keeper = spans.groupBy(F.xxhash64("span").alias("__k")).agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))).alias("__first")
+    )
+    kept = (
+        spans.join(keeper, F.xxhash64(F.col("span")) == F.col("__k"))
+        .where(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("idx") == F.col("__first.p"))
+        )
+        .select(id_col, "idx", "span")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count("*").cast("int").alias("n_spans_kept"),
+    )
+    totals = base.select(id_col, n_spans.alias("n_spans_total"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            "n_spans_total",
+        )
+    )

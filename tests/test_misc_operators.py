@@ -757,3 +757,39 @@ def test_semantic_dedup_empty_and_determinism(spark):
     a = sorted(r["vec_id"] for r in semantic_dedup(df, dim=4).collect())
     b = sorted(r["vec_id"] for r in semantic_dedup(df, dim=4).collect())
     assert a == b
+
+
+def test_span_dedup_cross_document_removal(spark):
+    from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+    boiler = "aa bb cc dd ee"  # exactly one 5-token span
+    rows = [
+        (1, boiler + " unique one text here today"),
+        (2, boiler + " different tail for doc two"),
+        (3, "totally unrelated words in this document"),
+        (4, boiler),  # nothing but the boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    # doc 1 keeps the boilerplate (first occurrence) + its tail
+    assert out[1]["text_deduped"] == boiler + " unique one text here today"
+    assert out[1]["n_spans_kept"] == out[1]["n_spans_total"] == 2
+    # docs 2 and 4 lose the boilerplate span
+    assert out[2]["text_deduped"] == "different tail for doc two"
+    assert out[2]["n_spans_kept"] == 1 and out[2]["n_spans_total"] == 2
+    assert out[4]["text_deduped"] == ""
+    assert out[4]["n_spans_kept"] == 0 and out[4]["n_spans_total"] == 1
+    # doc 3 untouched
+    assert out[3]["text_deduped"] == rows[2][1]
+
+
+def test_span_dedup_within_document_and_partial_tail(spark):
+    from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+    # 12 tokens -> spans of 5/5/2; the two full spans are identical, so
+    # the second occurrence (same doc, higher idx) is removed
+    text = "a b c d e a b c d e x y"
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    r = span_dedup(df).collect()[0]
+    assert r["text_deduped"] == "a b c d e x y"
+    assert r["n_spans_kept"] == 2 and r["n_spans_total"] == 3

@@ -103,6 +103,12 @@ EXCHANGE_CEILINGS = {
     # per anti-join side, AQE-coalesced)
     "gopher_repetition": 1,
     "semantic_dedup": 2,
+    # span_dedup: repartition spread, span-hash aggregate + keeper
+    # join-back (one exchange per side of the span self-reference —
+    # exchange reuse does not collapse across the join), reassemble
+    # groupBy; the totals join broadcasts. All keys high-cardinality
+    # span hashes / doc ids — the canonical exact-substring-dedup plan.
+    "span_dedup": 5,
 }
 
 
@@ -241,6 +247,7 @@ def main() -> None:
         "ngram_jaccard_capped",
         "gopher_repetition",
         "semantic_dedup",
+        "span_dedup",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
