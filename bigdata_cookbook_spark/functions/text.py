@@ -329,14 +329,26 @@ def redaction_counts_exprs(text: Column) -> dict[str, Column]:
 
 def ngrams_expr(toks: Column, n: int) -> Column:
     """Word n-gram array WITH duplicates (occurrence counts preserved —
-    contrast shingles_from_tokens, which distincts for set semantics).
+    contrast shingles_from_tokens, which distincts for set semantics);
+    empty for size(toks) < n.
 
-    PRECONDITION: size(toks) >= n (same contract and same measured
-    reasons as shingles_from_tokens: no when() guard, bound column,
-    element_at not slice)."""
+    Same measured shape rules as shingles_from_tokens (no when() around
+    the transform, bound column, element_at not slice) — but SAFE on
+    short arrays: F.sequence(1, count) with count < 1 produces a
+    DESCENDING sequence whose indexes blow up ANSI element_at, and
+    "filter rows first" is not enough protection because Catalyst
+    collapses chained filters and reorders conjunctive predicates, so a
+    downstream length filter does NOT guarantee evaluation order. The
+    start-index list is therefore clamped ascending and filtered to
+    <= count (an int-array filter, negligible next to the gram
+    concats)."""
     count = F.size(toks) - (n - 1)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: i <= count,
+    )
     return F.transform(
-        F.sequence(F.lit(1), count),
+        starts,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
         ),
@@ -420,16 +432,23 @@ def repetition_metrics_exprs(
     dup{n}gram_char_frac: fraction of n-gram-covered characters
     belonging to n-grams that occur more than once.
 
-    PRECONDITION: size(toks) >= max(top_ns + dup_ns) — filter rows
-    first (short docs are below every Gopher length gate anyway).
+    Rows with size(toks) < max(top_ns + dup_ns) yield NULL metrics
+    (and a NULL keep flag from repetition_keep_expr, which filters
+    them out on either polarity) — safe to evaluate on any row, so
+    Catalyst filter-collapse/predicate-reordering cannot blow it up;
+    still filter short rows first for meaningful output.
     """
     out: dict[str, Column] = {}
+    # nullif: a row below the length precondition has an empty gram
+    # array (tot = 0) and must yield NULL, not an ANSI divide-by-zero
     for n in top_ns:
         st = _gram_char_stats(ngrams_expr(toks, n))
-        out[f"top{n}gram_char_frac"] = F.round(st["best"] / st["tot"], 4)
+        tot = F.nullif(st["tot"], F.lit(0))
+        out[f"top{n}gram_char_frac"] = F.round(st["best"] / tot, 4)
     for n in dup_ns:
         st = _gram_char_stats(ngrams_expr(toks, n))
-        out[f"dup{n}gram_char_frac"] = F.round(st["dup"] / st["tot"], 4)
+        tot = F.nullif(st["tot"], F.lit(0))
+        out[f"dup{n}gram_char_frac"] = F.round(st["dup"] / tot, 4)
     return out
 
 

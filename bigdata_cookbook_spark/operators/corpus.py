@@ -37,9 +37,17 @@ def corpus_clean(
     contamination_n: int = 8,
     broadcast_eval: bool = True,
     jaccard_df_cap: int | None = None,
+    repetition_filter: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
     (+ dropped_contaminated when ``eval_df`` is given).
+
+    ``repetition_filter=True`` additionally applies the Gopher n-gram
+    repetition rules (functions/text.repetition_metrics_exprs) inside
+    the quality stage — failures land in dropped_quality alongside the
+    basic-quality drops. Requires ``min_tokens >= 10`` (the repetition
+    expressions' documented precondition; the prior length filter is
+    what guarantees it), enforced with a ValueError.
 
     kept = quality-passing, exact-canonical, near-dup-free documents —
     and, with an eval benchmark set supplied, decontaminated: any
@@ -72,6 +80,33 @@ def corpus_clean(
     )
     passed = scored.filter(quality_ok)
     dropped_quality = scored.filter(~quality_ok).select("doc_id")
+
+    if repetition_filter:
+        if min_tokens < 10:
+            raise ValueError(
+                "repetition_filter requires min_tokens >= 10 (the "
+                "repetition expressions need size(toks) >= 10, and the "
+                "length filter is what guarantees it)"
+            )
+        from bigdata_cookbook_spark.functions.text import (
+            repetition_keep_expr,
+            repetition_metrics_exprs,
+            tokens_expr,
+        )
+
+        # second filter stage over the length-passing frame only: the
+        # HOF metrics must never evaluate on sub-10-token rows (their
+        # documented precondition), and fusing them into quality_ok
+        # would evaluate both conjuncts on every row
+        toksed = passed.withColumn("__toks", tokens_expr(F.col("text")))
+        rep_keep = repetition_keep_expr(
+            repetition_metrics_exprs(F.col("__toks"))
+        )
+        rep_passed = toksed.filter(rep_keep).drop("__toks")
+        dropped_quality = dropped_quality.unionByName(
+            toksed.filter(~rep_keep).select("doc_id")
+        )
+        passed = rep_passed
 
     canon = passed.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = passed.join(canon.select("doc_id"), "doc_id", "left_semi")

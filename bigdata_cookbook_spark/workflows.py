@@ -272,13 +272,31 @@ def pretraining_pipeline(
     n_curriculum_buckets: int = 8,
     with_accounting: bool = True,
     jaccard_df_cap: int | None = None,
+    span_dedup_tokens: int | None = None,
+    repetition_filter: bool = False,
+    embeddings_df: DataFrame | None = None,
+    semantic_threshold: float = 0.4,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
-        quality filter -> exact dedup -> near-dup removal
-        [-> decontaminate vs eval_df] [-> domain-mix resample]
+        [span dedup ->] quality filter [+ repetition rules]
+        -> exact dedup -> near-dup removal
+        [-> decontaminate vs eval_df] [-> semantic dedup]
+        [-> domain-mix resample]
         -> deterministic shuffle key + length-curriculum bucket
+
+    Optional stages (all off by default, preserving the oracled
+    baseline shape): ``span_dedup_tokens`` rewrites document text
+    FIRST with C4-style duplicate-span removal (corpus.span_dedup) —
+    C4's order, so later token counts see the deduped text;
+    ``repetition_filter`` adds the Gopher n-gram repetition rules to
+    the quality stage (corpus_clean passthrough); ``embeddings_df``
+    (id-aligned: its vec_id == doc_id) adds SemDeDup-style semantic
+    near-dup removal (dedup.semantic_dedup at ``semantic_threshold``)
+    after the text-level stages — text near-dups are cheaper to find
+    and decontamination must never be masked by a dedup drop, so the
+    embedding pass runs last and only sees survivors.
 
     Returns {clean, mixed, training_set, accounting}: ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
@@ -307,6 +325,18 @@ def pretraining_pipeline(
     )
     from bigdata_cookbook_spark.operators.sampling import domain_mix_sample, shuffle_key
 
+    if span_dedup_tokens is not None:
+        from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+        rewritten = span_dedup(
+            docs, span_tokens=span_dedup_tokens
+        ).select("doc_id", F.col("text_deduped").alias("text"))
+        docs = (
+            docs.drop("text")
+            .join(rewritten, "doc_id")
+            .select("doc_id", "text", "lang", "source")
+        )
+
     # jaccard_df_cap: REQUIRED at corpus scale (quadratic exact form —
     # BASELINE.md §D); default None keeps the oracle-tier semantics
     stages = corpus_clean(
@@ -315,8 +345,30 @@ def pretraining_pipeline(
         min_tokens=min_tokens,
         eval_df=eval_df,
         jaccard_df_cap=jaccard_df_cap,
+        repetition_filter=repetition_filter,
     )
-    clean = stages["kept"].persist()
+    clean = stages["kept"]
+
+    dropped_semantic = None
+    if embeddings_df is not None:
+        from bigdata_cookbook_spark.operators.dedup import semantic_dedup
+
+        # only survivors' embeddings compete: a doc must not be dropped
+        # for resembling one that an earlier stage already removed
+        surv_emb = embeddings_df.join(
+            clean.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        sem_kept = semantic_dedup(surv_emb, threshold=semantic_threshold)
+        dropped_semantic = clean.join(
+            sem_kept.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id")
+        clean = clean.join(dropped_semantic, "doc_id", "left_anti")
+
+    clean = clean.persist()
 
     mixed = (
         domain_mix_sample(clean, "source", "doc_id", target_shares)
@@ -341,6 +393,8 @@ def pretraining_pipeline(
             ("dropped_exact", stages["dropped_exact"]),
             ("dropped_neardup", stages["dropped_neardup"]),
         ]
+        if dropped_semantic is not None:
+            acc_rows.append(("dropped_semantic", dropped_semantic))
         if eval_df is not None:
             acc_rows.append(("dropped_contaminated", stages["dropped_contaminated"]))
         accounting = spark.createDataFrame(
