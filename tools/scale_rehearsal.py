@@ -54,6 +54,10 @@ TIER = [
     "ann_lsh_buckets",
     "continuous_aggregate_daily",
     "skew_salted_distinct_users",
+    # round-4 additions
+    "gopher_repetition",
+    "semantic_dedup",
+    "span_dedup",
 ]
 
 def _sf_dirs() -> list[tuple[str, str]]:
