@@ -432,11 +432,11 @@ def repetition_metrics_exprs(
     dup{n}gram_char_frac: fraction of n-gram-covered characters
     belonging to n-grams that occur more than once.
 
-    Rows with size(toks) < max(top_ns + dup_ns) yield NULL metrics
-    (and a NULL keep flag from repetition_keep_expr, which filters
-    them out on either polarity) — safe to evaluate on any row, so
-    Catalyst filter-collapse/predicate-reordering cannot blow it up;
-    still filter short rows first for meaningful output.
+    A row shorter than an n yields NULL for that n's metric (and a
+    NULL-or-False keep flag from repetition_keep_expr — never True,
+    never an error) — safe to evaluate on any row, so Catalyst
+    filter-collapse/predicate-reordering cannot blow it up; still
+    filter short rows first for meaningful output.
     """
     out: dict[str, Column] = {}
     # nullif: a row below the length precondition has an empty gram

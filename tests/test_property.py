@@ -208,3 +208,82 @@ def test_jaccard_df_cap_matches_python_reference(spark):
         assert got == expect
 
     check()
+
+
+def test_repetition_metrics_match_python_reference(spark):
+    """Engine repetition fractions == a direct Python reference
+    (Counter over n-grams) on random token lists — pins the run-length
+    aggregate against an independent formulation, including heavy-dup
+    and all-distinct extremes."""
+    import random
+    from collections import Counter
+
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_metrics_exprs,
+        tokens_expr,
+    )
+
+    rng = random.Random(77)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(60):
+        n_toks = rng.randint(10, 40)
+        # vary dup pressure: small effective vocab -> heavy repetition
+        eff = vocab[: rng.randint(1, len(vocab))]
+        rows.append((i, " ".join(rng.choice(eff) for _ in range(n_toks))))
+
+    def ref(tokens, n, kind):
+        grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+        c = Counter(grams)
+        tot = sum(cnt * len(g) for g, cnt in c.items())
+        if kind == "top":
+            val = max(cnt * len(g) for g, cnt in c.items())
+        else:
+            val = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        return round(val / tot, 4)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toksed = df.select("doc_id", "text", tokens_expr(F.col("text")).alias("toks"))
+    m = repetition_metrics_exprs(F.col("toks"), top_ns=(2, 3), dup_ns=(2, 5))
+    got = {
+        r["doc_id"]: r
+        for r in toksed.select(
+            "doc_id", *[c.alias(k) for k, c in m.items()]
+        ).collect()
+    }
+    for i, text in rows:
+        toks = text.split()
+        assert got[i]["top2gram_char_frac"] == ref(toks, 2, "top"), i
+        assert got[i]["top3gram_char_frac"] == ref(toks, 3, "top"), i
+        assert got[i]["dup2gram_char_frac"] == ref(toks, 2, "dup"), i
+        assert got[i]["dup5gram_char_frac"] == ref(toks, 5, "dup"), i
+
+
+def test_repetition_metrics_null_below_precondition(spark):
+    """Short rows yield NULL metrics, never an error — the guarantee
+    that makes the expressions safe under Catalyst filter-collapse."""
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_keep_expr,
+        repetition_metrics_exprs,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e f g h i j k")],
+        ["doc_id", "text"],
+    )
+    toksed = df.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    m = repetition_metrics_exprs(F.col("toks"))  # needs >= 10 tokens
+    out = {
+        r["doc_id"]: r
+        for r in toksed.select(
+            "doc_id",
+            *[c.alias(k) for k, c in m.items()],
+            repetition_keep_expr(m).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["dup10gram_char_frac"] is None
+    # keep is NULL or False on a short row (small-n metrics may still
+    # compute and fail a threshold) — never True, never an error
+    assert out[1]["keep"] is not True
+    assert out[2]["keep"] is not None
