@@ -186,6 +186,7 @@ def incremental_corpus_clean(
     bucket_state: DataFrame | None = None,
     lsh_num_hashes: int = 12,
     lsh_band_size: int = 2,
+    repetition_filter: bool = False,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -248,6 +249,29 @@ def incremental_corpus_clean(
     )
     passed = scored.filter(quality_ok)
     dropped_quality = scored.filter(~quality_ok).select("doc_id")
+
+    if repetition_filter:
+        # mirror of corpus_clean's optional second quality stage (same
+        # precondition contract; the metrics are stateless projections,
+        # so the streaming twin needs no state table for this rule)
+        if min_tokens < 10:
+            raise ValueError(
+                "repetition_filter requires min_tokens >= 10"
+            )
+        from bigdata_cookbook_spark.functions.text import (
+            repetition_keep_expr,
+            repetition_metrics_exprs,
+            tokens_expr,
+        )
+
+        toksed = passed.withColumn("__toks", tokens_expr(F.col("text")))
+        rep_keep = repetition_keep_expr(
+            repetition_metrics_exprs(F.col("__toks"))
+        )
+        dropped_quality = dropped_quality.unionByName(
+            toksed.filter(~rep_keep).select("doc_id")
+        )
+        passed = toksed.filter(rep_keep).drop("__toks")
 
     # exact tier: within-batch canonical (min doc_id per text), then
     # anti-join against the persisted hash state — incremental_exact_dedup's

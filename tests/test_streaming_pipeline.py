@@ -249,3 +249,30 @@ def test_streaming_lsh_mode_end_to_end(spark, docs, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert got == want
     assert os.path.isdir(os.path.join(state, "buckets"))
+
+
+def test_incremental_repetition_filter_matches_batch(spark, docs):
+    """repetition_filter parity: two-batch incremental ingest with the
+    Gopher repetition rules on == corpus_clean(repetition_filter=True)
+    over the union — kept and quality-drop sets both."""
+    batch = corpus_clean(docs, repetition_filter=True)
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    r1 = incremental_corpus_clean(b1, repetition_filter=True)
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        repetition_filter=True,
+    )
+    for key in ("kept", "dropped_quality", "dropped_exact", "dropped_neardup"):
+        inc = _ids(r1[key]) | _ids(r2[key])
+        assert inc == _ids(batch[key]), key
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_corpus_clean(b1, min_tokens=5, repetition_filter=True)
