@@ -452,6 +452,35 @@ def repetition_metrics_exprs(
     return out
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per
+    row and pass it to ``body`` as a bound lambda variable —
+    ``element_at(transform(array(value), body), 1)``.
+
+    Why this exists: "materialize with a prior select" (the
+    shingles_from_tokens rule) protects an expensive sub-expression
+    only while it stays a projection. The moment it feeds a FILTER,
+    predicate pushdown substitutes the alias into the predicate and
+    re-inlines the sub-expression at every reference — for a token
+    array consumed by element_at inside HOF lambdas that means one
+    split() per array element (measured 28s vs 9s corpus_clean at 500
+    docs). A lambda variable cannot be substituted through, so the
+    binding survives pushdown, project-collapse, and any other
+    Catalyst rewrite."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def repetition_keep_all_expr(text: Column) -> Column:
+    """The full Gopher repetition keep-conjunction over raw text as ONE
+    pushdown-safe expression (let_bound tokens) — the form to use in a
+    FILTER. For metric OUTPUT columns use repetition_metrics_exprs over
+    a select-bound token column (projections are not re-inlined)."""
+    return let_bound(
+        tokens_expr(text),
+        lambda t: repetition_keep_expr(repetition_metrics_exprs(t)),
+    )
+
+
 def repetition_keep_expr(
     m: dict[str, Column],
     max_top_fracs: dict[int, float] | None = None,

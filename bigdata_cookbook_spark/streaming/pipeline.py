@@ -259,19 +259,14 @@ def incremental_corpus_clean(
                 "repetition_filter requires min_tokens >= 10"
             )
         from bigdata_cookbook_spark.functions.text import (
-            repetition_keep_expr,
-            repetition_metrics_exprs,
-            tokens_expr,
+            repetition_keep_all_expr,
         )
 
-        toksed = passed.withColumn("__toks", tokens_expr(F.col("text")))
-        rep_keep = repetition_keep_expr(
-            repetition_metrics_exprs(F.col("__toks"))
-        )
+        rep_keep = repetition_keep_all_expr(F.col("text"))
         dropped_quality = dropped_quality.unionByName(
-            toksed.filter(~rep_keep).select("doc_id")
+            passed.filter(~rep_keep).select("doc_id")
         )
-        passed = toksed.filter(rep_keep).drop("__toks")
+        passed = passed.filter(rep_keep)
 
     # exact tier: within-batch canonical (min doc_id per text), then
     # anti-join against the persisted hash state — incremental_exact_dedup's

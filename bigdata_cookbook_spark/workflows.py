@@ -325,6 +325,13 @@ def pretraining_pipeline(
     )
     from bigdata_cookbook_spark.operators.sampling import domain_mix_sample, shuffle_key
 
+    # bounded-lifetime caches for the accounting pass: every dropped_*
+    # count re-executes its stage lineage, so without these the span
+    # rewrite (a corpus-wide shuffle) and the pre-semantic kept set
+    # re-run once per counted stage. Released before returning —
+    # only ``clean``'s cache is handed to the caller.
+    temp_caches = []
+
     if span_dedup_tokens is not None:
         from bigdata_cookbook_spark.operators.corpus import span_dedup
 
@@ -336,6 +343,9 @@ def pretraining_pipeline(
             .join(rewritten, "doc_id")
             .select("doc_id", "text", "lang", "source")
         )
+        if with_accounting:
+            docs = docs.persist()
+            temp_caches.append(docs)
 
     # jaccard_df_cap: REQUIRED at corpus scale (quadratic exact form —
     # BASELINE.md §D); default None keeps the oracle-tier semantics
@@ -353,6 +363,12 @@ def pretraining_pipeline(
     if embeddings_df is not None:
         from bigdata_cookbook_spark.operators.dedup import semantic_dedup
 
+        if with_accounting:
+            # the pre-semantic kept set feeds the semantic join AND its
+            # drop count — cache it for the accounting pass
+            clean = clean.persist()
+            temp_caches.append(clean)
+
         # only survivors' embeddings compete: a doc must not be dropped
         # for resembling one that an earlier stage already removed
         surv_emb = embeddings_df.join(
@@ -360,6 +376,16 @@ def pretraining_pipeline(
             "vec_id",
             "left_semi",
         )
+        if with_accounting:
+            # semantic_dedup self-joins its input, so an uncached
+            # surv_emb executes the whole upstream cleaning lineage
+            # once per join side per action — ruinous across the
+            # accounting counts (measured 142s -> 9s on the sf0.001
+            # example). The lazy with_accounting=False path performs
+            # one action total and keeps the documented
+            # nothing-cached-but-clean contract.
+            surv_emb = surv_emb.persist()
+            temp_caches.append(surv_emb)
         sem_kept = semantic_dedup(surv_emb, threshold=semantic_threshold)
         dropped_semantic = clean.join(
             sem_kept.select(F.col("vec_id").alias("doc_id")),
@@ -407,6 +433,13 @@ def pretraining_pipeline(
             ],
             "stage string, n_dropped long",
         )
+    if temp_caches:
+        # materialize the caller-facing cache before releasing the
+        # temporaries it is built from, so later actions on ``clean``
+        # never re-run the span/semantic lineage uncached
+        clean.count()
+        for df in temp_caches:
+            df.unpersist()
     return {
         "clean": clean,
         "mixed": mixed,

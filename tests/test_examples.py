@@ -40,3 +40,28 @@ def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     spec = json.load(open(p1["chart"], encoding="utf-8"))
     assert spec["$schema"].endswith("vega-lite/v5.json")
     assert spec["data"]["values"]
+
+
+def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path):
+    import json
+
+    import pretraining_data_pipeline as pex
+
+    p1 = pex.main(spark, str(tmp_path / "run1"))
+    p2 = pex.main(spark, str(tmp_path / "run2"))
+
+    a1 = json.load(open(p1["accounting"], encoding="utf-8"))
+    a2 = json.load(open(p2["accounting"], encoding="utf-8"))
+    assert a1 == a2
+    stages = dict(a1["stages"])
+    # every optional stage reported, totals reconcile
+    assert {
+        "dropped_quality", "dropped_exact", "dropped_neardup",
+        "dropped_semantic", "dropped_contaminated", "dropped_mixing",
+    } == set(stages)
+    assert a1["kept"] > 0
+    assert a1["kept"] + sum(stages.values()) == 500  # sf0.001 corpus
+
+    ts1 = {tuple(r) for r in spark.read.parquet(p1["training_set"]).collect()}
+    ts2 = {tuple(r) for r in spark.read.parquet(p2["training_set"]).collect()}
+    assert ts1 == ts2 and len(ts1) == a1["kept"]
