@@ -1747,7 +1747,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, dim=64).select(
+    # n_planes pinned to the oracle's fixed 16-bucket grid (the SQL twin
+    # hard-codes srp_planes(64, 4)); the engine default (n_planes=None)
+    # auto-scales planes with corpus size — see default_srp_planes_for
+    return semantic_dedup(emb, dim=64, n_planes=4).select(
         "vec_id", F.col("bucket").cast("int").alias("bucket")
     )
 

@@ -444,11 +444,17 @@ def span_dedup(
     (contrast shingles_from_tokens, where per-position slice would be
     quadratic).
     """
-    from bigdata_cookbook_spark.functions.text import tokens_expr
+    from bigdata_cookbook_spark.functions.text import (
+        token_count_expr,
+        tokens_expr,
+    )
 
     toks = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__toks")).where(
-        F.size("__toks") >= 1
+    # token_count_expr maps blank/whitespace-only text to 0 (split()
+    # yields [""], so size(toks) >= 1 would be vacuously true and a
+    # blank doc would emit one empty-string span deduped corpus-wide)
+    base = df.where(token_count_expr(F.col(text_col)) >= 1).select(
+        F.col(id_col), toks.alias("__toks")
     )
     n_spans = F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int")
     spans = base.select(
@@ -469,11 +475,25 @@ def span_dedup(
     )
     # one row per distinct span: its first occurrence. min over a
     # struct orders lexicographically by (id, idx) — the pinned keeper.
-    keeper = spans.groupBy(F.xxhash64("span").alias("__k")).agg(
+    # The group key and join condition carry the span TEXT alongside its
+    # xxhash64: hash-only identity silently merges 64-bit collisions
+    # (expected at 100-TB span counts — ~50% birthday odds at 5e9
+    # spans), deleting one colliding span's text corpus-wide. Adding
+    # span equality costs nothing at the shuffle (the hash still
+    # dominates partitioning; distinct colliding spans simply land in
+    # the same partition as separate groups) and makes span identity
+    # exact.
+    keeper = spans.groupBy(
+        F.xxhash64("span").alias("__k"), F.col("span").alias("__s")
+    ).agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))).alias("__first")
     )
     kept = (
-        spans.join(keeper, F.xxhash64(F.col("span")) == F.col("__k"))
+        spans.join(
+            keeper,
+            (F.xxhash64(F.col("span")) == F.col("__k"))
+            & (F.col("span") == F.col("__s")),
+        )
         .where(
             (F.col(id_col) == F.col("__first.i"))
             & (F.col("idx") == F.col("__first.p"))

@@ -544,14 +544,32 @@ def srp_bucket_expr(vec, planes: list[list[float]]):
     return bucket
 
 
+def default_srp_planes_for(
+    n_rows: int, target_bucket_rows: int = 256, floor: int = 4
+) -> int:
+    """Plane count that bounds EXPECTED bucket size at
+    ``target_bucket_rows``: each plane halves expected bucket
+    occupancy, so planes = ceil(log2(n / target)) keeps the
+    within-bucket quadratic verify at ~target^2 comparisons per bucket
+    regardless of corpus size. Floor of 4 preserves recall on small
+    corpora (too many planes over few rows over-splits true near-dup
+    pairs)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int | None = None,
     seed: int = 0x5EED,
+    estimated_row_count: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop any document whose
     embedding is >= ``threshold`` cosine-similar to an EARLIER (lower
@@ -567,11 +585,18 @@ def semantic_dedup(
 
     Scale: the bucket join is an equi-join on the bucket id — one
     shuffle of (id, bucket, vec) — and the quadratic cosine work is
-    confined within buckets, which n_planes controls directly (each
-    plane halves expected bucket size; at 100 TB raise n_planes so
-    buckets stay ~10^3-10^4 and add the IVF funnel for recall). The
-    keep-rule anti-join is on the id alone. No driver-side state, no
-    UDF: bucket bits and cosine are both codegen'd expressions.
+    confined within buckets. ``n_planes=None`` (the default) DERIVES
+    the plane count from the corpus row count via
+    default_srp_planes_for, bounding expected bucket size at ~256 rows
+    so the within-bucket verify stays linear-per-bucket as the corpus
+    grows (a fixed plane count is measured super-linear: 12.2x per 10x
+    at 4 planes, BASELINE.md §D — buckets grow with the corpus and the
+    quadratic verify dominates). Pass an explicit ``n_planes`` for
+    engine-portable/oracle runs where the bucket grid must be pinned,
+    or ``estimated_row_count`` to skip the count job when the caller
+    already knows the cardinality. The keep-rule anti-join is on the
+    id alone. No driver-side state, no UDF: bucket bits and cosine are
+    both codegen'd expressions.
 
     Reference parity: the cookbook dedups retrieved chunks by exact
     text only (e.g. Narrative_Miners sentence dedup); semantic near-dup
@@ -586,6 +611,15 @@ def semantic_dedup(
                 F.col(id_col), F.lit(0).alias("bucket")
             ).limit(0)
         dim = first[0]
+    if n_planes is None:
+        # bounded collect: one scalar count (distributed agg), same
+        # contract class as the dim probe above
+        n_rows = (
+            estimated_row_count
+            if estimated_row_count is not None
+            else df.count()
+        )
+        n_planes = default_srp_planes_for(n_rows)
     planes = srp_planes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(

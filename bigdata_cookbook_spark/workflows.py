@@ -317,7 +317,10 @@ def pretraining_pipeline(
     column clean already carries (length_curriculum_from_counts) — no
     join back to the text, no re-tokenization. Accounting materializes
     one count per stage; pass with_accounting=False to keep the whole
-    return lazy (counts skipped, nothing cached but ``clean``).
+    return lazy (counts skipped, nothing cached but ``clean``; the one
+    exception is a count-star over ``embeddings_df`` when the semantic
+    stage is on — it sizes the SRP plane count, and it scans only the
+    raw input frame, never the cleaning lineage).
     """
     from bigdata_cookbook_spark.operators.corpus import (
         corpus_clean,
@@ -386,8 +389,28 @@ def pretraining_pipeline(
             # nothing-cached-but-clean contract.
             surv_emb = surv_emb.persist()
             temp_caches.append(surv_emb)
-        sem_kept = semantic_dedup(surv_emb, threshold=semantic_threshold)
-        dropped_semantic = clean.join(
+        # plane count sized from the RAW embeddings frame (one cheap
+        # count-star on the input, not on surv_emb whose count would
+        # execute the whole cleaning lineage): an upper bound on the
+        # survivor count, so buckets only come out smaller than the
+        # ~256-row target — never super-linear
+        sem_kept = semantic_dedup(
+            surv_emb,
+            threshold=semantic_threshold,
+            estimated_row_count=embeddings_df.count(),
+        )
+        # restrict the drop to docs that actually HAD an embedding: a
+        # surviving doc absent from embeddings_df never entered the
+        # semantic stage (left_semi above), so anti-joining the whole
+        # clean set against sem_kept would silently remove it and book
+        # the loss as "dropped_semantic" — mislabeled data loss in the
+        # audit trail. Docs without embedding coverage pass through.
+        covered = clean.join(
+            embeddings_df.select(F.col("vec_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        dropped_semantic = covered.join(
             sem_kept.select(F.col("vec_id").alias("doc_id")),
             "doc_id",
             "left_anti",

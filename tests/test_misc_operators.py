@@ -719,15 +719,22 @@ def test_semantic_dedup_drops_within_bucket_only(spark):
     # above threshold
     found = None
     for k in range(dim):
-        cand = list(base)
-        cand[k] = -6.0
-        cos = sum(a * b for a, b in zip(base, cand)) / (
-            math.sqrt(sum(a * a for a in base))
-            * math.sqrt(sum(b * b for b in cand))
-        )
-        if bucket_of(cand) != bucket_of(v_a) and cos > 0.1:
-            found = (cand, cos)
+        for mag in (-3.0, -4.0, -6.0, -8.0):
+            cand = list(base)
+            cand[k] = mag
+            cos = sum(a * b for a, b in zip(base, cand)) / (
+                math.sqrt(sum(a * a for a in base))
+                * math.sqrt(sum(b * b for b in cand))
+            )
+            if bucket_of(cand) != bucket_of(v_a) and cos > 0.1:
+                found = (cand, cos)
+                break
+        if found is not None:
             break
+    # with dim=8, n_planes=2 and the fixed SRP seed a bucket-splitting
+    # perturbation is deterministic — a None here means the recall
+    # contract went untested, which must FAIL, not silently skip
+    assert found is not None, "no bucket-splitting perturbation found"
     if found is not None:
         cand, cos = found
         df2 = spark.createDataFrame(
@@ -759,6 +766,43 @@ def test_semantic_dedup_empty_and_determinism(spark):
     assert a == b
 
 
+def test_semantic_dedup_auto_planes(spark):
+    from bigdata_cookbook_spark.operators.dedup import (
+        default_srp_planes_for,
+        semantic_dedup,
+    )
+
+    # expected bucket size stays bounded at ~256 as n grows: the plane
+    # count must grow one per doubling past the target
+    assert default_srp_planes_for(100) == 4
+    assert default_srp_planes_for(256) == 4
+    assert default_srp_planes_for(4096) == 4
+    assert default_srp_planes_for(8192) == 5
+    assert default_srp_planes_for(1_000_000) == 12
+    assert default_srp_planes_for(1_000_000_000) == 22
+    for n in (10, 1000, 10**6, 10**9, 10**12):
+        p = default_srp_planes_for(n)
+        assert n / (2**p) <= 256 or p == 4
+    # n_planes=None derives the floor (4) at test scale -> identical
+    # kept set to the previously fixed default; estimated_row_count
+    # skips the count job but must give the same answer
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    auto = sorted(r["vec_id"] for r in semantic_dedup(df, dim=4).collect())
+    pinned = sorted(
+        r["vec_id"] for r in semantic_dedup(df, dim=4, n_planes=4).collect()
+    )
+    est = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, dim=4, estimated_row_count=40
+        ).collect()
+    )
+    assert auto == pinned == est
+
+
 def test_span_dedup_cross_document_removal(spark):
     from bigdata_cookbook_spark.operators.corpus import span_dedup
 
@@ -781,6 +825,21 @@ def test_span_dedup_cross_document_removal(spark):
     assert out[4]["n_spans_kept"] == 0 and out[4]["n_spans_total"] == 1
     # doc 3 untouched
     assert out[3]["text_deduped"] == rows[2][1]
+
+
+def test_span_dedup_blank_docs_excluded(spark):
+    # blank/whitespace-only docs yield zero tokens (token_count_expr),
+    # so they emit NO row — matching the oracle's CASE guard — rather
+    # than a one-empty-span row deduped corpus-wide
+    from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "real words in this document"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["text_deduped"] == "real words in this document"
 
 
 def test_span_dedup_within_document_and_partial_tail(spark):

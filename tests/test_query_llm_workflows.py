@@ -365,6 +365,36 @@ def test_pretraining_pipeline_optional_stages(spark, sf_dir):
         pretraining_pipeline(docs, min_tokens=5, repetition_filter=True)
 
 
+def test_pretraining_pipeline_uncovered_embedding_docs_survive(spark, sf_dir):
+    """A surviving doc with NO embedding row never enters the semantic
+    stage, so it must pass through — not be silently removed and booked
+    as dropped_semantic (mislabeled data loss in the audit trail)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # drop half the embedding coverage: odd doc_ids have no vector
+    partial = emb.where(F.col("vec_id") % 2 == 0)
+    full = pretraining_pipeline(docs, embeddings_df=partial)
+    none_run = pretraining_pipeline(docs)
+    full_ids = {r.doc_id for r in full["training_set"].collect()}
+    base_ids = {r.doc_id for r in none_run["training_set"].collect()}
+    # every uncovered (odd) survivor of the text stages is retained
+    odd_base = {i for i in base_ids if i % 2 == 1}
+    assert odd_base <= full_ids
+    # accounting still sums exactly
+    acc = {r.stage: r.n_dropped for r in full["accounting"].collect()}
+    assert docs.count() - sum(acc.values()) == len(full_ids)
+    # and semantic drops only ever name covered (even) docs
+    dropped = base_ids - full_ids
+    assert all(i % 2 == 0 for i in dropped)
+    full["clean"].unpersist()
+    none_run["clean"].unpersist()
+
+
 def test_corpus_clean_repetition_filter_drops_repetitive_doc(spark):
     from bigdata_cookbook_spark.operators.corpus import corpus_clean
 
