@@ -1691,7 +1691,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-local statistics). The filter tier must stay a scan at 100 TB."""
     from bigdata_cookbook_spark.functions.text import (
         repetition_keep_expr,
-        repetition_metrics_exprs,
+        repetition_metrics_struct,
         tokens_expr,
     )
 
@@ -1700,13 +1700,25 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksed = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).where(F.size("toks") >= 10)
-    m = repetition_metrics_exprs(F.col("toks"))
+    # ONE struct column with shared gram construction (2-grams built
+    # once, 3/4/5-grams derived incrementally, 10-grams by doubling the
+    # 5-grams), bound in its own select; the next projection extracts
+    # fields (cheap GetStructField — CollapseProject won't re-inline a
+    # multi-referenced expensive alias)
+    names = [f"top{n}gram_char_frac" for n in (2, 3, 4)] + [
+        f"dup{n}gram_char_frac" for n in (5, 10)
+    ]
+    withm = toksed.select(
+        "doc_id", repetition_metrics_struct(F.col("toks")).alias("__m")
+    )
     # no orderBy: the driver compare is order-insensitive and a global
     # sort would add a pointless range exchange to a scan-shaped plan
-    return toksed.select(
+    return withm.select(
         "doc_id",
-        *[c.alias(k) for k, c in m.items()],
-        repetition_keep_expr(m).alias("keep"),
+        *[F.col("__m")[k].alias(k) for k in names],
+        repetition_keep_expr(
+            {k: F.col("__m")[k] for k in names}
+        ).alias("keep"),
     )
 
 

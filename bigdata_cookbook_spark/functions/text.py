@@ -452,6 +452,139 @@ def repetition_metrics_exprs(
     return out
 
 
+def _gram_extend(g: Column, toks: Column, m: int) -> Column:
+    """Grams of size m+1 from grams of size m: g'[i] = g[i] + " " +
+    toks[i+m]. One element_at + one concat per position instead of the
+    m+1 of a direct build — the incremental step of the shared n-gram
+    construction. Empty in exactly the cases ngrams_expr is (clamped
+    ascending start list, filtered to the valid count)."""
+    count = F.size(g) - 1
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: i <= count,
+    )
+    return F.transform(
+        starts,
+        lambda i: F.concat(
+            F.element_at(g, i), F.lit(" "), F.element_at(toks, i + F.lit(m))
+        ),
+    )
+
+
+def _gram_double(g: Column, m: int) -> Column:
+    """Grams of size 2m from grams of size m: g'[i] = g[i] + " " +
+    g[i+m] (both halves already built — the doubling shortcut, e.g.
+    10-grams from 5-grams in one step instead of five)."""
+    count = F.size(g) - m
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: i <= count,
+    )
+    return F.transform(
+        starts,
+        lambda i: F.concat(
+            F.element_at(g, i), F.lit(" "), F.element_at(g, i + F.lit(m))
+        ),
+    )
+
+
+def repetition_metrics_struct(
+    toks: Column,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> Column:
+    """All Gopher repetition metrics as ONE struct expression with
+    SHARED n-gram construction: the gram arrays are built incrementally
+    (2-grams from tokens, each next size by appending one token, and a
+    doubling shortcut when a size is exactly twice an already-built
+    one: 5-grams + 5-grams -> 10-grams), each array and each per-n
+    run-length stat bound exactly once via let_bound lambda variables —
+    so the whole tier costs ~2 string ops per position per size instead
+    of n, and nothing is re-evaluated however Catalyst rewrites the
+    surrounding plan (lambda bindings survive pushdown and
+    project-collapse; see let_bound).
+
+    Metric VALUES are identical to repetition_metrics_exprs (property
+    tested) — this is the same math over the same gram multisets,
+    sharing only construction. Use the struct form in hot paths: bind
+    it with one select and extract fields in the next (cheap
+    GetStructField), or let repetition_keep_all_expr wrap it for
+    filters. repetition_metrics_exprs stays as the simple per-metric
+    form for ad-hoc/one-metric use.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns:
+        return F.struct(F.lit(0).alias("__empty"))
+    # binding plan: which sizes to materialize, in order, and how
+    chain: list[tuple[str, int]] = []
+    built: list[int] = []
+    for n in ns:
+        if built and n in built:
+            continue
+        if not built:
+            chain.append(("base", n))
+            built.append(n)
+        elif n % 2 == 0 and n // 2 in built:
+            chain.append(("double", n))
+            built.append(n)
+        else:
+            cur = max(b for b in built if b < n)
+            while cur < n:
+                cur += 1
+                chain.append(("extend", cur))
+                built.append(cur)
+
+    def finish(bound: dict[int, Column]) -> Column:
+        # bind each needed per-n stat struct once, then emit fields
+        needed = ns
+
+        def stats_chain(i: int, stats: dict[int, Column]) -> Column:
+            if i == len(needed):
+                fields = []
+                for n in top_ns:
+                    st = stats[n]
+                    tot = F.nullif(st["tot"], F.lit(0))
+                    fields.append(
+                        F.round(st["best"] / tot, 4).alias(
+                            f"top{n}gram_char_frac"
+                        )
+                    )
+                for n in dup_ns:
+                    st = stats[n]
+                    tot = F.nullif(st["tot"], F.lit(0))
+                    fields.append(
+                        F.round(st["dup"] / tot, 4).alias(
+                            f"dup{n}gram_char_frac"
+                        )
+                    )
+                return F.struct(*fields)
+            n = needed[i]
+            return let_bound(
+                _gram_char_stats(bound[n]),
+                lambda st: stats_chain(i + 1, {**stats, n: st}),
+            )
+
+        return stats_chain(0, {})
+
+    def build(i: int, bound: dict[int, Column]) -> Column:
+        if i == len(chain):
+            return finish(bound)
+        op, n = chain[i]
+        if op == "base":
+            expr = ngrams_expr(toks, n)
+        elif op == "double":
+            expr = _gram_double(bound[n // 2], n // 2)
+        else:
+            expr = _gram_extend(bound[n - 1], toks, n - 1)
+        # NOTE: single-parameter lambda only — F.transform dispatches on
+        # arity, and a second (defaulted) parameter would be bound to
+        # the array INDEX column. n is a frame-local of this recursive
+        # call, so plain closure capture is already correct.
+        return let_bound(expr, lambda g: build(i + 1, {**bound, n: g}))
+
+    return build(0, {})
+
+
 def let_bound(value: Column, body) -> Column:
     """Let-binding for column expressions: evaluate ``value`` ONCE per
     row and pass it to ``body`` as a bound lambda variable —
@@ -472,12 +605,20 @@ def let_bound(value: Column, body) -> Column:
 
 def repetition_keep_all_expr(text: Column) -> Column:
     """The full Gopher repetition keep-conjunction over raw text as ONE
-    pushdown-safe expression (let_bound tokens) — the form to use in a
-    FILTER. For metric OUTPUT columns use repetition_metrics_exprs over
-    a select-bound token column (projections are not re-inlined)."""
+    pushdown-safe expression (let_bound tokens + let_bound metric
+    struct with shared gram construction) — the form to use in a
+    FILTER. For metric OUTPUT columns use repetition_metrics_struct
+    bound in one select (or repetition_metrics_exprs for ad-hoc
+    single-metric use)."""
+    names = [f"top{n}gram_char_frac" for n in (2, 3, 4)] + [
+        f"dup{n}gram_char_frac" for n in (5, 10)
+    ]
     return let_bound(
         tokens_expr(text),
-        lambda t: repetition_keep_expr(repetition_metrics_exprs(t)),
+        lambda t: let_bound(
+            repetition_metrics_struct(t),
+            lambda m: repetition_keep_expr({f: m[f] for f in names}),
+        ),
     )
 
 

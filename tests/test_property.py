@@ -259,6 +259,48 @@ def test_repetition_metrics_match_python_reference(spark):
         assert got[i]["dup5gram_char_frac"] == ref(toks, 5, "dup"), i
 
 
+def test_repetition_struct_matches_exprs(spark):
+    """repetition_metrics_struct (shared incremental gram construction:
+    extend-by-one + doubling) computes bit-identical values to the
+    per-metric repetition_metrics_exprs form, including short rows
+    (NULL propagation), odd custom ns (gap stepping), and an n present
+    in both top and dup (shared stat binding)."""
+    import random
+
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_metrics_exprs,
+        repetition_metrics_struct,
+        tokens_expr,
+    )
+
+    rng = random.Random(123)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff"]
+    rows = [(99, ""), (98, "one"), (97, "x y")]
+    for i in range(50):
+        eff = vocab[: rng.randint(1, len(vocab))]
+        rows.append(
+            (i, " ".join(rng.choice(eff) for _ in range(rng.randint(1, 35))))
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toksed = df.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    for top_ns, dup_ns in [
+        ((2, 3, 4), (5, 10)),  # default: extend chain + doubling
+        ((2, 7), (3,)),        # gap stepping 3 -> 7 via intermediates
+        ((2,), (2, 4)),        # n shared between top and dup
+    ]:
+        m = repetition_metrics_exprs(F.col("toks"), top_ns, dup_ns)
+        st = repetition_metrics_struct(F.col("toks"), top_ns, dup_ns)
+        names = list(m)
+        got = toksed.select(
+            "doc_id",
+            *[c.alias(f"e_{k}") for k, c in m.items()],
+            *[st[k].alias(f"s_{k}") for k in names],
+        ).collect()
+        for r in got:
+            for k in names:
+                assert r[f"e_{k}"] == r[f"s_{k}"], (r["doc_id"], k)
+
+
 def test_repetition_metrics_null_below_precondition(spark):
     """Short rows yield NULL metrics, never an error — the guarantee
     that makes the expressions safe under Catalyst filter-collapse."""
