@@ -444,35 +444,7 @@ def span_dedup(
     (contrast shingles_from_tokens, where per-position slice would be
     quadratic).
     """
-    from bigdata_cookbook_spark.functions.text import (
-        token_count_expr,
-        tokens_expr,
-    )
-
-    toks = tokens_expr(F.col(text_col))
-    # token_count_expr maps blank/whitespace-only text to 0 (split()
-    # yields [""], so size(toks) >= 1 would be vacuously true and a
-    # blank doc would emit one empty-string span deduped corpus-wide)
-    base = df.where(token_count_expr(F.col(text_col)) >= 1).select(
-        F.col(id_col), toks.alias("__toks")
-    )
-    n_spans = F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int")
-    spans = base.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.slice(
-                        F.col("__toks"),
-                        i * span_tokens + 1,
-                        span_tokens,
-                    ),
-                ),
-            )
-        ).alias("idx", "span"),
-    )
+    spans, totals = _span_rows(df, text_col, id_col, span_tokens)
     # one row per distinct span: its first occurrence. min over a
     # struct orders lexicographically by (id, idx) — the pinned keeper.
     # The group key and join condition carry the span TEXT alongside its
@@ -500,7 +472,61 @@ def span_dedup(
         )
         .select(id_col, "idx", "span")
     )
-    reassembled = kept.groupBy(id_col).agg(
+    reassembled = _reassemble_spans(kept, id_col)
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            "n_spans_total",
+        )
+    )
+
+
+def _span_rows(
+    df: DataFrame, text_col: str, id_col: str, span_tokens: int
+):
+    """Shared span segmentation for the batch and incremental span-dedup
+    tiers: returns (spans, totals) where spans = one (id, idx, span) row
+    per non-overlapping ``span_tokens``-token window (blank/whitespace
+    docs emit NO rows — token_count_expr maps them to 0; split() alone
+    would yield [""] and a vacuous one-empty-span row) and totals = one
+    (id, n_spans_total) row per non-blank doc."""
+    from bigdata_cookbook_spark.functions.text import (
+        token_count_expr,
+        tokens_expr,
+    )
+
+    toks = tokens_expr(F.col(text_col))
+    base = df.where(token_count_expr(F.col(text_col)) >= 1).select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    n_spans = F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int")
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("__toks"),
+                        i * span_tokens + 1,
+                        span_tokens,
+                    ),
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    totals = base.select(id_col, n_spans.alias("n_spans_total"))
+    return spans, totals
+
+
+def _reassemble_spans(kept: DataFrame, id_col: str) -> DataFrame:
+    """(id, text_deduped, n_spans_kept) from surviving (id, idx, span)
+    rows — order pinned by idx inside one collect_list aggregate."""
+    return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -512,13 +538,74 @@ def span_dedup(
         ).alias("text_deduped"),
         F.count("*").cast("int").alias("n_spans_kept"),
     )
-    totals = base.select(id_col, n_spans.alias("n_spans_total"))
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
-            "n_spans_total",
-        )
+
+
+def span_dedup_incremental(
+    batch_docs: DataFrame,
+    span_state: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+) -> dict[str, DataFrame]:
+    """Incremental twin of span_dedup for continuous ingest: dedup the
+    BATCH's spans against an append-only state of every span ever kept,
+    without rescanning the corpus.
+
+    ``span_state`` is (span_hash, span) — hash for the join key, span
+    text for collision-proof identity (same rule as the batch form).
+    Every batch occurrence of a state-seen span is removed; novel spans
+    keep their first in-batch occurrence (lexicographically smallest
+    (id, idx), the batch rule restricted to the batch). Under
+    non-decreasing doc_id ingest the union of per-batch rewrites equals
+    span_dedup over the union of batches (parity-tested).
+
+    Returns::
+
+        {"rewritten": (id, text_deduped, n_spans_kept, n_spans_total)
+                      — one row per non-blank batch doc,
+         "new_spans": (span_hash, span) DELTA to append to the state —
+                      the batch's novel keeper spans only}
+
+    Scale: identical plan shape to span_dedup (linear explode, one
+    group shuffle, one reassembly shuffle) plus one anti-join of the
+    batch's distinct spans against the state keyed on the span hash —
+    proportional to the batch, not the corpus; lay the state out
+    bucketed on span_hash (plans/layout.write_bucketed) and the
+    state-side shuffle disappears.
+    """
+    spans, totals = _span_rows(batch_docs, text_col, id_col, span_tokens)
+    keeper = spans.groupBy(
+        F.xxhash64("span").alias("__k"), F.col("span").alias("__s")
+    ).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))
+        ).alias("__first")
     )
+    if span_state is not None:
+        st = span_state.select(
+            F.col("span_hash").alias("__k"), F.col("span").alias("__s")
+        )
+        keeper = keeper.join(st, ["__k", "__s"], "left_anti")
+    kept = (
+        spans.join(
+            keeper,
+            (F.xxhash64(F.col("span")) == F.col("__k"))
+            & (F.col("span") == F.col("__s")),
+        )
+        .where(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("idx") == F.col("__first.p"))
+        )
+        .select(id_col, "idx", "span")
+    )
+    reassembled = _reassemble_spans(kept, id_col)
+    rewritten = totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        "n_spans_total",
+    )
+    new_spans = keeper.select(
+        F.col("__k").alias("span_hash"), F.col("__s").alias("span")
+    )
+    return {"rewritten": rewritten, "new_spans": new_spans}

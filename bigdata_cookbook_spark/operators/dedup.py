@@ -661,6 +661,97 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    batch_emb: DataFrame,
+    srp_state: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 0x5EED,
+) -> dict[str, DataFrame]:
+    """Incremental twin of semantic_dedup for continuous ingest: drop
+    any BATCH doc whose embedding is >= ``threshold`` cosine-similar to
+    an earlier doc in the same SRP bucket — where "earlier" is any doc
+    in the persisted ``srp_state`` (every doc that ever reached the
+    semantic stage, kept or dropped — the same every-arrival state rule
+    as the shingle index: a semantically-dropped doc still disqualifies
+    future look-alikes, exactly as in the batch form's
+    any-earlier-id join) or a lower-id doc within the batch.
+
+    ``srp_state`` schema: (vec_id, bucket, vec array<double>, norm).
+    ``n_planes`` is FIXED for the state's lifetime (bucket ids must be
+    stable across batches — pick it from the expected corpus size via
+    default_srp_planes_for at pipeline creation; re-bucketing the state
+    is a one-off batch job, not a per-batch concern).
+
+    Under non-decreasing doc_id ingest, union of per-batch kept sets ==
+    semantic_dedup over the union (parity-tested). Returns::
+
+        {"dropped":   batch ids dropped by the rule,
+         "new_state": (vec_id, bucket, vec, norm) DELTA — every batch
+                      doc that entered the stage, kept or not}
+
+    Scale: the batch side joins the state on the bucket id only —
+    per-batch cost is |batch| x state bucket occupancy, which n_planes
+    bounds; the state is append-only and never re-aggregated.
+    """
+    if dim is None:
+        first = batch_emb.select(F.size(vec_col)).first()
+        if first is None:
+            empty_ids = batch_emb.select(F.col(id_col)).limit(0)
+            empty_state = batch_emb.select(
+                F.col(id_col),
+                F.lit(0).alias("bucket"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+                F.lit(0.0).alias("norm"),
+            ).limit(0)
+            return {"dropped": empty_ids, "new_state": empty_state}
+        dim = first[0]
+    planes = srp_planes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    b = batch_emb.select(
+        F.col(id_col),
+        v.alias("vec"),
+        norm.alias("norm"),
+        srp_bucket_expr(v, planes).alias("bucket"),
+    )
+    earlier = b
+    if srp_state is not None:
+        earlier = earlier.unionByName(
+            srp_state.select(id_col, "vec", "norm", "bucket")
+        )
+    a_side = earlier.select(
+        F.col(id_col).alias("__a_id"),
+        F.col("vec").alias("__a_v"),
+        F.col("norm").alias("__a_n"),
+        F.col("bucket").alias("__a_bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__a_v"), F.col("vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("__a_n") * F.col("norm")), 4)
+    dropped = (
+        b.join(
+            a_side,
+            (F.col("__a_bucket") == F.col("bucket"))
+            & (F.col("__a_id") < F.col(id_col)),
+        )
+        .where(cos >= F.lit(threshold))
+        .select(F.col(id_col))
+        .distinct()
+    )
+    return {"dropped": dropped, "new_state": b.select(id_col, "bucket", "vec", "norm")}
+
+
 def srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     """The DuckDB-SQL twin of srp_bucket_expr over the same plane
     constants (oracle construction helper)."""

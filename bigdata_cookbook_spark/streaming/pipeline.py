@@ -6,14 +6,19 @@ The batch capstone (operators/corpus.corpus_clean, workflows.
 pretraining_pipeline) re-derives everything from the full corpus; at
 100 TB with nightly/continuous ingest you never re-scan the corpus per
 batch. This module is the incremental twin: each incoming batch checks
-in against two append-only state tables —
+in against append-only state tables —
 
     seen_hashes   one xxhash64(text) per ever-kept exact-canonical text
-                  (incremental_exact_dedup's state), and
+                  (incremental_exact_dedup's state),
     shingles      the word-n-gram inverted index (doc_id, shingle hash,
                   per-doc shingle count) of every exact-kept doc so far
                   (the pair SOURCE set of corpus_clean, which includes
-                  near-dup losers — see parity note below)
+                  near-dup losers — see parity note below),
+    spans         (span mode) every span ever kept corpus-wide
+                  (corpus.span_dedup_incremental), and
+    embeddings    (semantic mode) the SRP-bucketed vector of every doc
+                  that ever reached the semantic stage
+                  (dedup.semantic_dedup_incremental)
 
 and only the batch is ever (re)signed. Both states grow append-only:
 the per-batch delta is written under its own ``ingest_batch=<id>``
@@ -187,6 +192,12 @@ def incremental_corpus_clean(
     lsh_num_hashes: int = 12,
     lsh_band_size: int = 2,
     repetition_filter: bool = False,
+    span_tokens: int | None = None,
+    span_state: DataFrame | None = None,
+    embeddings_df: DataFrame | None = None,
+    srp_state: DataFrame | None = None,
+    semantic_threshold: float = 0.4,
+    semantic_n_planes: int = 8,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -230,9 +241,58 @@ def incremental_corpus_clean(
     norm); for re-ingest-with-changed-text workloads use
     incremental_lsh_candidates directly — its latest-ingest-wins state
     replacement is the re-ingest-safe tier.
+
+    Round-5 optional stages (mirroring the batch capstone's
+    pretraining_pipeline; both off by default):
+
+    - ``span_tokens`` runs C4-style duplicate-span removal FIRST
+      (corpus.span_dedup_incremental vs the append-only ``span_state``
+      of every span ever kept), rewriting batch text before quality
+      scoring — C4's order, so later token counts see the deduped
+      text. Emits a ``new_spans`` delta. Docs whose text empties out
+      (every span seen before) drop at the quality stage, booked as
+      dropped_quality — same accounting as the batch pipeline.
+    - ``embeddings_df`` (vec_id == doc_id) runs SemDeDup-style
+      semantic dedup LAST over post-contamination survivors
+      (dedup.semantic_dedup_incremental vs ``srp_state``, the
+      every-arrival embedding state). Docs without an embedding row
+      pass through (the batch rule). Emits ``dropped_semantic`` and a
+      ``new_embeddings`` delta. ``semantic_n_planes`` is pinned for
+      the state's lifetime — bucket ids must be stable across batches.
     """
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
+
+    new_spans = None
+    if span_tokens is not None:
+        from bigdata_cookbook_spark.operators.corpus import (
+            span_dedup_incremental,
+        )
+
+        sp = span_dedup_incremental(
+            batch_docs, span_state, span_tokens=span_tokens
+        )
+        # left join: a doc whose every span was removed (or that was
+        # blank on arrival) carries empty text into the quality stage
+        # and is dropped + BOOKED there, never silently lost
+        batch_docs = (
+            batch_docs.drop("text")
+            .join(
+                sp["rewritten"].select(
+                    "doc_id", F.col("text_deduped").alias("text")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+        new_spans = sp["new_spans"]
+
     feats = quality_exprs(F.col("text"))
     scored = batch_docs.select(
         "doc_id",
@@ -335,6 +395,8 @@ def incremental_corpus_clean(
         "new_hashes": new_hashes,
         "new_shingles": new_shingles,
     }
+    if new_spans is not None:
+        out["new_spans"] = new_spans
     if new_buckets is not None:
         out["new_buckets"] = new_buckets
     if eval_df is not None:
@@ -354,17 +416,59 @@ def incremental_corpus_clean(
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
         out["dropped_contaminated"] = contaminated
+    if embeddings_df is not None:
+        from bigdata_cookbook_spark.operators.dedup import (
+            semantic_dedup_incremental,
+        )
+
+        # only post-contamination survivors with embedding coverage
+        # enter the stage (the batch pipeline's rule); uncovered docs
+        # pass through
+        surv_emb = embeddings_df.join(
+            kept.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        sem = semantic_dedup_incremental(
+            surv_emb,
+            srp_state,
+            threshold=semantic_threshold,
+            n_planes=semantic_n_planes,
+        )
+        dropped_semantic = sem["dropped"].select(
+            F.col("vec_id").alias("doc_id")
+        )
+        kept = kept.join(dropped_semantic, "doc_id", "left_anti")
+        out["dropped_semantic"] = dropped_semantic
+        out["new_embeddings"] = sem["new_state"]
     out["kept"] = kept.select("doc_id", "lang", "source", "n_tokens")
     return out
 
 
-def _read_state(spark: SparkSession, path: str, cols: list[str]) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    exclude_batch: int | None = None,
+) -> DataFrame | None:
     """Accumulated state = every ingest_batch=<id> delta under ``path``
     (schema from the parquet footers; the ingest_batch partition column
-    is projected away — state consumers key on content, not batch)."""
+    is projected away — state consumers key on content, not batch).
+
+    ``exclude_batch`` must be the CURRENT micro-batch id: on a
+    crash-replay, some of this batch's own delta dirs may already exist
+    (the crash can land between the per-table writes), and reading them
+    back would make the replay see its own hashes/spans/embeddings —
+    recomputing EMPTY results and overwriting the real deltas with
+    empty (data loss). Excluding the current id makes the replay see
+    exactly the state the original run saw, so it recomputes and
+    rewrites byte-identical deltas — true replay idempotence."""
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).select(*cols)
+    df = spark.read.parquet(path)
+    if exclude_batch is not None and "ingest_batch" in df.columns:
+        df = df.filter(F.col("ingest_batch") != exclude_batch)
+    return df.select(*cols)
 
 
 def streaming_corpus_clean(
@@ -383,13 +487,17 @@ def streaming_corpus_clean(
     parquet state tables.
 
     Layout (all append-only; per-batch deltas land under their own
-    ``ingest_batch=<id>`` directory with overwrite mode, so Spark's
-    batch-replay-after-crash rewrites a delta in place instead of
-    double-appending — the streaming twin of layout.py's
+    ``ingest_batch=<id>`` directory with overwrite mode, and state
+    reads EXCLUDE the current batch id, so Spark's
+    batch-replay-after-crash recomputes against exactly the state the
+    original run saw and rewrites byte-identical deltas instead of
+    double-appending or wiping them — the streaming twin of layout.py's
     write-audit-publish):
 
         {state_dir}/seen_hashes/ingest_batch=<id>/   novel text hashes
         {state_dir}/shingles/ingest_batch=<id>/      exact-kept shingle index
+        {state_dir}/spans/ingest_batch=<id>/         (span_tokens) novel keeper spans
+        {state_dir}/embeddings/ingest_batch=<id>/    (embeddings_df) SRP-bucketed vectors
         {output_dir}/ingest_batch=<id>/              kept docs
 
     Readers of the training set stream ``output_dir`` as it grows; the
@@ -404,20 +512,32 @@ def streaming_corpus_clean(
     hash_root = os.path.join(state_dir, "seen_hashes")
     shingle_root = os.path.join(state_dir, "shingles")
     bucket_root = os.path.join(state_dir, "buckets")
+    span_root = os.path.join(state_dir, "spans")
+    emb_root = os.path.join(state_dir, "embeddings")
     lsh_mode = clean_kwargs.get("near_dup") == "lsh"
+    span_mode = clean_kwargs.get("span_tokens") is not None
+    sem_mode = clean_kwargs.get("embeddings_df") is not None
     band_cols = ["doc_id", "band"] + [
         f"k{j}" for j in range(clean_kwargs.get("lsh_band_size", 2))
     ]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        seen = _read_state(spark, hash_root, ["text_hash"])
+        seen = _read_state(spark, hash_root, ["text_hash"], batch_id)
         shingles = _read_state(
-            spark, shingle_root, ["doc_id", "shingle", "n_sh"]
+            spark, shingle_root, ["doc_id", "shingle", "n_sh"], batch_id
         )
         if lsh_mode:
             clean_kwargs["bucket_state"] = _read_state(
-                spark, bucket_root, band_cols
+                spark, bucket_root, band_cols, batch_id
+            )
+        if span_mode:
+            clean_kwargs["span_state"] = _read_state(
+                spark, span_root, ["span_hash", "span"], batch_id
+            )
+        if sem_mode:
+            clean_kwargs["srp_state"] = _read_state(
+                spark, emb_root, ["vec_id", "bucket", "vec", "norm"], batch_id
             )
         res = incremental_corpus_clean(
             batch_df, seen, shingles, eval_df=eval_df, **clean_kwargs
@@ -431,6 +551,14 @@ def streaming_corpus_clean(
         res["new_shingles"].write.mode("overwrite").parquet(
             os.path.join(shingle_root, f"ingest_batch={batch_id}")
         )
+        if span_mode:
+            res["new_spans"].write.mode("overwrite").parquet(
+                os.path.join(span_root, f"ingest_batch={batch_id}")
+            )
+        if sem_mode:
+            res["new_embeddings"].write.mode("overwrite").parquet(
+                os.path.join(emb_root, f"ingest_batch={batch_id}")
+            )
         if lsh_mode:
             res["new_buckets"].select(band_cols).write.mode("overwrite").parquet(
                 os.path.join(bucket_root, f"ingest_batch={batch_id}")

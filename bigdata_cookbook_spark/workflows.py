@@ -341,10 +341,19 @@ def pretraining_pipeline(
         rewritten = span_dedup(
             docs, span_tokens=span_dedup_tokens
         ).select("doc_id", F.col("text_deduped").alias("text"))
+        # left join + coalesce: a blank-on-arrival doc (span_dedup emits
+        # no row for it) carries empty text into the quality stage and
+        # is dropped + booked there — an inner join would silently lose
+        # it and break the accounting-sums-exactly invariant
         docs = (
             docs.drop("text")
-            .join(rewritten, "doc_id")
-            .select("doc_id", "text", "lang", "source")
+            .join(rewritten, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                "lang",
+                "source",
+            )
         )
         if with_accounting:
             docs = docs.persist()

@@ -276,3 +276,177 @@ def test_incremental_repetition_filter_matches_batch(spark, docs):
 
     with pytest.raises(ValueError):
         incremental_corpus_clean(b1, min_tokens=5, repetition_filter=True)
+
+
+def test_incremental_span_semantic_two_batch_parity(spark, docs, eval_docs):
+    """Round-5 stages: two-batch ordered ingest with span dedup (state
+    of every kept span) + semantic dedup (every-arrival SRP embedding
+    state) == the batch pretraining_pipeline with the same stages on —
+    kept payload AND per-stage drop counts."""
+    from bigdata_cookbook_spark.operators.dedup import default_srp_planes_for
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    emb = load_table(spark, SF, "embeddings")
+    # the batch pipeline derives its plane count from the embeddings
+    # row count; the incremental form pins the same value (bucket ids
+    # must be stable for the state's lifetime)
+    n_planes = default_srp_planes_for(emb.count())
+    ref = pretraining_pipeline(
+        docs,
+        eval_df=eval_docs,
+        span_dedup_tokens=5,
+        embeddings_df=emb,
+    )
+    want_clean = {tuple(r) for r in ref["clean"].collect()}
+    acc = {r.stage: r.n_dropped for r in ref["accounting"].collect()}
+    ref["clean"].unpersist()
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    r1 = incremental_corpus_clean(
+        b1,
+        eval_df=eval_docs,
+        span_tokens=5,
+        embeddings_df=emb,
+        semantic_n_planes=n_planes,
+    )
+    assert "new_spans" in r1 and "new_embeddings" in r1
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        eval_df=eval_docs,
+        span_tokens=5,
+        span_state=r1["new_spans"],
+        embeddings_df=emb,
+        srp_state=r1["new_embeddings"],
+        semantic_n_planes=n_planes,
+    )
+    got_clean = {tuple(r) for r in r1["kept"].collect()} | {
+        tuple(r) for r in r2["kept"].collect()
+    }
+    assert got_clean == want_clean
+    for key in (
+        "dropped_quality",
+        "dropped_exact",
+        "dropped_neardup",
+        "dropped_contaminated",
+        "dropped_semantic",
+    ):
+        n = r1[key].count() + r2[key].count()
+        assert n == acc[key], (key, n, acc[key])
+
+
+def test_incremental_span_semantic_replay(spark, docs):
+    """Replay + re-ingest safety for the round-5 stages: a crash-replay
+    (state WITHOUT the batch's own deltas — what _read_state's
+    exclude_batch guarantees) recomputes identical kept sets and
+    identical state deltas; a re-ingest of the same docs as a NEW batch
+    (state WITH the deltas) yields empty kept and empty deltas."""
+    emb = load_table(spark, SF, "embeddings")
+    b1 = docs.limit(200)
+    kw = dict(span_tokens=5, embeddings_df=emb, semantic_n_planes=4)
+    r1 = incremental_corpus_clean(b1, **kw)
+    replay = incremental_corpus_clean(b1, **kw)
+    assert _ids(replay["kept"]) == _ids(r1["kept"])
+    assert {tuple(r) for r in replay["new_spans"].collect()} == {
+        tuple(r) for r in r1["new_spans"].collect()
+    }
+    assert _ids(replay["new_embeddings"].withColumnRenamed("vec_id", "doc_id")) == _ids(
+        r1["new_embeddings"].withColumnRenamed("vec_id", "doc_id")
+    )
+    r2 = incremental_corpus_clean(
+        b1,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        span_state=r1["new_spans"],
+        srp_state=r1["new_embeddings"],
+        **kw,
+    )
+    assert r2["kept"].count() == 0
+    assert r2["new_hashes"].count() == 0
+    # every span of the re-ingested docs is already in the state, so the
+    # span stage strips all text and the docs book as quality drops
+    assert r2["new_spans"].count() == 0
+    assert r2["new_embeddings"].count() == 0
+    assert r2["dropped_semantic"].count() == 0
+
+
+def test_read_state_excludes_current_batch(spark, tmp_path):
+    """Crash-replay protection: _read_state(exclude_batch=N) must not
+    see batch N's own (possibly partial) deltas — otherwise a replay
+    recomputes empty results and overwrites the real deltas with
+    empty."""
+    from bigdata_cookbook_spark.streaming.pipeline import _read_state
+
+    base = str(tmp_path / "hashes")
+    spark.createDataFrame([(1,)], ["text_hash"]).write.parquet(
+        os.path.join(base, "ingest_batch=0")
+    )
+    spark.createDataFrame([(2,)], ["text_hash"]).write.parquet(
+        os.path.join(base, "ingest_batch=1")
+    )
+    st = _read_state(spark, base, ["text_hash"], exclude_batch=1)
+    assert {r.text_hash for r in st.collect()} == {1}
+    all_st = _read_state(spark, base, ["text_hash"])
+    assert {r.text_hash for r in all_st.collect()} == {1, 2}
+
+
+def test_streaming_span_semantic_end_to_end(spark, docs, tmp_path):
+    """foreachBatch with span + semantic stages: span/embedding state
+    deltas land per batch and the drained kept set equals the
+    batch-callable chain."""
+    from bigdata_cookbook_spark.sources.testdata import load_table as lt
+
+    emb = lt(spark, SF, "embeddings")
+    sample = docs.filter(F.col("doc_id") < 2000)
+    mid = 1000
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    sample.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(spool, "f1")
+    )
+    sample.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        os.path.join(spool, "f2")
+    )
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).option("maxFilesPerTrigger", 1).parquet(os.path.join(spool, "*", "*.parquet"))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    q = streaming_corpus_clean(
+        stream,
+        state_dir=state,
+        output_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        span_tokens=5,
+        embeddings_df=emb,
+        semantic_n_planes=4,
+    )
+    assert q.awaitTermination(240), "stream did not drain"
+
+    b1 = sample.filter(F.col("doc_id") <= mid)
+    b2 = sample.filter(F.col("doc_id") > mid)
+    r1 = incremental_corpus_clean(
+        b1, span_tokens=5, embeddings_df=emb, semantic_n_planes=4
+    )
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        span_tokens=5,
+        span_state=r1["new_spans"],
+        embeddings_df=emb,
+        srp_state=r1["new_embeddings"],
+        semantic_n_planes=4,
+    )
+    want = _ids(r1["kept"]) | _ids(r2["kept"])
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == want
+    assert os.path.isdir(os.path.join(state, "spans"))
+    assert os.path.isdir(os.path.join(state, "embeddings"))
+    # embedding state carries the SRP bucket + vector payload
+    emb_state = spark.read.parquet(os.path.join(state, "embeddings"))
+    assert {"vec_id", "bucket", "vec", "norm"} <= set(emb_state.columns)
