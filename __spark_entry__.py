@@ -1797,10 +1797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "corpus_clean": q_corpus_clean,
         "skew_salted_distinct_users": q_skew_salted_distinct_users,
-        # round-3 rotation: iqr_outliers had never been driver-scored;
-        # skew_salted_join_segments moved to tier 3 on its green r02 row
-        # (the salt tier stays pinned by skew_salted_distinct_users).
-        "iqr_outliers": q_iqr_outliers,
+        # round-5 rotation: ngram_jaccard_capped (the linear df-capped
+        # near-dup tier, locally green at both SFs since round 4) takes
+        # the slot of iqr_outliers (double-green r03+r04, moved to the
+        # tail; the robust-stats family stays pinned in-window by
+        # profile_orders' quantile profile).
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "range_count_events_after_purchase": q_range_count_events_after_purchase,
         "hash_split_documents": q_hash_split_documents,
@@ -1895,9 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "mode_event_type": q_mode_event_type,
         "doc_fingerprint": q_doc_fingerprint,
-        # round-4 additions (enter OUTSIDE the scored window; rotate in
-        # only over double-green rows per the rotation discipline)
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        # rotated out round 5 (double-green r03+r04 rows on record;
+        # displaced by ngram_jaccard_capped)
+        "iqr_outliers": q_iqr_outliers,
         # rotated out round 4 (double-green r02+r03 rows on record)
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
