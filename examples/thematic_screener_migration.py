@@ -69,6 +69,24 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
     # search service's index (entities / documents / chunks)
     entities, documents, chunks = fixture_tables(spark)
 
+    # -- embedding production (the reference embeds server-side,
+    # invisibly — Election_Monitor/src/query_builder.py:59-82; a
+    # migrating user must produce the corpus embedding column
+    # themselves). Drop the fixture's precomputed column and rebuild it
+    # with the embedding backend so this example is copy-pasteable on a
+    # corpus with NO embedding column: each unique chunk text is
+    # embedded once (dedup -> mapInPandas -> join-back), and the SAME
+    # backend embeds the query sentences below. Stub tier here
+    # (deterministic, hermetic); for a live model swap in
+    # make_openai_embedding_backend() — every other line stays the same.
+    from bigdata_cookbook_spark.llm.embedding_backend import (
+        embed_stage,
+        make_hash_embedding_backend,
+    )
+
+    emb_backend = make_hash_embedding_backend(dim=16)
+    chunks = embed_stage(chunks.drop("embedding"), emb_backend)
+
     # -- cell 20/22: mindmap the theme into a taxonomy; its leaf
     # summaries become the per-sub-theme search sentences
     tree = generate_theme_tree(THEME)  # stub TreeBackend: deterministic
@@ -80,10 +98,14 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
     # batches; here each spec is a filtered branch of ONE DataFrame
     # plan, and the whole watchlist joins at once (MIGRATION.md Q7).
     frame = unified_chunk_frame(documents, chunks)
+    # query-side embedding uses the SAME backend as the corpus column
+    # above (one text, embedded once at plan build — never per row)
     specs = [
         QuerySpec(
             query_id=label,
-            similarity=Similarity(sentence),
+            similarity=Similarity(
+                sentence, embedder=lambda t, d: emb_backend([t])[0]
+            ),
             filters=(DateRange(START, END),),
             rerank_threshold=RERANK_THRESHOLD,
         )
