@@ -146,3 +146,98 @@ def graph_dot(
         lines.append(f"  {q(r[src_col])} {arrow} {q(r[dst_col])}{attr};")
     lines.append("}")
     return "\n".join(lines)
+
+
+def dashboard_html(
+    panels: Mapping[str, dict],
+    title: str,
+    columns: int = 2,
+) -> str:
+    """Self-contained static dashboard: N figure specs rendered into one
+    HTML page — the rendered-dashboard experience of the reference's
+    plotly notebooks (Election_Monitor/src/visualization_tools.py:300-560,
+    AI_Cost_Cutting_Market_Analysis/src/tool.py:379-1015) over this
+    engine's renderer-agnostic viz.py specs.
+
+    ``panels`` maps panel title -> spec dict, where each spec is one of:
+
+    - a Vega-Lite spec (viz.vega_lite_spec / bar_chart_spec /
+      timeseries_spec / heatmap_spec — recognized by its ``$schema`` or
+      ``mark`` key): rendered client-side by vega-embed,
+    - a node-link graph (viz.node_link_json — ``nodes``+``links``
+      keys): rendered by a small inline d3-force script,
+    - a tree (viz.tree_json — ``label``+``children``): rendered as a
+      nested HTML list, no JS.
+
+    The page embeds all data inline (the specs already carry their
+    values) and loads vega/vega-lite/vega-embed/d3 from CDN script tags
+    at VIEW time — writing the file needs no network and no new Python
+    dependency. Output is byte-stable for a given input (sorted-key
+    JSON, insertion-ordered panels) so golden tests can pin it.
+    """
+    import json
+
+    head = [
+        "<!DOCTYPE html>",
+        "<html><head><meta charset='utf-8'>",
+        f"<title>{html.escape(title)}</title>",
+        "<script src='https://cdn.jsdelivr.net/npm/vega@5'></script>",
+        "<script src='https://cdn.jsdelivr.net/npm/vega-lite@5'></script>",
+        "<script src='https://cdn.jsdelivr.net/npm/vega-embed@6'></script>",
+        "<script src='https://cdn.jsdelivr.net/npm/d3@7'></script>",
+        "<style>",
+        "body{font-family:sans-serif;margin:1.5em}",
+        f".grid{{display:grid;grid-template-columns:repeat({int(columns)},1fr);gap:1.5em}}",
+        ".panel{border:1px solid #ddd;border-radius:6px;padding:1em}",
+        ".panel h2{margin-top:0;font-size:1.05em}",
+        "ul.tree{list-style:none;padding-left:1.2em}",
+        "</style></head><body>",
+        f"<h1>{html.escape(title)}</h1>",
+        "<div class='grid'>",
+    ]
+    body: list[str] = []
+    scripts: list[str] = []
+
+    def tree_ul(node: dict) -> str:
+        kids = node.get("children") or []
+        inner = "".join(f"<li>{tree_ul(k)}</li>" for k in kids)
+        label = html.escape(str(node.get("label")))
+        return label + (f"<ul class='tree'>{inner}</ul>" if inner else "")
+
+    for i, (name, spec) in enumerate(panels.items()):
+        pid = f"panel{i}"
+        body.append("<div class='panel'>")
+        body.append(f"<h2>{html.escape(name)}</h2>")
+        if "nodes" in spec and "links" in spec:
+            body.append(f"<svg id='{pid}' width='420' height='320'></svg>")
+            data = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+            scripts.append(
+                "(function(){var g=" + data + ";"
+                f"var svg=d3.select('#{pid}'),W=420,H=320;"
+                "var sim=d3.forceSimulation(g.nodes)"
+                ".force('link',d3.forceLink(g.links).id(function(d){return d.id;}).distance(60))"
+                ".force('charge',d3.forceManyBody().strength(-80))"
+                ".force('center',d3.forceCenter(W/2,H/2));"
+                "var link=svg.append('g').selectAll('line').data(g.links).join('line')"
+                ".attr('stroke','#999').attr('stroke-width',function(d){return Math.sqrt(d.weight||1);});"
+                "var node=svg.append('g').selectAll('circle').data(g.nodes).join('circle')"
+                ".attr('r',5).attr('fill','#4682b4');"
+                "node.append('title').text(function(d){return d.id;});"
+                "sim.on('tick',function(){"
+                "link.attr('x1',function(d){return d.source.x;}).attr('y1',function(d){return d.source.y;})"
+                ".attr('x2',function(d){return d.target.x;}).attr('y2',function(d){return d.target.y;});"
+                "node.attr('cx',function(d){return d.x;}).attr('cy',function(d){return d.y;});});"
+                "})();"
+            )
+        elif "label" in spec and "children" in spec:
+            body.append(f"<ul class='tree'>{tree_ul(spec)}</ul>")
+        else:
+            body.append(f"<div id='{pid}'></div>")
+            data = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+            scripts.append(
+                f"vegaEmbed('#{pid}', " + data + ", {actions: false});"
+            )
+        body.append("</div>")
+
+    tail = ["</div>", "<script>", *scripts, "</script>", "</body></html>"]
+    return "\n".join(head + body + tail)

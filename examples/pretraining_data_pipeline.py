@@ -65,8 +65,42 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
     with open(acc_path, "w", encoding="utf-8") as f:
         json.dump({"stages": acc, "kept": out["training_set"].count()}, f, indent=1, sort_keys=True)
 
+    # one-page dashboard of the run: drop accounting, curriculum
+    # shape, and the post-mix domain composition (static HTML over the
+    # renderer-agnostic viz specs — sinks.dashboard_html)
+    from bigdata_cookbook_spark.sinks import dashboard_html
+    from bigdata_cookbook_spark.viz import bar_chart_spec
+
+    acc_df = spark.createDataFrame(acc, "stage string, n_dropped long")
+    buckets = (
+        out["training_set"].groupBy("bucket").count().orderBy("bucket")
+    )
+    mix = out["training_set"].groupBy("source").count().orderBy("source")
+    dash_path = os.path.join(out_dir, "dashboard.html")
+    with open(dash_path, "w", encoding="utf-8") as f:
+        f.write(
+            dashboard_html(
+                {
+                    "Drops per stage": bar_chart_spec(
+                        acc_df, "stage", "n_dropped"
+                    ),
+                    "Curriculum buckets": bar_chart_spec(
+                        buckets, "bucket", "count"
+                    ),
+                    "Domain mix (kept)": bar_chart_spec(
+                        mix, "source", "count"
+                    ),
+                },
+                title="Pretraining data pipeline run",
+            )
+        )
+
     out["clean"].unpersist()
-    return {"training_set": ts_path, "accounting": acc_path}
+    return {
+        "training_set": ts_path,
+        "accounting": acc_path,
+        "dashboard": dash_path,
+    }
 
 
 if __name__ == "__main__":

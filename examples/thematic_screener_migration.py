@@ -167,7 +167,39 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
     workbook_xlsx_sink(
         {"By Company": by_company, "By Industry": by_industry}, xlsx_path
     )
-    return {"html": html_path, "xlsx": xlsx_path, "chart": spec_path}
+
+    # -- cells 20+31 rendered together: one static dashboard page — the
+    # notebook's plotly figures + mind map as a self-contained HTML file
+    # (CDN-rendered Vega-Lite + nested-list tree; sinks.dashboard_html)
+    from bigdata_cookbook_spark.llm.taxonomy import tree_to_edges
+    from bigdata_cookbook_spark.sinks import dashboard_html
+    from bigdata_cookbook_spark.viz import tree_json
+
+    edges = tree_to_edges(spark, tree)
+    dash_path = os.path.join(out_dir, "dashboard.html")
+    with open(dash_path, "w", encoding="utf-8") as f:
+        f.write(
+            dashboard_html(
+                {
+                    "Company exposure": spec,
+                    "Industry exposure": bar_chart_spec(
+                        by_industry.limit(15),
+                        category="entity_industry",
+                        value="composite_score",
+                    ),
+                    "Theme taxonomy": tree_json(
+                        edges, root_label=tree["Label"]
+                    ),
+                },
+                title=f"Thematic screener: {THEME}",
+            )
+        )
+    return {
+        "html": html_path,
+        "xlsx": xlsx_path,
+        "chart": spec_path,
+        "dashboard": dash_path,
+    }
 
 
 if __name__ == "__main__":

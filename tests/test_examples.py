@@ -25,9 +25,13 @@ def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     p1 = example.main(spark, str(tmp_path / "run1"))
     p2 = example.main(spark, str(tmp_path / "run2"))
 
-    for key in ("html", "xlsx", "chart"):
+    for key in ("html", "xlsx", "chart", "dashboard"):
         assert os.path.getsize(p1[key]) > 0
         assert _digest(p1[key]) == _digest(p2[key]), key
+
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    assert "vegaEmbed" in dash          # exposure + industry panels
+    assert "<ul class='tree'>" in dash  # taxonomy mind-map panel
 
     html = open(p1["html"], encoding="utf-8").read()
     assert "Thematic exposure" in html
@@ -65,3 +69,8 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     ts1 = {tuple(r) for r in spark.read.parquet(p1["training_set"]).collect()}
     ts2 = {tuple(r) for r in spark.read.parquet(p2["training_set"]).collect()}
     assert ts1 == ts2 and len(ts1) == a1["kept"]
+
+    # run dashboard: byte-stable, one Vega-Lite panel per figure
+    assert _digest(p1["dashboard"]) == _digest(p2["dashboard"])
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    assert dash.count("vegaEmbed('#panel") == 3

@@ -136,3 +136,42 @@ def test_specs_over_real_workflow_outputs(spark, sf_dir):
     s = timeseries_spec(weekly, "week", "count", series="event_type")
     assert s["encoding"]["x"]["type"] == "temporal"
     assert len(s["data"]["values"]) == weekly.count()
+
+
+def test_dashboard_html_byte_stable_and_structured(spark, weekly):
+    """dashboard_html: one static page embedding Vega-Lite panels (CDN
+    vega-embed), a d3-force node-link graph, and a nested-list tree —
+    byte-stable, all data inline, panel markup per spec kind."""
+    from bigdata_cookbook_spark.sinks import dashboard_html
+
+    bar = bar_chart_spec(weekly, "label", "cnt")
+    ts = timeseries_spec(weekly, "week", "cnt", series="label")
+    edges = spark.createDataFrame(
+        [("acme", "ai", 3), ("bolt", "ai", 1)],
+        "src_name string, dst_name string, weight long",
+    )
+    net = node_link_json(edges)
+    tree = {
+        "label": "root <x>",
+        "children": [
+            {"label": "a", "children": []},
+            {"label": "b", "children": [{"label": "c", "children": []}]},
+        ],
+    }
+    panels = {"Bar & <co>": bar, "Trend": ts, "Network": net, "Map": tree}
+    h1 = dashboard_html(panels, title="Run <dash>")
+    h2 = dashboard_html(panels, title="Run <dash>")
+    assert h1 == h2
+    assert h1.count("class='panel'") == 4
+    # vega panels render via vegaEmbed with inline data
+    assert "vegaEmbed('#panel0'" in h1 and "vegaEmbed('#panel1'" in h1
+    assert '"values":' in h1
+    # node-link renders via d3-force, tree as nested list (no JS)
+    assert "forceSimulation" in h1
+    assert "<ul class='tree'>" in h1
+    # titles/labels HTML-escaped
+    assert "Run &lt;dash&gt;" in h1 and "Bar &amp; &lt;co&gt;" in h1
+    assert "root &lt;x&gt;" in h1
+    # self-contained page: CDN script tags only, no local assets
+    assert h1.startswith("<!DOCTYPE html>")
+    assert "cdn.jsdelivr.net/npm/vega-embed@6" in h1
