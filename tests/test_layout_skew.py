@@ -533,3 +533,60 @@ class TestCrashSafeCommit:
         assert rec["recovered"] == 1 and rec["promoted"] == 1
         assert spark.read.parquet(path).count() == 1000
         assert len(globmod.glob(f"{path}/*.parquet")) == 1  # compacted
+
+    def test_crashed_upsert_self_heals_on_next_run(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The operational contract end-to-end: a nightly upsert crashes
+        mid-promote; the NEXT night's upsert_partitions call — with no
+        explicit recover_pending and no operator intervention — first
+        rolls the stranded commit forward (writer-entry recovery), then
+        applies its own batch. Both nights' rows land; nothing is lost
+        or double-applied."""
+        import os
+
+        import bigdata_cookbook_spark.plans.layout as layout
+
+        path = self._mktable(spark, tmp_path, "t_self_heal")
+        night1 = spark.createDataFrame(
+            [(3, "c2", "d2"), (4, "d", "d3")], "k int, v string, day string"
+        )
+        real_rename = os.rename
+
+        def flaky_rename(src, dst):
+            real_rename(src, dst)
+            if "__retired__" in dst:
+                raise RuntimeError("injected crash mid-promote")
+
+        monkeypatch.setattr(layout.os, "rename", flaky_rename)
+        with pytest.raises(RuntimeError, match="mid-promote"):
+            layout.upsert_partitions(spark, path, night1, ["k"], "day")
+        monkeypatch.undo()
+        # some partition is stranded mid-swap; the manifest is pending
+        assert any(
+            f.startswith("._commit_manifest_") for f in os.listdir(path)
+        )
+
+        # night 2: a NORMAL call — no explicit recovery
+        night2 = spark.createDataFrame(
+            [(1, "a2", "d1")], "k int, v string, day string"
+        )
+        stats = layout.upsert_partitions(spark, path, night2, ["k"], "day")
+        assert stats["partitions_rewritten"] == 1
+        # night 1's commit was rolled forward AND night 2 applied
+        assert {
+            (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+        } == {
+            (1, "d1"): "a2",
+            (2, "d1"): "b",
+            (3, "d2"): "c2",
+            (4, "d3"): "d",
+        }
+        # no pending manifests or stranded staging dirs remain
+        assert not any(
+            f.startswith("._commit_manifest_") for f in os.listdir(path)
+        )
+        parent = os.path.dirname(path.rstrip("/"))
+        assert not any(
+            f.startswith("._upsert_") for f in os.listdir(parent)
+        )
