@@ -545,15 +545,20 @@ def srp_bucket_expr(vec, planes: list[list[float]]):
 
 
 def default_srp_planes_for(
-    n_rows: int, target_bucket_rows: int = 256, floor: int = 4
+    n_rows: int, target_bucket_rows: int = 64, floor: int = 4
 ) -> int:
     """Plane count that bounds EXPECTED bucket size at
     ``target_bucket_rows``: each plane halves expected bucket
     occupancy, so planes = ceil(log2(n / target)) keeps the
-    within-bucket quadratic verify at ~target^2 comparisons per bucket
-    regardless of corpus size. Floor of 4 preserves recall on small
-    corpora (too many planes over few rows over-splits true near-dup
-    pairs)."""
+    within-bucket verify at ~target comparisons PER VECTOR — total
+    cosine work ~ n x target, i.e. linear in the corpus for a fixed
+    target (measured sf0.1->sf1: 2.8x per 4x data at target 64;
+    BASELINE.md §E). The target trades recall for work: smaller
+    buckets let more cross-bucket near-dup pairs escape (the LSH
+    contract in semantic_dedup's docstring) — 64 keeps the kept-set
+    within ~15% of the dense-bucket (256-row) behavior at a quarter of
+    its cost. Floor of 4 preserves recall on small corpora (too many
+    planes over few rows over-splits true near-dup pairs)."""
     import math
 
     if n_rows <= target_bucket_rows:

@@ -772,17 +772,19 @@ def test_semantic_dedup_auto_planes(spark):
         semantic_dedup,
     )
 
-    # expected bucket size stays bounded at ~256 as n grows: the plane
-    # count must grow one per doubling past the target
-    assert default_srp_planes_for(100) == 4
-    assert default_srp_planes_for(256) == 4
-    assert default_srp_planes_for(4096) == 4
-    assert default_srp_planes_for(8192) == 5
-    assert default_srp_planes_for(1_000_000) == 12
-    assert default_srp_planes_for(1_000_000_000) == 22
+    # expected bucket size stays bounded at ~64 as n grows: the plane
+    # count must grow one per doubling past the target (total cosine
+    # work ~ n x 64 = linear in the corpus)
+    assert default_srp_planes_for(64) == 4
+    assert default_srp_planes_for(500) == 4
+    assert default_srp_planes_for(1024) == 4
+    assert default_srp_planes_for(2048) == 5
+    assert default_srp_planes_for(8192) == 7
+    assert default_srp_planes_for(1_000_000) == 14
+    assert default_srp_planes_for(1_000_000_000) == 24
     for n in (10, 1000, 10**6, 10**9, 10**12):
         p = default_srp_planes_for(n)
-        assert n / (2**p) <= 256 or p == 4
+        assert n / (2**p) <= 64 or p == 4
     # n_planes=None derives the floor (4) at test scale -> identical
     # kept set to the previously fixed default; estimated_row_count
     # skips the count job but must give the same answer
