@@ -1767,6 +1767,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup at its DEFAULT configuration: n_planes derived
+    from the corpus row count (default_srp_planes_for — expected bucket
+    size ~64 rows, total cosine work linear in the corpus). No SQL
+    oracle BY CONSTRUCTION: the plane count is a function of the data's
+    cardinality, so no static SQL string can express it across scale
+    factors — the driver records the weaker rows-only check here, and
+    the fixed-plane twin q_semantic_dedup carries the full value oracle
+    for the same kernel. This entry exists so the scale rehearsal
+    (tools/scale_rehearsal.py) measures the DEFAULT path every round:
+    the fixed-plane oracle form is deliberately super-linear (dense
+    buckets) and its SCALING.json row must not be read as the engine
+    default's curve (BASELINE.md §E round-5 table)."""
+    from bigdata_cookbook_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64).select(
+        "vec_id", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -1904,6 +1925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
         "price_percentiles": q_price_percentiles,
+        # round-5 addition: the auto-plane default path (rows-only check
+        # by construction — plane count is data-dependent, no static SQL
+        # twin exists; the fixed-plane semantic_dedup above carries the
+        # value oracle for the same kernel)
+        "semantic_dedup_auto": q_semantic_dedup_auto,
     }
 
 

@@ -58,6 +58,9 @@ TIER = [
     "gopher_repetition",
     "semantic_dedup",
     "span_dedup",
+    # the auto-plane default path; the plain semantic_dedup row is the
+    # deliberately-dense fixed-plane oracle form (BASELINE.md §E)
+    "semantic_dedup_auto",
 ]
 
 def _sf_dirs() -> list[tuple[str, str]]:
