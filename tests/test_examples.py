@@ -74,3 +74,25 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     assert _digest(p1["dashboard"]) == _digest(p2["dashboard"])
     dash = open(p1["dashboard"], encoding="utf-8").read()
     assert dash.count("vegaEmbed('#panel") == 3
+
+
+def test_incremental_ingest_example_runs(spark, tmp_path):
+    import json
+
+    import incremental_ingest_pipeline as iex
+
+    paths = iex.main(spark, str(tmp_path / "run"))
+    s = json.load(open(paths["summary"], encoding="utf-8"))
+    assert s["batches"] == 2 and s["kept"] > 0
+    assert s["parity_vs_batch_chain"] is True
+    assert set(s["state_tables"]) == {
+        "seen_hashes", "shingles", "buckets", "spans", "embeddings",
+    }
+    # every state table carries one delta dir per batch
+    for t in s["state_tables"]:
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(paths["state"], t))
+            if d.startswith("ingest_batch=")
+        ]
+        assert len(dirs) == 2, t
