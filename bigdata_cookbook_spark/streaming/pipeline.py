@@ -479,6 +479,7 @@ def streaming_corpus_clean(
     eval_df: DataFrame | None = None,
     query_name: str = "streaming_corpus_clean",
     available_now: bool = True,
+    write_drop_log: bool = True,
     **clean_kwargs: Any,
 ):
     """Continuous-ingest form of the pretraining capstone's cleaning
@@ -498,7 +499,16 @@ def streaming_corpus_clean(
         {state_dir}/shingles/ingest_batch=<id>/      exact-kept shingle index
         {state_dir}/spans/ingest_batch=<id>/         (span_tokens) novel keeper spans
         {state_dir}/embeddings/ingest_batch=<id>/    (embeddings_df) SRP-bucketed vectors
+        {state_dir}/drops/ingest_batch=<id>/         (stage, doc_id) drop log
         {output_dir}/ingest_batch=<id>/              kept docs
+
+    The drop log is the streaming twin of the batch capstone's
+    ``accounting`` output — one (stage, doc_id) row per dropped doc per
+    batch, so ``spark.read.parquet(state/drops).groupBy("stage",
+    "ingest_batch").count()`` reconstructs the full audit trail at any
+    point in the corpus's life (and per-doc provenance, which the batch
+    counts don't even give). Disable with ``write_drop_log=False`` if
+    the extra per-batch write matters more than the audit.
 
     Readers of the training set stream ``output_dir`` as it grows; the
     state tables are only ever read by the next micro-batch (scan cost
@@ -562,6 +572,27 @@ def streaming_corpus_clean(
         if lsh_mode:
             res["new_buckets"].select(band_cols).write.mode("overwrite").parquet(
                 os.path.join(bucket_root, f"ingest_batch={batch_id}")
+            )
+        if write_drop_log:
+            # audit trail: one (stage, doc_id) row per dropped doc —
+            # a single labeled union, one write, overwrite-per-batch
+            # replay-safe like every other delta
+            log = None
+            for stage in (
+                "dropped_quality",
+                "dropped_exact",
+                "dropped_neardup",
+                "dropped_contaminated",
+                "dropped_semantic",
+            ):
+                if stage not in res:
+                    continue
+                part = res[stage].select(
+                    F.lit(stage).alias("stage"), F.col("doc_id")
+                )
+                log = part if log is None else log.unionByName(part)
+            log.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "drops", f"ingest_batch={batch_id}")
             )
 
     writer = (

@@ -134,6 +134,17 @@ def main(spark: SparkSession, out_dir: str) -> dict:
     got = {r.doc_id for r in kept.select("doc_id").collect()}
     assert got == want, "streaming kept set != batch-callable chain"
 
+    # the streaming audit trail: per-batch, per-stage drop counts from
+    # the (stage, doc_id) drop log — the batch capstone's accounting,
+    # reconstructable at any point of the corpus's life
+    drops = spark.read.parquet(os.path.join(state, "drops"))
+    audit = {
+        f"batch{r.ingest_batch}/{r.stage}": r.n
+        for r in drops.groupBy("ingest_batch", "stage")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
     summary = {
         "batches": n_batches,
         "kept": n_kept,
@@ -144,6 +155,7 @@ def main(spark: SparkSession, out_dir: str) -> dict:
             .agg(F.count("*").alias("n"))
             .collect()
         },
+        "drop_audit": audit,
         "parity_vs_batch_chain": True,
     }
     summary_path = os.path.join(out_dir, "summary.json")

@@ -87,7 +87,12 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
     assert s["parity_vs_batch_chain"] is True
     assert set(s["state_tables"]) == {
         "seen_hashes", "shingles", "buckets", "spans", "embeddings",
+        "drops",
     }
+    # the streaming audit trail reconciles: every batch's kept + drops
+    # partition the batch's docs
+    total_dropped = sum(s["drop_audit"].values())
+    assert s["kept"] + total_dropped == 500  # sf0.001 corpus
     # every state table carries one delta dir per batch
     for t in s["state_tables"]:
         dirs = [
