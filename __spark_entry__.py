@@ -1767,6 +1767,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup (functions/text.dedup_lines_exprs —
+    RefinedWeb-style boilerplate-line removal, the per-doc complement of
+    corpus-wide span_dedup): duplicate lines inside a doc are removed
+    keeping the first occurrence. The synthetic corpus has no newlines,
+    so the query PLANTS a lined structure both engines build with the
+    same expression: line1 = first 40 chars, doc = line1\\nline1\\nrest —
+    every doc carries exactly one duplicated line. Zero-shuffle scan:
+    split / array_distinct (order-preserving) / re-join."""
+    from bigdata_cookbook_spark.functions.text import dedup_lines_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    syn = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit("\n"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit("\n"),
+        F.expr("substring(text, 41)"),
+    )
+    m = dedup_lines_exprs(syn)
+    return docs.select(
+        "doc_id",
+        m["text_deduped"].alias("text_deduped"),
+        m["n_lines_total"].alias("n_lines_total"),
+        m["n_lines_kept"].alias("n_lines_kept"),
+    )
+
+
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup at its DEFAULT configuration: n_planes derived
     from the corpus row count (default_srp_planes_for — expected bucket
@@ -1925,11 +1954,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
         "price_percentiles": q_price_percentiles,
-        # round-5 addition: the auto-plane default path (rows-only check
-        # by construction — plane count is data-dependent, no static SQL
-        # twin exists; the fixed-plane semantic_dedup above carries the
-        # value oracle for the same kernel)
+        # round-5 additions (enter OUTSIDE the scored window; rotate in
+        # only over double-green rows per the rotation discipline):
+        # the auto-plane default path (rows-only check by construction —
+        # plane count is data-dependent, no static SQL twin exists; the
+        # fixed-plane semantic_dedup above carries the value oracle for
+        # the same kernel) and within-doc line dedup (full value oracle)
         "semantic_dedup_auto": q_semantic_dedup_auto,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2548,6 +2580,30 @@ def _semantic_dedup_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "line_dedup": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+                           || chr(10) || substr(text, 41) AS syn
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       unnest(string_split(syn, chr(10))) AS line,
+                       generate_subscripts(string_split(syn, chr(10)), 1) AS ord
+                FROM s
+            ), k AS (
+                SELECT doc_id, line, ord,
+                       min(ord) OVER (PARTITION BY doc_id, line) AS first_ord,
+                       count(*) OVER (PARTITION BY doc_id) AS n_total
+                FROM u
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY ord) AS text_deduped,
+                   CAST(max(n_total) AS INT) AS n_lines_total,
+                   CAST(count(*) AS INT) AS n_lines_kept
+            FROM k WHERE ord = first_ord
+            GROUP BY doc_id
+        """,
         "bpe_token_count": _bpe_token_count_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "semantic_dedup": _semantic_dedup_sql(),

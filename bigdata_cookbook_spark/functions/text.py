@@ -187,6 +187,30 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array_distinct(grams))
 
 
+def dedup_lines_exprs(text: Column, sep: str = "\n") -> dict[str, Column]:
+    """Within-document line dedup (RefinedWeb line-level dedup /
+    the within-doc half of C4's cleaning; Penedo et al. 2023 §3.3):
+    remove every repeated line inside a document, keeping the FIRST
+    occurrence, and report the line accounting.
+
+    Pure zero-shuffle expressions — split on ``sep``, array_distinct
+    (which preserves first-occurrence order), re-join. The corpus-wide
+    cross-document rule is operators/corpus.span_dedup; this is the
+    per-document boilerplate rule (navigation menus, repeated headers)
+    that runs inside a quality scan at zero extra plan cost.
+
+    Returns {text_deduped, n_lines_total, n_lines_kept} expressions
+    over a bound text column. Blank documents pass through unchanged
+    (one empty line in, one out)."""
+    lines = F.split(text, sep)
+    kept = F.array_distinct(lines)
+    return {
+        "text_deduped": F.array_join(kept, sep),
+        "n_lines_total": F.size(lines),
+        "n_lines_kept": F.size(kept),
+    }
+
+
 def wrap_text(s: str, width: int = 60, sep: str = "<br>") -> str:
     """F4 — presentation word-wrap for hover/report text (reference
     tool.py:11-46, mind_map_tools.py:29-49). Driver-side: runs on already

@@ -854,3 +854,34 @@ def test_span_dedup_within_document_and_partial_tail(spark):
     r = span_dedup(df).collect()[0]
     assert r["text_deduped"] == "a b c d e x y"
     assert r["n_spans_kept"] == 2 and r["n_spans_total"] == 3
+
+
+def test_dedup_lines_exprs(spark):
+    """Within-doc line dedup: first occurrence kept IN ORDER, interior
+    and trailing blanks preserved as lines, accounting exact."""
+    from bigdata_cookbook_spark.functions.text import dedup_lines_exprs
+
+    rows = [
+        (1, "menu\nalpha\nmenu\nbeta\nmenu"),
+        (2, "one line only"),
+        (3, ""),
+        (4, "a\n\nb\n\na"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = dedup_lines_exprs(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            m["text_deduped"].alias("d"),
+            m["n_lines_total"].alias("t"),
+            m["n_lines_kept"].alias("k"),
+        ).collect()
+    }
+    assert out[1]["d"] == "menu\nalpha\nbeta" and (out[1]["t"], out[1]["k"]) == (5, 3)
+    assert out[2]["d"] == "one line only" and out[2]["k"] == 1
+    # blank doc: one empty line in, one out — passes through
+    assert out[3]["d"] == "" and (out[3]["t"], out[3]["k"]) == (1, 1)
+    # the empty line between a and b is itself a line; its duplicate
+    # (and the duplicate 'a') are removed, first occurrences ordered
+    assert out[4]["d"] == "a\n\nb" and (out[4]["t"], out[4]["k"]) == (5, 3)
