@@ -1796,6 +1796,23 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators/corpus.compression_ratio): deflate bytes / raw bytes per
+    document — the boilerplate/template-spam detector of web-corpus
+    cleaning recipes. Rows-only check BY CONSTRUCTION: DuckDB has no
+    deflate expression, so no SQL twin exists; the value semantics are
+    pinned by a property test against zlib directly
+    (tests/test_misc_operators.py)."""
+    from bigdata_cookbook_spark.operators.corpus import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return compression_ratio(docs.select("doc_id", "text")).select(
+        "doc_id", F.round("compression_ratio", 4).alias("compression_ratio")
+    )
+
+
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup at its DEFAULT configuration: n_planes derived
     from the corpus row count (default_srp_planes_for — expected bucket
@@ -1962,6 +1979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same kernel) and within-doc line dedup (full value oracle)
         "semantic_dedup_auto": q_semantic_dedup_auto,
         "line_dedup": q_line_dedup,
+        # rows-only by construction (no deflate in DuckDB); values
+        # pinned by a zlib property test
+        "compression_ratio": q_compression_ratio,
     }
 
 

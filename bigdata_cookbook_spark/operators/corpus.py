@@ -411,6 +411,53 @@ def nfc_normalize_stage(
     return docs.mapInPandas(run, schema=schema)
 
 
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal (the compression-ratio rule
+    of web-corpus cleaning recipes, e.g. Dolma / RedPajama heuristics):
+    ``out_col`` = deflate(text) bytes / raw utf-8 bytes. Boilerplate and
+    template spam compress far below prose (~0.2-0.4); prose sits
+    ~0.4-0.7; random noise approaches 1.0+. NULL for null/empty text.
+
+    No JVM expression computes DEFLATE, so this is a declared
+    Arrow-batched tier (mapInPandas) like NFC normalization — the hot
+    loop is C-side zlib.compress per text, not Python string work; at
+    100 TB this is a linear scan whose cost is the compressor itself,
+    the same shape any engine pays for this signal. Rows-only
+    correctness check (no SQL twin exists: DuckDB has no deflate
+    expression) — pinned instead by a property test against zlib
+    directly.
+    """
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # a FRESH StructType: StructType.add mutates in place, and
+    # docs.schema is the DataFrame's cached schema object — mutating it
+    # desyncs df.columns from the JVM plan
+    schema = StructType(
+        list(docs.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            vals = []
+            for t in pdf[text_col]:
+                if t is None or t == "":
+                    vals.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                vals.append(len(zlib.compress(raw, level)) / len(raw))
+            pdf[out_col] = vals
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",

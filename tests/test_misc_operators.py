@@ -885,3 +885,35 @@ def test_dedup_lines_exprs(spark):
     # the empty line between a and b is itself a line; its duplicate
     # (and the duplicate 'a') are removed, first occurrences ordered
     assert out[4]["d"] == "a\n\nb" and (out[4]["t"], out[4]["k"]) == (5, 3)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    """compression_ratio == direct zlib on every row (the rows-only
+    registry entry's value pin), NULL on blank/null, and the signal
+    actually separates repetitive boilerplate from prose."""
+    import zlib
+
+    from bigdata_cookbook_spark.operators.corpus import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, "buy now! " * 60),
+        (3, ""),
+        (4, None),
+        (5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    for doc_id, text in rows:
+        if not text:
+            assert got[doc_id] is None, doc_id
+        else:
+            raw = text.encode("utf-8")
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert abs(got[doc_id] - want) < 1e-12, doc_id
+    # boilerplate compresses far below prose
+    assert got[2] < 0.35 < got[1]
+    assert got[5] < got[1]
