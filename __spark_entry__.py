@@ -81,6 +81,20 @@ def q_hit_count_monthly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC = "decimal(18,4)"
+
+
+def _dec_sum(col, scale: int = 2):
+    """Money sum accumulated in DECIMAL, rounded, cast back to double:
+    double summation order differs between engines and partitionings,
+    and a half-cent-boundary value flips ROUND by one cent (observed at
+    sf1 on topk_parts_per_brand — two 1-cent hash mismatches). Decimal
+    sums are exact and order-independent; integer-valued doubles (e.g.
+    l_quantity) stay plain SUM — they are already exact below 2^53.
+    SQL twin: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), k) AS DOUBLE)."""
+    return F.round(F.sum(F.col(col).cast(_DEC)), scale).cast("double")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + aggregate arithmetic: TPC-H Q1-style pricing summary — the
     bench headline scan→agg query (full lineitem pass, map-side partial
@@ -90,10 +104,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))), 2).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -108,7 +122,7 @@ def q_count_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.groupBy("c_nationkey")
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _dec_sum("c_acctbal").alias("total_acctbal"),
         )
         .filter(F.col("n_customers") >= 3)
     )
@@ -126,12 +140,23 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     then touches one row per part instead of one per lineitem (join
     pushed through aggregation — valid because partkey determines brand).
     30%+ faster locally; at scale it shrinks the join input by the
-    lineitem:part fan-in ratio."""
+    lineitem:part fan-in ratio.
+
+    Revenue accumulates in DECIMAL, not double: double summation order
+    differs between engines (and between partitionings), and at sf1 two
+    part revenues landed a half-cent apart after ROUND — a one-cent
+    hash mismatch. Decimal sums are exact and order-independent, so the
+    rounded value is engine- and partitioning-portable; the final cast
+    back to double keeps the output schema."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    dec = "decimal(18,4)"
+    amount = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
     rev = (
         li.groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("revenue"))
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "l_partkey", "revenue")
     )
@@ -258,7 +283,7 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.min("ts")).alias("min_date"),
         F.to_date(F.max("ts")).alias("max_date"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _dec_sum("value").alias("total_value"),
     )
 
 
@@ -790,7 +815,7 @@ def q_skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        _dec_sum("o_totalprice").alias("total_price"),
     )
 
 
@@ -977,7 +1002,7 @@ def q_rollup_order_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _dec_sum("o_totalprice").alias("total_price"),
         )
         .select(
             "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
@@ -1275,7 +1300,7 @@ def q_sector_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(_dec_sum("o_totalprice").alias("total_price"))
     )
     return totals.select(
         "c_mktsegment",
@@ -1489,7 +1514,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.min("ts")).alias("session_start"),
         F.date_trunc("second", F.max("ts")).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        _dec_sum("value").alias("session_value"),
     )
 
 
@@ -2741,10 +2766,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
                    ROUND(AVG(l_quantity), 2) AS avg_qty,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -2754,7 +2779,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT c_nationkey,
                        COUNT(DISTINCT c_custkey) AS n_customers,
-                       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+                       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
                 FROM customer GROUP BY c_nationkey
                 HAVING COUNT(DISTINCT c_custkey) >= 3
             ) JOIN nation ON c_nationkey = n_nationkey
@@ -2762,7 +2787,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_parts_per_brand": """
             WITH rev AS (
                 SELECT p_brand, l_partkey,
-                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                            AS DOUBLE) AS revenue
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 GROUP BY 1, 2
             )
@@ -2869,7 +2897,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(ts) AS DATE) AS min_date,
                    CAST(MAX(ts) AS DATE) AS max_date,
                    COUNT(DISTINCT user_id) AS n_users,
-                   ROUND(SUM(value), 2) AS total_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
             FROM events GROUP BY event_type
         """,
         "exact_dedup_docs": """
@@ -3156,7 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_salted_join_segments": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS total_price
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
@@ -3274,7 +3302,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    GROUPING(o_orderstatus, o_orderpriority) AS gid,
                    COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS total_price
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -3427,7 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sector_rank": """
             WITH totals AS (
-                SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price
+                SELECT c_mktsegment, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
                 FROM orders JOIN customer ON o_custkey = c_custkey
                 GROUP BY 1
             )
@@ -3528,7 +3556,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('second', MIN(ts)) AS session_start,
                    date_trunc('second', MAX(ts)) AS session_end,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS session_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
             FROM numbered GROUP BY user_id, session_no
         """,
         "sliding_window_counts": """
