@@ -248,6 +248,11 @@ def main() -> None:
         "gopher_repetition",
         "semantic_dedup",
         "span_dedup",
+        "line_dedup",
+        # declared Arrow tier: a MapInPandas python stage is EXPECTED
+        # here (zlib deflate has no JVM expression) — the gate verifies
+        # it stays the ONLY stage, over a pruned 2-column scan
+        "compression_ratio",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
