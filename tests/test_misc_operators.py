@@ -917,3 +917,24 @@ def test_compression_ratio_matches_zlib(spark):
     # boilerplate compresses far below prose
     assert got[2] < 0.35 < got[1]
     assert got[5] < got[1]
+
+
+def test_span_dedup_identity_roundtrip(spark):
+    """On a corpus with no duplicate spans, span_dedup must reassemble
+    every document EXACTLY (segmentation and reassembly are inverses) —
+    across token counts that land on and off the span boundary."""
+    import random
+
+    from bigdata_cookbook_spark.operators.corpus import span_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        # globally unique tokens -> no span can repeat
+        n = rng.randint(1, 23)
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    for i, text in rows:
+        assert out[i]["text_deduped"] == text, i
+        assert out[i]["n_spans_kept"] == out[i]["n_spans_total"]
