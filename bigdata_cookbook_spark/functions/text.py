@@ -7,6 +7,8 @@ DuckDB oracles in __spark_entry__.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -201,8 +203,13 @@ def dedup_lines_exprs(text: Column, sep: str = "\n") -> dict[str, Column]:
 
     Returns {text_deduped, n_lines_total, n_lines_kept} expressions
     over a bound text column. Blank documents pass through unchanged
-    (one empty line in, one out)."""
-    lines = F.split(text, sep)
+    (one empty line in, one out).
+
+    ``sep`` is treated as a LITERAL separator: it is regex-escaped
+    before F.split (which takes a Java regex) so callers may pass
+    regex-meaningful separators ('.', '|', '$') and still get the
+    split/array_join round-trip they expect."""
+    lines = F.split(text, re.escape(sep))
     kept = F.array_distinct(lines)
     return {
         "text_deduped": F.array_join(kept, sep),

@@ -592,7 +592,8 @@ def semantic_dedup(
     shuffle of (id, bucket, vec) — and the quadratic cosine work is
     confined within buckets. ``n_planes=None`` (the default) DERIVES
     the plane count from the corpus row count via
-    default_srp_planes_for, bounding expected bucket size at ~256 rows
+    default_srp_planes_for, bounding expected bucket size at its
+    target (64 rows by default — see default_srp_planes_for)
     so the within-bucket verify stays linear-per-bucket as the corpus
     grows (a fixed plane count is measured super-linear: 12.2x per 10x
     at 4 planes, BASELINE.md §D — buckets grow with the corpus and the
@@ -678,12 +679,16 @@ def semantic_dedup_incremental(
 ) -> dict[str, DataFrame]:
     """Incremental twin of semantic_dedup for continuous ingest: drop
     any BATCH doc whose embedding is >= ``threshold`` cosine-similar to
-    an earlier doc in the same SRP bucket — where "earlier" is any doc
-    in the persisted ``srp_state`` (every doc that ever reached the
-    semantic stage, kept or dropped — the same every-arrival state rule
-    as the shingle index: a semantically-dropped doc still disqualifies
-    future look-alikes, exactly as in the batch form's
-    any-earlier-id join) or a lower-id doc within the batch.
+    an earlier doc in the same SRP bucket — where "earlier" means a
+    LOWER-id doc, whether that doc sits in the persisted ``srp_state``
+    (every doc that ever reached the semantic stage, kept or dropped —
+    the same every-arrival state rule as the shingle index: a
+    semantically-dropped doc still disqualifies future look-alikes,
+    exactly as in the batch form's any-earlier-id join) or in the
+    current batch. An out-of-order arrival whose id is SMALLER than a
+    similar state doc's id therefore survives — the documented
+    degradation under non-ordered ingest, pinned by
+    test_semantic_incremental_first_arrival_wins.
 
     ``srp_state`` schema: (vec_id, bucket, vec array<double>, norm).
     ``n_planes`` is FIXED for the state's lifetime (bucket ids must be

@@ -177,6 +177,15 @@ def dashboard_html(
     """
     import json
 
+    def script_json(spec: dict) -> str:
+        # Escape '<' for <script>-context embedding: a corpus-derived
+        # string containing '</script>' or '<!--' would otherwise
+        # terminate the script tag and inject HTML/JS into the page.
+        # < is valid JSON and decodes back to '<' in JS.
+        return json.dumps(
+            spec, sort_keys=True, separators=(",", ":")
+        ).replace("<", "\\u003c")
+
     head = [
         "<!DOCTYPE html>",
         "<html><head><meta charset='utf-8'>",
@@ -210,7 +219,7 @@ def dashboard_html(
         body.append(f"<h2>{html.escape(name)}</h2>")
         if "nodes" in spec and "links" in spec:
             body.append(f"<svg id='{pid}' width='420' height='320'></svg>")
-            data = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+            data = script_json(spec)
             scripts.append(
                 "(function(){var g=" + data + ";"
                 f"var svg=d3.select('#{pid}'),W=420,H=320;"
@@ -233,7 +242,7 @@ def dashboard_html(
             body.append(f"<ul class='tree'>{tree_ul(spec)}</ul>")
         else:
             body.append(f"<div id='{pid}'></div>")
-            data = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+            data = script_json(spec)
             scripts.append(
                 f"vegaEmbed('#{pid}', " + data + ", {actions: false});"
             )

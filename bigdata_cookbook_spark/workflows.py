@@ -402,7 +402,7 @@ def pretraining_pipeline(
         # count-star on the input, not on surv_emb whose count would
         # execute the whole cleaning lineage): an upper bound on the
         # survivor count, so buckets only come out smaller than the
-        # ~256-row target — never super-linear
+        # bucket-size target (default_srp_planes_for's 64 rows) — never super-linear
         sem_kept = semantic_dedup(
             surv_emb,
             threshold=semantic_threshold,

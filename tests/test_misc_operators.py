@@ -887,6 +887,27 @@ def test_dedup_lines_exprs(spark):
     assert out[4]["d"] == "a\n\nb" and (out[4]["t"], out[4]["k"]) == (5, 3)
 
 
+def test_dedup_lines_exprs_regex_meaningful_sep(spark):
+    """sep is a LITERAL: regex-meaningful separators ('.', '|') must
+    split on the character itself, not on the regex interpretation
+    ('.' as any-char would shred the document)."""
+    from bigdata_cookbook_spark.functions.text import dedup_lines_exprs
+
+    df = spark.createDataFrame(
+        [(1, "ab.cd.ab.ef"), (2, "x|y|x")], ["doc_id", "text"]
+    )
+    m_dot = dedup_lines_exprs(F.col("text"), sep=".")
+    r1 = df.filter("doc_id=1").select(
+        m_dot["text_deduped"].alias("d"), m_dot["n_lines_kept"].alias("k")
+    ).first()
+    assert r1["d"] == "ab.cd.ef" and r1["k"] == 3
+    m_pipe = dedup_lines_exprs(F.col("text"), sep="|")
+    r2 = df.filter("doc_id=2").select(
+        m_pipe["text_deduped"].alias("d"), m_pipe["n_lines_kept"].alias("k")
+    ).first()
+    assert r2["d"] == "x|y" and r2["k"] == 2
+
+
 def test_compression_ratio_matches_zlib(spark):
     """compression_ratio == direct zlib on every row (the rows-only
     registry entry's value pin), NULL on blank/null, and the signal

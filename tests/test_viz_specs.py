@@ -175,3 +175,27 @@ def test_dashboard_html_byte_stable_and_structured(spark, weekly):
     # self-contained page: CDN script tags only, no local assets
     assert h1.startswith("<!DOCTYPE html>")
     assert "cdn.jsdelivr.net/npm/vega-embed@6" in h1
+
+
+def test_dashboard_html_script_injection_escaped(spark):
+    """A corpus-derived string containing '</script>' inside a spec must
+    not terminate the inline <script> block: all '<' in embedded JSON are
+    \\u003c-escaped, in both the vega and d3 paths."""
+    from bigdata_cookbook_spark.sinks import dashboard_html
+
+    evil = "</script><script>alert(1)</script>"
+    vega = {
+        "mark": "bar",
+        "data": {"values": [{"label": evil, "cnt": 1}]},
+        "encoding": {},
+    }
+    edges = spark.createDataFrame(
+        [(evil, "ai", 3)], "src_name string, dst_name string, weight long"
+    )
+    net = node_link_json(edges)
+    h = dashboard_html({"V": vega, "N": net}, title="inj")
+    # the payload never appears raw anywhere in the page
+    assert evil not in h
+    assert h.count("\\u003c/script") >= 2  # escaped form present per panel
+    # exactly the page's own script tags remain: CDN x4 + one inline pair
+    assert h.count("</script>") == 5
