@@ -1841,12 +1841,12 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup at its DEFAULT configuration: n_planes derived
     from the corpus row count (default_srp_planes_for — expected bucket
-    size ~64 rows, total cosine work linear in the corpus). No SQL
-    oracle BY CONSTRUCTION: the plane count is a function of the data's
-    cardinality, so no static SQL string can express it across scale
-    factors — the driver records the weaker rows-only check here, and
-    the fixed-plane twin q_semantic_dedup carries the full value oracle
-    for the same kernel. This entry exists so the scale rehearsal
+    size ~64 rows, total cosine work linear in the corpus). FULL value
+    oracle since round 6: the plane count is SQL-derivable from the
+    same table (_semantic_dedup_auto_sql — default_srp_planes_sql +
+    gated prefix-plane bit terms via srp_bucket_sql_dynamic), so one
+    static SQL string expresses the data-dependent grid at every scale
+    factor. This entry also exists so the scale rehearsal
     (tools/scale_rehearsal.py) measures the DEFAULT path every round:
     the fixed-plane oracle form is deliberately super-linear (dense
     buckets) and its SCALING.json row must not be read as the engine
@@ -1870,8 +1870,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     carries (a) every query without a green round-1 CORRECTNESS row — the
     round-1 positions 51-72 tier plus the repaired/changed ones — and
     (b) one representative per SURVEY §2 family including the full bench
-    HEADLINE set. The tail 22 all have green round-1 rows on record and
-    stay continuously checked by tools/verify_local.py."""
+    HEADLINE set. The tail entries all have green driver rows on record
+    and stay continuously checked by tools/verify_local.py.
+
+    Rotation plan (next two displacements, round-7+): compression_ratio
+    rotates in over gopher_quality once its check is upgraded beyond
+    rows-only (text-quality family stays pinned by token_quality +
+    source_quality_profile); any further new entry displaces
+    token_window_chunks (packing family stays pinned by
+    token_pack_buckets). Entries are eligible for displacement only
+    with hash-green rows in TWO past CORRECTNESS rounds."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -1911,7 +1919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding_window_counts (rolling windows) and
         # continuous_aggregate_daily (rollup)).
         "gopher_repetition": q_gopher_repetition,
-        "semantic_dedup": q_semantic_dedup,
+        # round-6 rotation: semantic_dedup_auto (the ENGINE-DEFAULT
+        # auto-plane path, full value oracle since round 6 via
+        # _semantic_dedup_auto_sql) takes the slot of its fixed-plane
+        # twin semantic_dedup (double-green r04+r05, moved to the tail;
+        # the family stays pinned in-window by the same kernel).
+        "semantic_dedup_auto": q_semantic_dedup_auto,
         "continuous_aggregate_daily": q_continuous_aggregate_daily,
         "profile_orders": q_profile_orders,
         # -- tier 2: family representatives incl. the bench HEADLINE set --
@@ -1950,7 +1963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
         "token_window_chunks": q_token_window_chunks,
-        "sequence_pack": q_sequence_pack,
+        # round-6 rotation: line_dedup (within-doc RefinedWeb line dedup,
+        # full value oracle, locally green both SFs since round 5) takes
+        # the slot of sequence_pack (double-green r04+r05, moved to the
+        # tail; the packing family stays pinned in-window by
+        # token_pack_buckets + token_window_chunks).
+        "line_dedup": q_line_dedup,
         # -- tier 3 (51+): green round-1 driver rows on record --
         "keyword_search": q_keyword_search,
         "events_daterange": q_events_daterange,
@@ -1996,14 +2014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_avg": q_rolling_hour_avg,
         "rollup_order_volumes": q_rollup_order_volumes,
         "price_percentiles": q_price_percentiles,
-        # round-5 additions (enter OUTSIDE the scored window; rotate in
-        # only over double-green rows per the rotation discipline):
-        # the auto-plane default path (rows-only check by construction —
-        # plane count is data-dependent, no static SQL twin exists; the
-        # fixed-plane semantic_dedup above carries the value oracle for
-        # the same kernel) and within-doc line dedup (full value oracle)
-        "semantic_dedup_auto": q_semantic_dedup_auto,
-        "line_dedup": q_line_dedup,
+        # rotated out round 6 (double-green r04+r05 rows on record;
+        # displaced by semantic_dedup_auto / line_dedup)
+        "semantic_dedup": q_semantic_dedup,
+        "sequence_pack": q_sequence_pack,
         # rows-only by construction (no deflate in DuckDB); values
         # pinned by a zlib property test
         "compression_ratio": q_compression_ratio,
@@ -2623,6 +2637,45 @@ def _semantic_dedup_sql() -> str:
     """
 
 
+def _semantic_dedup_auto_sql() -> str:
+    """Oracle twin of q_semantic_dedup_auto — the DEFAULT
+    (n_planes=None) path. The plane count is DERIVED IN SQL from the
+    same embeddings table the engine counts
+    (default_srp_planes_sql == default_srp_planes_for, probe-tested),
+    and the bucket id uses gated bit terms over the 24-plane prefix
+    matrix (srp_bucket_sql_dynamic — valid because the plane LCG
+    stream makes srp_planes(dim, k) a prefix of srp_planes(dim, 24)).
+    One static SQL string therefore expresses the data-dependent
+    grid at every scale factor, upgrading this entry from rows-only
+    to a full value oracle (round-5 VERDICT task 1)."""
+    from bigdata_cookbook_spark.operators.dedup import (
+        default_srp_planes_sql,
+        srp_bucket_sql_dynamic,
+    )
+
+    np_sql = default_srp_planes_sql("SELECT COUNT(*) FROM embeddings")
+    bsql = srp_bucket_sql_dynamic("v", 64, np_sql="np")
+    return f"""
+        WITH np_t AS (SELECT {np_sql} AS np),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        b AS (SELECT vec_id, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS n,
+                     {bsql} AS bucket
+              FROM e, np_t),
+        dropped AS (
+          SELECT DISTINCT bb.vec_id
+          FROM b aa JOIN b bb
+            ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+          WHERE ROUND(LIST_DOT_PRODUCT(aa.v, bb.v) / (aa.n * bb.n), 4)
+                >= 0.4
+        )
+        SELECT vec_id, CAST(bucket AS INT) AS bucket FROM b
+        WHERE NOT EXISTS (SELECT 1 FROM dropped d
+                          WHERE d.vec_id = b.vec_id)
+        ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "line_dedup": """
@@ -2652,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_sql(),
         "gopher_repetition": _gopher_repetition_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "semantic_dedup_auto": _semantic_dedup_auto_sql(),
         "span_dedup": _span_dedup_sql(),
         "source_quality_profile": """
             WITH scored AS (

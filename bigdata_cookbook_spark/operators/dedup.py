@@ -773,3 +773,44 @@ def srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
             f" THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def default_srp_planes_sql(
+    count_sql: str, target_bucket_rows: int = 64, floor: int = 4
+) -> str:
+    """DuckDB-SQL twin of default_srp_planes_for over a SQL count
+    expression — lets an oracle derive the AUTO plane count from the
+    same table the engine counts, so the default (n_planes=None) path
+    gets a full value oracle instead of a rows-only check."""
+    return (
+        f"CASE WHEN ({count_sql}) <= {target_bucket_rows} THEN {floor} "
+        f"ELSE GREATEST({floor}, CAST(CEIL(LOG2(({count_sql}) / "
+        f"{float(target_bucket_rows)})) AS BIGINT)) END"
+    )
+
+
+def srp_bucket_sql_dynamic(
+    vec_sql: str,
+    dim: int,
+    np_sql: str = "np",
+    max_planes: int = 24,
+    seed: int = 0x5EED,
+) -> str:
+    """DuckDB twin of the AUTO-plane bucket id: ``max_planes`` bit
+    terms over srp_planes(dim, max_planes), each gated on
+    ``j < np_sql`` (the SQL-derived plane count). The plane LCG is
+    sequential, so srp_planes(dim, k) is a PREFIX of
+    srp_planes(dim, max_planes) — the gated sum equals
+    srp_bucket_sql(vec, srp_planes(dim, k)) for every k <= max_planes
+    (property-tested in tests/test_misc_operators.py). 24 planes cover
+    corpora up to 64 * 2^24 ~ 1e9 rows at the default 64-row target."""
+    planes = srp_planes(dim, max_planes, seed)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {j} < {np_sql}"
+            f" AND LIST_DOT_PRODUCT({vec_sql}, {lit}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)

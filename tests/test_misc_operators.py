@@ -908,6 +908,50 @@ def test_dedup_lines_exprs_regex_meaningful_sep(spark):
     assert r2["d"] == "x|y" and r2["k"] == 2
 
 
+def test_srp_dynamic_bucket_sql_equals_fixed():
+    """The auto-plane oracle's two load-bearing claims:
+    (1) the plane LCG stream makes srp_planes(dim, k) a PREFIX of
+        srp_planes(dim, max) — so one emitted matrix serves every k;
+    (2) srp_bucket_sql_dynamic's gated sum equals srp_bucket_sql over
+        the k-plane matrix for every k, on real vectors in DuckDB;
+    (3) default_srp_planes_sql == default_srp_planes_for across the
+        boundary cases (<=target, exact power-of-two ratio, large n)."""
+    import duckdb
+
+    from bigdata_cookbook_spark.operators.dedup import (
+        default_srp_planes_for,
+        default_srp_planes_sql,
+        srp_bucket_sql,
+        srp_bucket_sql_dynamic,
+        srp_planes,
+    )
+
+    dim = 16
+    assert srp_planes(dim, 5) == srp_planes(dim, 24)[:5]
+    con = duckdb.connect()
+    # deterministic pseudo-vectors, no RNG at test time
+    vecs = [
+        [((i * 31 + j * 17) % 13 - 6) / 3.0 for j in range(dim)]
+        for i in range(40)
+    ]
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({i}, {v})" for i, v in enumerate(vecs)) +
+                ") AS x(id, v)")
+    for k in (1, 4, 7, 12):
+        fixed = con.sql(
+            f"SELECT id, {srp_bucket_sql('v', srp_planes(dim, k))} AS b "
+            "FROM t ORDER BY id"
+        ).fetchall()
+        dyn = con.sql(
+            f"SELECT id, {srp_bucket_sql_dynamic('v', dim, np_sql=str(k))} "
+            "AS b FROM t ORDER BY id"
+        ).fetchall()
+        assert fixed == dyn, f"gated sum != fixed matrix at k={k}"
+    for n in (1, 63, 64, 65, 500, 8192, 64 * 2**12, 10**9):
+        got = con.sql(f"SELECT {default_srp_planes_sql(str(n))}").fetchone()[0]
+        assert got == default_srp_planes_for(n), (n, got)
+
+
 def test_compression_ratio_matches_zlib(spark):
     """compression_ratio == direct zlib on every row (the rows-only
     registry entry's value pin), NULL on blank/null, and the signal
