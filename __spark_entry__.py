@@ -2194,15 +2194,22 @@ def _lang_id_sql() -> str:
 
 # BM25 scored-docs CTE chain (mirrors operators/retrieval.py bm25_scores
 # for terms spark/window/merge, k1=1.2, b=0.75) — shared by the bm25
-# ranker oracle and the hybrid-RRF fusion oracle
+# ranker oracle and the hybrid-RRF fusion oracle. Tokenization is the
+# retrieval analyzer (functions/text.py ANALYZER_SEP_RE: case-fold,
+# split on non-alphanumeric runs — the same [^\pL\pN]+ is valid Java
+# regex AND RE2, so engine and oracle share one separator definition);
+# empty tokens from leading/trailing separators are filtered like
+# array_remove does.
 _BM25_SCORED_CTES = r"""t AS (
                 SELECT doc_id,
-                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+                       LIST_FILTER(
+                           STRING_SPLIT_REGEX(LOWER(text), '[^\pL\pN]+'),
+                           x -> x <> ''
+                       ) AS toks
                 FROM documents
             ),
             dl AS (
-                SELECT doc_id, toks,
-                       LEN(LIST_FILTER(toks, x -> LENGTH(x) > 0)) AS dl
+                SELECT doc_id, toks, LEN(toks) AS dl
                 FROM t
             ),
             stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),

@@ -8,6 +8,7 @@ DuckDB oracles in __spark_entry__.py.
 from __future__ import annotations
 
 import re
+import unicodedata
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -142,6 +143,54 @@ def quality_exprs(text: Column) -> dict[str, Column]:
 def tokens_expr(text: Column) -> Column:
     """Lower-cased whitespace token array."""
     return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+#: token = maximal run of Unicode letters/digits (categories L*, N*);
+#: everything else — punctuation, symbols, whitespace, underscores — is
+#: a separator. One definition shared by the Spark expression, the
+#: DuckDB oracle twin (ANALYZER_SEP_RE is valid RE2 too), and the
+#: Python reference the property test checks against.
+ANALYZER_SEP_RE = r"[^\pL\pN]+"
+
+
+def analyzer_tokens_expr(text: Column) -> Column:
+    """Case-folded, punctuation-stripping analyzer: lower-case, then
+    split on runs of non-alphanumeric characters (``ANALYZER_SEP_RE``).
+    The retrieval-tier tokenization (BM25 / hybrid search), upgrading
+    ``tokens_expr``'s whitespace-only split so ``"Spark,"`` and
+    ``"spark"`` are the same term.
+
+    Reference behavior note (Tracking_Inflation_Drivers/src/
+    token_manager.py:97-195): the reference splits text on '.' into
+    sentences and then on whitespace into words — punctuation stays
+    glued to tokens and case is preserved, so its keyword matching
+    misses "Spark," vs "spark". This analyzer is the standard
+    search-engine behavior instead; ``tokens_expr`` remains the
+    token-COUNT definition (chunking/packing/quality), where
+    whitespace splitting matches the reference's word counting.
+
+    Empty tokens (text starting/ending with a separator, or all-
+    separator text) are removed with array_remove — a vectorized
+    collection expression, keeping the whole analyzer on the codegen
+    fast path (no HOF lambda; see shingles_from_tokens notes).
+    """
+    return F.array_remove(F.split(F.lower(text), ANALYZER_SEP_RE), "")
+
+
+def analyzer_tokens_py(text: str) -> list[str]:
+    """Python reference for analyzer_tokens_expr (property-test twin):
+    maximal runs of characters in Unicode categories L*/N* of the
+    lower-cased text."""
+    out, cur = [], []
+    for ch in text.lower():
+        if unicodedata.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -38,7 +38,10 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_cookbook_spark.functions.text import tokens_expr
+from bigdata_cookbook_spark.functions.text import (
+    analyzer_tokens_expr,
+    analyzer_tokens_py,
+)
 
 
 def bm25_scores(
@@ -49,18 +52,29 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    tokenize=analyzer_tokens_expr,
 ) -> DataFrame:
-    """Per-document BM25 score against ``query_terms`` (lower-cased,
-    whitespace tokenization — swap ``tokens_expr`` for a real analyzer
-    when one exists). Documents matching no term are absent (score 0).
+    """Per-document BM25 score against ``query_terms``. Documents and
+    query terms go through the SAME analyzer (``tokenize``, default
+    ``analyzer_tokens_expr``: case-fold + split on non-alphanumeric
+    runs — "Spark," and "spark" are one term; a multi-word query term
+    like "state-of-the-art" contributes each of its analyzed words).
+    Documents matching no term are absent (score 0).
 
     Output: (id_col, score) — feed to a top-k window or join back.
     """
     if not query_terms:
         raise ValueError("bm25_scores requires at least one query term")
-    # dedupe preserving order: duplicate query terms contribute once,
-    # matching the previous groupBy-per-term semantics
-    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    # analyze query terms with the Python twin of the default analyzer
+    # (property-tested identical to the Spark expression), dedup
+    # preserving order: duplicate query terms contribute once
+    terms = list(
+        dict.fromkeys(
+            w for t in query_terms for w in analyzer_tokens_py(t)
+        )
+    )
+    if not terms:
+        raise ValueError("query_terms contain no alphanumeric tokens")
 
     # tokenize once; tf per term = size delta under array_remove — a
     # plain collection expression (vectorized), not a lambda HOF, so it
@@ -68,10 +82,10 @@ def bm25_scores(
     # interpreted HOF pitfalls). __toks is bound by the first select so
     # downstream expressions reference one materialized array.
     base = docs.select(
-        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
     ).select(
         id_col,
-        F.size(F.filter("__toks", lambda t: F.length(t) > 0)).alias("__dl"),
+        F.size("__toks").alias("__dl"),
         *[
             (F.size("__toks") - F.size(F.array_remove("__toks", t))).alias(
                 f"__tf{i}"
@@ -151,6 +165,7 @@ def bm25_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize=analyzer_tokens_expr,
 ) -> DataFrame:
     """Top-k documents by BM25 score, ties broken by id (deterministic).
 
@@ -158,7 +173,9 @@ def bm25_topk(
     top-k + driver merge of k-row heads — no global sort shuffle); its
     output partitioning is a single partition, so the rank window runs
     over the k surviving rows with no further exchange."""
-    scored = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+    scored = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, tokenize=tokenize
+    )
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "score", "rank")

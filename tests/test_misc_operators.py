@@ -214,6 +214,47 @@ def test_bm25_hand_computed(spark):
     assert [r["rank"] for r in top] == [1, 2]
 
 
+def test_bm25_analyzer_punctuation_case(spark):
+    """The retrieval analyzer makes "Spark," / "SPARK!" / "spark" one
+    term, and a hyphenated query term contributes each analyzed word;
+    punctuated and clean corpora score identically."""
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores
+
+    punct = spark.createDataFrame(
+        [
+            (1, "Spark, SPARK! (spark) — row/row"),
+            (2, "spark; row. Row? row... ROW"),
+            (3, "no match here"),
+        ],
+        "doc_id int, text string",
+    )
+    clean = spark.createDataFrame(
+        [
+            (1, "spark spark spark row row"),
+            (2, "spark row row row row"),
+            (3, "no match here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(punct, ["Spark"]).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_scores(clean, ["spark"]).collect()}
+    assert got == want and set(got) == {1, 2}
+    # multi-word query term is analyzed into its words
+    hy = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(punct, ["spark-row"]).collect()
+    }
+    two = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(punct, ["spark", "row"]).collect()
+    }
+    assert hy == two
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no alphanumeric"):
+        bm25_scores(punct, ["!!", "--"])
+
+
 def test_rrf_fuse_edges(spark):
     """RRF fusion: absent ids contribute 0 from that list, 3-way fusion
     sums all lists, k shifts the denominator."""

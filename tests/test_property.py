@@ -71,6 +71,38 @@ def test_masking_roundtrip_random_corpora(spark):
     check()
 
 
+def test_analyzer_matches_python_reference_random_unicode(spark):
+    """The retrieval analyzer (analyzer_tokens_expr: Java-regex split on
+    [^\\pL\\pN]+ after lower) == analyzer_tokens_py (unicodedata
+    category runs) over random unicode — pins that the Spark
+    expression, the DuckDB oracle twin (same RE2 separator), and the
+    Python twin bm25_scores uses on query terms all tokenize alike.
+    Batched: one Spark job per generated list."""
+    from bigdata_cookbook_spark.functions.text import (
+        analyzer_tokens_expr,
+        analyzer_tokens_py,
+    )
+
+    alphabet = st.characters(blacklist_categories=("Cs",))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=60), min_size=1, max_size=25))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        got = {
+            r.i: r.toks
+            for r in df.select(
+                "i", analyzer_tokens_expr(F.col("t")).alias("toks")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == analyzer_tokens_py(t), repr(t)
+
+    check()
+
+
 def test_clean_text_idempotent_random_unicode(spark):
     """clean_text_expr is idempotent (clean∘clean == clean) and its
     output never contains the stripped/folded code points — over random

@@ -109,6 +109,12 @@ EXCHANGE_CEILINGS = {
     # groupBy; the totals join broadcasts. All keys high-cardinality
     # span hashes / doc ids — the canonical exact-substring-dedup plan.
     "span_dedup": 5,
+    # round 5 additions: line_dedup's one exchange is the repartition
+    # spread (split/array_distinct/join are all narrow);
+    # compression_ratio likewise — the zlib work is the declared Arrow
+    # tier inside the scan stage
+    "line_dedup": 1,
+    "compression_ratio": 1,
 }
 
 
