@@ -1825,16 +1825,37 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal
     (operators/corpus.compression_ratio): deflate bytes / raw bytes per
     document — the boilerplate/template-spam detector of web-corpus
-    cleaning recipes. Rows-only check BY CONSTRUCTION: DuckDB has no
-    deflate expression, so no SQL twin exists; the value semantics are
-    pinned by a property test against zlib directly
-    (tests/test_misc_operators.py)."""
+    cleaning recipes. STRONGEST ACHIEVABLE value check (round 6, was
+    rows-only): DuckDB has no deflate expression, so the ratio VALUE
+    has no SQL twin — instead the compared columns are the
+    deterministic derivation both engines can compute (raw utf-8 byte
+    length) plus ``ratio_ok``, an engine-side zlib-bound assertion
+    (null exactly for null/empty text; otherwise 0 < ratio and
+    reconstructed compressed bytes <= raw + raw/1000 + 64, the
+    stored-block worst case with float-division margin) that the
+    oracle pins to literal TRUE — any out-of-band or mis-nulled ratio
+    hash-mismatches. Exact ratio values remain pinned by the zlib
+    property test (tests/test_misc_operators.py)."""
     from bigdata_cookbook_spark.operators.corpus import compression_ratio
 
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return compression_ratio(docs.select("doc_id", "text")).select(
-        "doc_id", F.round("compression_ratio", 4).alias("compression_ratio")
+    cr = compression_ratio(docs.select("doc_id", "text"))
+    raw = F.octet_length("text")
+    ok = F.when(
+        F.col("text").isNull() | (F.col("text") == ""),
+        F.col("compression_ratio").isNull(),
+    ).otherwise(
+        (F.col("compression_ratio") > 0)
+        & (
+            F.col("compression_ratio") * raw
+            <= raw + raw / F.lit(1000.0) + F.lit(64.0)
+        )
+    )
+    return cr.select(
+        "doc_id",
+        raw.cast("long").alias("raw_bytes"),
+        ok.alias("ratio_ok"),
     )
 
 
@@ -1873,13 +1894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     HEADLINE set. The tail entries all have green driver rows on record
     and stay continuously checked by tools/verify_local.py.
 
-    Rotation plan (next two displacements, round-7+): compression_ratio
-    rotates in over gopher_quality once its check is upgraded beyond
-    rows-only (text-quality family stays pinned by token_quality +
-    source_quality_profile); any further new entry displaces
-    token_window_chunks (packing family stays pinned by
-    token_pack_buckets). Entries are eligible for displacement only
-    with hash-green rows in TWO past CORRECTNESS rounds."""
+    Rotation plan (next two displacements, round-7+): the next new
+    entry displaces token_window_chunks (double-green r04+r05; the
+    packing family stays pinned in-window by token_pack_buckets); the
+    one after displaces pii_redaction (double-green r04+r05; the
+    text-transform family stays pinned by token_quality + lang_id).
+    Entries are eligible for displacement only with hash-green rows in
+    TWO past CORRECTNESS rounds."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -1960,7 +1981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "bm25_topk": q_bm25_topk,
         "hybrid_search_rrf": q_hybrid_search_rrf,
-        "gopher_quality": q_gopher_quality,
+        # round-6 rotation (slot 3): compression_ratio — check upgraded
+        # from rows-only to the strongest achievable partial-value
+        # oracle (raw_bytes + zlib-bound ratio_ok assertion) — takes
+        # the slot of gopher_quality (double-green r04+r05, moved to
+        # the tail; the text-quality family stays pinned in-window by
+        # token_quality + source_quality_profile + gopher_repetition).
+        "compression_ratio": q_compression_ratio,
         "pii_redaction": q_pii_redaction,
         "token_window_chunks": q_token_window_chunks,
         # round-6 rotation: line_dedup (within-doc RefinedWeb line dedup,
@@ -2018,9 +2045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by semantic_dedup_auto / line_dedup)
         "semantic_dedup": q_semantic_dedup,
         "sequence_pack": q_sequence_pack,
-        # rows-only by construction (no deflate in DuckDB); values
-        # pinned by a zlib property test
-        "compression_ratio": q_compression_ratio,
+        # rotated out round 6 (double-green r04+r05 rows on record;
+        # displaced by compression_ratio's upgraded check)
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -3169,6 +3196,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM fused
             )
             SELECT doc_id, rrf, CAST(rank AS INT) AS rank FROM out WHERE rank <= 20
+        """,
+        # strongest achievable twin for a deflate-derived value (DuckDB
+        # has no deflate): full value match on the deterministic
+        # derivation (raw utf-8 bytes), and the engine-side zlib-bound
+        # assertion column pinned to literal TRUE — see
+        # q_compression_ratio's docstring for the bound
+        "compression_ratio": """
+            SELECT doc_id,
+                   CAST(STRLEN(text) AS BIGINT) AS raw_bytes,
+                   TRUE AS ratio_ok
+            FROM documents
         """,
         "pii_redaction": _pii_redaction_sql(),
         "token_window_chunks": f"""

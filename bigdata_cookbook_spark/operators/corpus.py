@@ -427,10 +427,12 @@ def compression_ratio(
     Arrow-batched tier (mapInPandas) like NFC normalization — the hot
     loop is C-side zlib.compress per text, not Python string work; at
     100 TB this is a linear scan whose cost is the compressor itself,
-    the same shape any engine pays for this signal. Rows-only
-    correctness check (no SQL twin exists: DuckDB has no deflate
-    expression) — pinned instead by a property test against zlib
-    directly.
+    the same shape any engine pays for this signal. Correctness: exact
+    values are pinned by a property test against zlib directly; the
+    driver oracle (no deflate in DuckDB) hash-matches the strongest
+    achievable derived set — raw utf-8 byte length plus an engine-side
+    zlib-bound assertion the SQL twin pins to TRUE
+    (__spark_entry__.q_compression_ratio).
     """
     import zlib
 
