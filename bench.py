@@ -30,7 +30,11 @@ and it is the SYMMETRIC protocol: both engines store a plan once, then
 re-execute + fetch per repetition — the old loop had Spark re-planning
 per rep while discarding results (noop) and DuckDB re-planning
 trivially (~1 ms) while fetching all rows. Cold numbers keep the
-plan+codegen cost visible per query.
+plan+codegen cost visible per query, and the headline carries BOTH
+ratios every round: "ratio_vs_duckdb" (prepared re-execution — the
+number that scales with data) and "cold_ratio_vs_duckdb" (first run
+including each engine's own planning — the run-once experience, where
+Spark's per-query plan+codegen+job floor dominates at toy scale).
 
 Shared scan: the input tables are cached (spark in-memory columnar) and
 materialized once before timing, so the 21 queries share one scan of
@@ -232,9 +236,21 @@ def main() -> None:
         rel.df()
         return time.perf_counter() - t0
 
+    def run_duck_cold(name: str) -> float:
+        # cold twin of the Spark side's first run: relation
+        # construction (parse/bind/plan) INSIDE the timer, then a full
+        # execute+fetch — what a run-once user pays on either engine
+        t0 = time.perf_counter()
+        rel = con.sql(oracles[name])
+        rel.df()
+        dt = time.perf_counter() - t0
+        prepared_duck[name] = rel
+        return dt
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     duck: dict[str, float] = {}
+    duck_cold: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run(name), 3)
         # min of 4: three steady runs after the cold one — single-JVM GC /
@@ -248,8 +264,9 @@ def main() -> None:
         # same machine state for the per-query ratio to mean anything.
         # Same repetition count as the engine (min of 4) — symmetric
         # noise suppression for both sides of the ratio.
+        duck_cold[name] = round(run_duck_cold(name), 3)
         duck[name] = round(
-            min(run_duck(name), run_duck(name), run_duck(name), run_duck(name)), 3
+            min(duck_cold[name], run_duck(name), run_duck(name), run_duck(name)), 3
         )
     # transparency sample: the OLD forcing (fresh noop-write command =
     # Catalyst re-plan inside the timer) on three representative
@@ -264,6 +281,8 @@ def main() -> None:
 
     total = sum(steady.values())
     duck_total = round(sum(duck.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
+    duck_cold_total = round(sum(duck_cold.values()), 3)
     print(
         json.dumps(
             {
@@ -274,8 +293,18 @@ def main() -> None:
                 "queries_cold": cold,
                 "duckdb_ref_total": duck_total,
                 "duckdb_ref_queries": duck,
+                "duckdb_ref_queries_cold": duck_cold,
                 "replan_sample_noop": replan_sample,
                 "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
+                # the run-once experience, tracked per round alongside
+                # the prepared ratio so the cold-path trend stays
+                # visible (first Spark run pays plan+codegen+job floor;
+                # DuckDB cold includes its parse/bind/plan the same way)
+                "cold_total": cold_total,
+                "duckdb_cold_total": duck_cold_total,
+                "cold_ratio_vs_duckdb": round(cold_total / duck_cold_total, 2)
+                if duck_cold_total
+                else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
