@@ -175,9 +175,14 @@ def node_link_json(
     degree, mirroring the reference's count-scaled node sizes
     (`visualization_tools.py:640-652`); ``group`` is carried from the
     per-side group columns when given (the reference's label colors).
-    Deterministic: nodes and links sorted.
+    Deterministic: nodes and links sorted, AND the edge rows are
+    processed in sorted (src, dst) order before any first-wins choice —
+    a node touched by edges carrying different group values (a topic
+    linked to companies with different majority labels) gets the group
+    from its first edge in sorted order, not in Spark's
+    partition-arrival order, so repeated runs emit identical bytes.
     """
-    rows = _collect_small(edges)
+    rows = sorted(_collect_small(edges), key=lambda r: (str(r[src]), str(r[dst])))
     nodes: dict[str, dict] = {}
     links = []
     for r in rows:

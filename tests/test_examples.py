@@ -101,3 +101,26 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
             if d.startswith("ingest_batch=")
         ]
         assert len(dirs) == 2, t
+
+
+def test_election_network_monitor_example_runs_and_is_byte_stable(spark, tmp_path):
+    import election_network_monitor as nex
+
+    p1 = nex.main(spark, str(tmp_path / "run1"))
+    p2 = nex.main(spark, str(tmp_path / "run2"))
+
+    for key in ("dashboard", "dot"):
+        assert os.path.getsize(p1[key]) > 0
+        assert _digest(p1[key]) == _digest(p2[key]), key
+
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    # two d3-force node-link panels (co-mention + bipartite) and two
+    # Vega-Lite panels (time series + bar)
+    assert dash.count("forceSimulation") == 2
+    assert dash.count("vegaEmbed('#panel") == 2
+    # bipartite nodes carry the majority-label group the reference
+    # colors by
+    assert '"group":"company"' in dash
+
+    dot = open(p1["dot"], encoding="utf-8").read()
+    assert dot.startswith("graph g {") and " -- " in dot

@@ -84,6 +84,22 @@ def test_node_link_from_comention_edges(spark):
     json.dumps(g)
 
 
+def test_node_link_conflicting_groups_resolve_in_sorted_edge_order(spark):
+    """A node whose incident edges carry DIFFERENT group values gets the
+    group from its first edge in sorted (src, dst) order — not Spark's
+    partition-arrival order. Pinned because the election-network
+    dashboard's bipartite panel (topic nodes with per-company majority
+    labels) was byte-unstable before this contract existed."""
+    rows = [("zeta", "ai", 1, "N"), ("acme", "ai", 1, "P"), ("mid", "ai", 1, "A")]
+    schema = "src_name string, dst_name string, weight long, lbl string"
+    # shuffle physical row order across partitions; result must not move
+    for parts in (1, 3):
+        edges = spark.createDataFrame(rows, schema).repartition(parts)
+        g = node_link_json(edges, dst_group="lbl")
+        by_id = {n["id"]: n for n in g["nodes"]}
+        assert by_id["ai"]["group"] == "P"  # acme sorts first
+
+
 def test_tree_json_roundtrips_taxonomy(spark):
     """taxonomy tree -> edge frame -> nested JSON reproduces the tree's
     parent/child structure exactly."""
