@@ -1014,15 +1014,39 @@ def q_neardup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tier last step: MinHash/LSH candidate pairs -> transitive
     clusters (min-label-propagation connected components,
     operators/graph.py) -> deterministic canonical doc per cluster.
-    Iterative fixpoint -> not SQL-expressible; driver records the
-    rows-only check, full semantics pinned by tests/test_graph_cc.py
-    (randomized union-find equivalence, transitivity, convergence)."""
+    FULL value oracle since round 5: the iterative min-label fixpoint
+    converges to exactly what a recursive reachability CTE + MIN(label)
+    computes (_neardup_clusters_sql); semantics additionally pinned by
+    tests/test_graph_cc.py (randomized union-find equivalence,
+    transitivity, convergence)."""
     from bigdata_cookbook_spark.operators.dedup import minhash_lsh_candidates
     from bigdata_cookbook_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
     return dedup_clusters(pairs, docs, id_col="doc_id")
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier: LEAKAGE-SAFE train/val/test split — near-dup
+    clusters (same MinHash/LSH candidates + connected components as
+    neardup_canonical_clusters) are assigned to splits atomically by
+    hashing the cluster's canonical id, so no near-dup pair straddles a
+    split boundary (the eval-contamination path a per-document
+    hash_split leaves open). Full value oracle: recursive-CTE
+    components + the SAME md5 CASE rule generated by split_sql_case,
+    applied to canonical_id."""
+    from bigdata_cookbook_spark.operators.dedup import minhash_lsh_candidates
+    from bigdata_cookbook_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
+    return cluster_safe_split(
+        docs.select("doc_id"),
+        pairs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
 
 
 def q_risk_level_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,6 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out round 6 (double-green r04+r05 rows on record;
         # displaced by compression_ratio's upgraded check)
         "gopher_quality": q_gopher_quality,
+        # new round 6 — enters OUTSIDE the scored window per the
+        # rotation discipline; candidate for a round-7 rotation slot
+        "cluster_safe_split_docs": q_cluster_safe_split,
     }
 
 
@@ -2488,6 +2515,38 @@ SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def _cluster_safe_split_sql() -> str:
+    """Oracle twin of q_cluster_safe_split: the recursive-CTE components
+    of _neardup_clusters_sql resolve each doc to its canonical id, then
+    the IDENTICAL md5 CASE hash_split compiles (split_sql_case — shared
+    constant, so the two rules cannot drift) is applied to canonical_id
+    instead of doc_id. Any near-dup pair shares a canonical, hence a
+    split — the leakage-safety property itself, recomputed end-to-end
+    by a different engine."""
+    from bigdata_cookbook_spark.operators.sampling import split_sql_case
+
+    case = split_sql_case("canonical_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT e.a, c.label FROM edges e JOIN cc c ON e.b = c.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+canon AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, canonical_id, {case} AS split FROM canon
 """
 
 
@@ -3271,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "screening_normalize": _screening_normalize_sql(),
         "dual_role_workflow": _dual_role_sql(),
         "neardup_canonical_clusters": _neardup_clusters_sql(),
+        "cluster_safe_split_docs": _cluster_safe_split_sql(),
         "comention_parts": """
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS weight
             FROM lineitem a JOIN lineitem b

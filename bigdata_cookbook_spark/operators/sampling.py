@@ -74,6 +74,49 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    assigned to splits atomically, so no near-dup pair ever straddles a
+    split boundary.
+
+    A plain per-document hash_split leaks: if doc A (train) and doc B
+    (test) are near-duplicates, the model has effectively seen the test
+    document — the contamination the dedup tier exists to prevent,
+    reintroduced at split time. Here every document first resolves to
+    its near-dup cluster's canonical id (connected components over the
+    candidate pairs, min-id representative — operators/graph.py
+    dedup_clusters), and the hash_split rule is applied to the
+    CANONICAL id: every member of a cluster hashes identically, so the
+    whole cluster lands in one split. Documents with no dup edge are
+    their own canonical and split exactly as hash_split would.
+
+    Inherits hash_split's contracts on the cluster level: deterministic
+    across reruns and engines, stable under data growth (a new member
+    joining an existing cluster adopts the cluster's split; it can
+    never move the cluster). Cost at scale: the components fixpoint is
+    shared with the dedup tier that produced the pairs; the split
+    itself is a pure hash; the assignment reaches the fact rows through
+    one equi-join shuffle on the high-cardinality id column.
+
+    Output: df's columns + canonical_id + split_col.
+    """
+    from bigdata_cookbook_spark.operators.graph import dedup_clusters
+
+    canon = dedup_clusters(pairs, df.select(id_col), id_col, pair_cols)
+    assigned = hash_split(canon, "canonical_id", fractions, salt, split_col)
+    return df.join(
+        assigned.select(id_col, "canonical_id", split_col), id_col
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -263,3 +263,60 @@ def test_plan_gate_flags_planted_global_window_over_scan(spark, sf_dir):
         .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
     )
     assert pr.global_windows_over_scans(executed_plan(post_limit)) == []
+
+
+class TestClusterSafeSplit:
+    """Leakage-safe split: near-dup clusters land in ONE split."""
+
+    @pytest.fixture(scope="class")
+    def split_out(self, spark, docs):
+        from bigdata_cookbook_spark.operators.sampling import cluster_safe_split
+
+        # synthetic candidate pairs: a chain 0-1-2 (one transitive
+        # cluster spanning ids that hash to different splits on their
+        # own) plus a detached pair, over the real docs table
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+        )
+        frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+        return (
+            cluster_safe_split(docs, pairs, "doc_id", frac),
+            pairs,
+            frac,
+        )
+
+    def test_no_pair_straddles_splits(self, split_out):
+        out, pairs, _ = split_out
+        a = out.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+        )
+        b = out.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+        )
+        straddlers = (
+            pairs.join(a, "doc_a").join(b, "doc_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+        assert straddlers == 0
+        # transitivity too: 0 and 2 share no direct edge but one cluster
+        rows = {r["doc_id"]: r for r in out.filter(F.col("doc_id") < 3).collect()}
+        assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+        assert rows[0]["canonical_id"] == rows[2]["canonical_id"] == 0
+
+    def test_singletons_split_exactly_like_hash_split(self, split_out, docs):
+        out, _, frac = split_out
+        clustered = {0, 1, 2, 10, 11}
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id", frac).collect()
+        }
+        for r in out.collect():
+            if r["doc_id"] not in clustered:
+                assert r["split"] == plain[r["doc_id"]], r["doc_id"]
+                assert r["canonical_id"] == r["doc_id"]
+
+    def test_covers_every_document_once(self, split_out, docs):
+        out, _, _ = split_out
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
