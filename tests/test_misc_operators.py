@@ -1044,3 +1044,38 @@ def test_span_dedup_identity_roundtrip(spark):
     for i, text in rows:
         assert out[i]["text_deduped"] == text, i
         assert out[i]["n_spans_kept"] == out[i]["n_spans_total"]
+
+
+def test_lang_id_hand_cases_and_shared_marker_double_count(spark):
+    """lang_id_expr semantics pinned against the single-pass rewrite:
+    hand cases per language, CJK dominance, priority tie-break, and the
+    subtle one — a marker word SHARED by two languages ("la" is in both
+    the es and fr sets) counts toward BOTH, exactly as the old
+    per-language regexp_count battery did."""
+    from bigdata_cookbook_spark.functions.text import lang_id_expr
+
+    rows = [
+        (1, "the cat and the hat is of note"),      # en
+        (2, "el problema de la casa es grande"),    # es
+        (3, "les regles des ville est le point"),   # fr
+        (4, "der hund und die katze ist das tier"), # de
+        (5, "mixed 文字 the of and"),                # CJK dominates any markers
+        (6, "nothing matching here xyz"),           # unknown
+        (7, ""),                                    # empty -> unknown
+        # "la la la": la counts for es AND fr (1 marker each, tied at
+        # 3) -> priority order es > fr wins
+        (8, "la la la"),
+        # tie between en and es at 1 each ("a" en vs "es" es... "a" is
+        # en-only, "el" es-only) -> en priority wins
+        (9, "a el"),
+    ]
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", lang_id_expr(F.col("text")).alias("pred"))
+        .collect()
+    }
+    assert out == {
+        1: "en", 2: "es", 3: "fr", 4: "de",
+        5: "zh", 6: "unknown", 7: "unknown", 8: "es", 9: "en",
+    }
