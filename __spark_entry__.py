@@ -1644,6 +1644,37 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) domain mixing
+    (operators/sampling.domain_mix_temperature): shares proportional to
+    sqrt(count) — the multilingual alpha-sampling rule, upweighting
+    small sources. Full value oracle: quota_d =
+    floor(sqrt(n_d) * min_e(sqrt(n_e))) uses only correctly-rounded
+    IEEE ops (no float sums), so DuckDB recomputes bit-identical quotas
+    from its own counts, then the identical md5-rank row choice."""
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_mix_temperature(docs, "source", "doc_id", alpha=0.5)
+    return out.select("doc_id", "source")
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-targeted training-shard packing
+    (operators/sampling.pack_shards): documents in doc_id order are
+    assigned to ~32 KiB shards by exact global byte prefix sum —
+    computed distributed (range partition + per-partition offsets +
+    pid-local running sums), never through an Exchange SinglePartition.
+    Full value oracle: SUM(...) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING) integer-divided by the shard size."""
+    from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    return pack_shards(docs, ["doc_id"], "n_bytes", shard_bytes=32768)
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (operators/dedup.contamination_pairs):
     flag training docs whose 8-gram set contains >= 30% of an eval doc's
@@ -2072,9 +2103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out round 6 (double-green r04+r05 rows on record;
         # displaced by compression_ratio's upgraded check)
         "gopher_quality": q_gopher_quality,
-        # new round 6 — enters OUTSIDE the scored window per the
-        # rotation discipline; candidate for a round-7 rotation slot
+        # new round 6 — enter OUTSIDE the scored window per the
+        # rotation discipline; candidates for round-7 rotation slots
         "cluster_safe_split_docs": q_cluster_safe_split,
+        "domain_mix_temperature": q_domain_mix_temperature,
+        "shard_pack_documents": q_shard_pack,
     }
 
 
@@ -2835,6 +2868,40 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_sample": _domain_mix_sql(
             {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
         ),
+        # temperature mixing: quota_d = floor(n_d^alpha * min_e(n_e^(1-alpha)))
+        # recomputed from DuckDB's OWN counts — both engines call the
+        # platform's pow on the same doubles (no float sums anywhere in
+        # the quota math), then the identical md5-rank row choice.
+        "domain_mix_temperature": """
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+            m AS (SELECT MIN(POWER(CAST(n AS DOUBLE), 0.5)) AS n_out FROM c),
+            q AS (SELECT source,
+                         CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5)
+                                    * (SELECT n_out FROM m)) AS BIGINT) AS quota
+                  FROM c),
+            r AS (SELECT doc_id, source,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+                         ) AS rk
+                  FROM documents)
+            SELECT doc_id, source FROM r JOIN q USING (source) WHERE rk <= quota
+        """,
+        # exact global byte prefix sum -> integer-divide by the shard
+        # size; the Spark side realizes the same sum distributed
+        # (range partition + broadcast offsets), never single-reducer
+        "shard_pack_documents": """
+            WITH b AS (
+                SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+                FROM documents
+            )
+            SELECT doc_id, n_bytes,
+                   CAST(COALESCE(SUM(CAST(n_bytes AS BIGINT)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) // 32768 AS shard_id
+            FROM b
+        """,
         "benchmark_contamination": """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t

@@ -271,6 +271,138 @@ def global_rank(
     return joined.select(*out_cols)
 
 
+def pack_shards(
+    df: DataFrame,
+    order_by: list[Column | str],
+    bytes_col: str,
+    shard_bytes: int,
+    shard_col: str = "shard_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows to byte-targeted output shards: shard k holds the
+    contiguous run of rows (in ``order_by`` order) whose cumulative
+    byte offset starts in [k*shard_bytes, (k+1)*shard_bytes) — the
+    training-shard writer's packing rule (shards of ~N bytes each,
+    document boundaries respected, order preserved so a
+    curriculum/shuffle order carries into the shard sequence).
+
+    shard_id = bytes_before_row DIV shard_bytes, where bytes_before is
+    the exact global prefix sum of ``bytes_col`` in the total order —
+    computed WITHOUT a single-reducer window, by the global_rank
+    mechanics: range-partition + local sort (the one shuffle the fact
+    table pays), per-partition byte totals aggregated to
+    partition-count scale and broadcast back as offsets, and the
+    within-partition running sum under a pid-partitioned window (every
+    partition sums in parallel). A row larger than shard_bytes gets a
+    shard to itself (its successor starts past the next boundary), so
+    oversized documents degrade to one-file-per-doc instead of
+    breaking the packing.
+
+    ``order_by`` MUST be a total order (include an id tiebreaker) or
+    prefix sums at ties become partition-layout-dependent. After the
+    assignment, ``df.write.partitionBy(shard_col)`` (or a repartition
+    on shard_col) realizes the physical shards.
+
+    Scale contract: call with a SLIM (id, bytes) projection and join
+    shard_id back to the wide frame (or feed the write directly). The
+    fact rows move through two balanced shuffles — the range exchange
+    and the pid-partitioned running-sum window (each physical partition
+    relocates wholesale to one reducer: perfectly even by
+    construction) — so with the slim projection a 10^10-document corpus
+    shuffles ~2x16 bytes/row while the document text never moves. The
+    offsets side-branch re-scans the slim source and aggregates to
+    partition-count scale before broadcasting (same shape as
+    global_rank).
+    """
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    sess = df.sparkSession
+    n = n_partitions or sess.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    tagged = parted.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftright("__mid", 33)
+    per_part = tagged.groupBy(pid.alias("__pid")).agg(
+        F.sum(bytes_col).alias("__pbytes")
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_part.select(
+        "__pid", (F.sum("__pbytes").over(w_run) - F.col("__pbytes")).alias("__off")
+    )
+    w_local = Window.partitionBy(pid).orderBy("__mid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local_before = F.sum(bytes_col).over(w_local) - F.col(bytes_col)
+    joined = tagged.join(F.broadcast(offsets), pid == F.col("__pid"), "inner")
+    before = (F.col("__off") + local_before).cast("long")
+    # integer DIV: exact at any scale (float division of huge byte
+    # offsets could round across a shard boundary)
+    return joined.withColumn("__before", before).select(
+        *[c for c in df.columns],
+        F.expr(f"__before DIV {int(shard_bytes)}").alias(shard_col),
+    )
+
+
+def domain_mix_temperature(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = ":mix",
+) -> DataFrame:
+    """Temperature-based domain mixing: target share of domain d is
+    proportional to count_d^alpha (the multilingual/multi-domain
+    alpha-sampling rule — alpha=1 keeps natural proportions, alpha=0
+    forces uniform, alpha~0.5 upweights small domains without drowning
+    large ones). The selected rows are the largest corpus realizing
+    those shares without replication, chosen by the same deterministic
+    md5-rank rule as domain_mix_sample.
+
+    Quota math, engine-portable by construction: share_d = n_d^alpha
+    and n_out = min_d(n_d / share_d) = min_d(n_d^(1-alpha)), so
+    quota_d = floor(n_d^alpha * min_e(n_e^(1-alpha))) — no float SUM
+    anywhere (summation order is engine-dependent; products and
+    roots are single correctly-rounded IEEE ops). For alpha=0.5 both
+    factors are sqrt(), which IEEE 754 requires to be exactly rounded,
+    so any engine recomputes bit-identical quotas from the counts.
+
+    Same snapshot contract as domain_mix_sample: quota-plus-rank
+    selection is not append-stable; pin the corpus snapshot for a
+    frozen training set. Plan: one bounded-cardinality count collect,
+    one window rank per domain, broadcast quota filter — the fact
+    table shuffles once on the domain key.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        raise ValueError("empty input: no domains to mix")
+    n_out = min(c ** (1.0 - alpha) for c in counts.values())
+    quotas = [(d, int((c**alpha) * n_out)) for d, c in counts.items()]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, f"{domain_col} string, __quota long")
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(
+                F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
+            ),
+            id_col,
+        )
+    )
+    ranked = df.join(F.broadcast(qdf), domain_col).withColumn("__rk", rk)
+    return ranked.filter(F.col("__rk") <= F.col("__quota")).drop("__rk", "__quota")
+
+
 def domain_mix_sample(
     df: DataFrame,
     domain_col: str,

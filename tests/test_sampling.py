@@ -320,3 +320,109 @@ class TestClusterSafeSplit:
         out, _, _ = split_out
         assert out.count() == docs.count()
         assert out.select("doc_id").distinct().count() == docs.count()
+
+
+class TestPackShards:
+    @pytest.fixture(scope="class")
+    def sized(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select("doc_id", F.octet_length("text").alias("n_bytes"))
+
+    def test_shards_are_contiguous_and_filled(self, sized):
+        from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+        S = 4096
+        rows = sorted(
+            pack_shards(sized, ["doc_id"], "n_bytes", S).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        # shard ids non-decreasing in the pack order; exact prefix rule
+        cum = 0
+        max_shard = 0
+        for r in rows:
+            assert r["shard_id"] == cum // S, r
+            cum += r["n_bytes"]
+            max_shard = max(max_shard, r["shard_id"])
+        # every shard id in [0, max] occupied (contiguous numbering)
+        assert {r["shard_id"] for r in rows} == set(range(max_shard + 1))
+
+    def test_partition_count_invariance(self, sized):
+        from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+        a = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(sized, ["doc_id"], "n_bytes", 4096, n_partitions=3).collect()
+        }
+        b = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(sized, ["doc_id"], "n_bytes", 4096, n_partitions=17).collect()
+        }
+        assert a == b
+
+    def test_oversized_row_gets_own_shard(self, spark):
+        from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 500), (3, 10), (4, 10)], "id long, b long"
+        )
+        got = {
+            r["id"]: r["shard_id"]
+            for r in pack_shards(df, ["id"], "b", 100).collect()
+        }
+        # row 2 starts in shard 0 (offset 10) and spills past several
+        # boundaries; row 3 starts at offset 510 -> shard 5 — the
+        # oversized doc effectively owns shards 0-4
+        assert got == {1: 0, 2: 0, 3: 5, 4: 5}
+
+    def test_rejects_nonpositive_shard_bytes(self, sized):
+        from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+        with pytest.raises(ValueError):
+            pack_shards(sized, ["doc_id"], "n_bytes", 0)
+
+
+class TestDomainMixTemperature:
+    def test_alpha_one_keeps_natural_proportions(self, spark, sf_dir):
+        from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = domain_mix_temperature(docs, "source", "doc_id", alpha=1.0)
+        # quota_d = floor(n_d * min_e(n_e^0)) = n_d: everything kept
+        assert out.count() == docs.count()
+
+    def test_alpha_zero_forces_uniform(self, spark, sf_dir):
+        from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = domain_mix_temperature(docs, "source", "doc_id", alpha=0.0)
+        per = [r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()]
+        min_n = min(
+            r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        )
+        assert per and all(n == min_n for n in per)
+
+    def test_half_alpha_upweights_small_domains(self, spark):
+        from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+        # 400 "big" rows vs 100 "small": natural share 80/20; sqrt
+        # share 2:1 (66.7/33.3) — the small domain's share must rise
+        rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = domain_mix_temperature(df, "source", "doc_id", alpha=0.5)
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        total = sum(per.values())
+        assert per["small"] / total > 0.25  # natural was 0.20
+        # deterministic: same call twice -> same rows
+        ids1 = {r["doc_id"] for r in out.collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in domain_mix_temperature(df, "source", "doc_id", alpha=0.5).collect()
+        }
+        assert ids1 == ids2
+
+    def test_alpha_out_of_range_rejected(self, spark, sf_dir):
+        from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError):
+            domain_mix_temperature(docs, "source", "doc_id", alpha=1.5)

@@ -72,6 +72,20 @@ EXCHANGE_CEILINGS = {
     # the GlobalWindowOverScan red flag now forbids.
     "training_shuffle": 4,
     "domain_mix_sample": 1,
+    # round 6: temperature mixing shares domain_mix_sample's
+    # rank-filter plan (one domain-key exchange; quotas broadcast)
+    "domain_mix_temperature": 1,
+    # round 6: CC label-propagation subtree is cut at localCheckpoint,
+    # so the visible plan is the LSH candidate join (bucket exchange)
+    # + the canonical->split broadcast assignment
+    "cluster_safe_split_docs": 2,
+    # round 6: byte prefix-sum sharding — the SLIM (id, bytes)
+    # projection pays the range exchange and the pid-window exchange
+    # (both balanced, wholesale-partition moves); the offsets branch
+    # re-scans the slim source (groupBy partial-agg exchange + its
+    # partition-count running-sum window). 5 exchanges, none carrying
+    # more than id+bytes per row — see pack_shards' scale contract.
+    "shard_pack_documents": 5,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -259,6 +273,12 @@ def main() -> None:
         # here (zlib deflate has no JVM expression) — the gate verifies
         # it stays the ONLY stage, over a pruned 2-column scan
         "compression_ratio",
+        # round-6 additions: cluster-atomic split (CC + hash split),
+        # distributed byte prefix-sum sharding (must stay free of a
+        # fact-table Exchange SinglePartition), temperature mixing
+        "cluster_safe_split_docs",
+        "shard_pack_documents",
+        "domain_mix_temperature",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
