@@ -276,6 +276,7 @@ def pretraining_pipeline(
     repetition_filter: bool = False,
     embeddings_df: DataFrame | None = None,
     semantic_threshold: float = 0.4,
+    shard_bytes: int | None = None,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
@@ -301,7 +302,12 @@ def pretraining_pipeline(
     Returns {clean, mixed, training_set, accounting}: ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
     with sampling.deterministic_shuffle's range partitioning and readers
-    stream a reproducible permutation; ``accounting`` (None when
+    stream a reproducible permutation. With ``shard_bytes`` set it also
+    carries ``shard_id``: byte-targeted output shards
+    (sampling.pack_shards) in the training order (shuffle_key, doc_id),
+    sized from the text the model actually trains on (post-span-rewrite
+    when that stage is active) — ``write.partitionBy("shard_id")``
+    realizes ~shard_bytes files; ``accounting`` (None when
     ``with_accounting=False``) is one row per pipeline stage with its
     drop count (the audit trail a production data pipeline is judged
     on). Every stage is deterministic: the same corpus + parameters
@@ -442,6 +448,19 @@ def pretraining_pipeline(
         .withColumn("shuffle_key", shuffle_key(F.col("doc_id"), seed))
         .select("doc_id", "source", "n_tokens", "shuffle_key", "bucket")
     )
+    if shard_bytes is not None:
+        from bigdata_cookbook_spark.operators.sampling import pack_shards
+
+        # bytes of the text the model trains on: ``docs`` is the
+        # span-rewritten frame when that stage is active. Slim join —
+        # only (doc_id, bytes) enters the prefix-sum shuffles.
+        sized = training_set.join(
+            docs.select("doc_id", F.octet_length("text").alias("__bytes")),
+            "doc_id",
+        )
+        training_set = pack_shards(
+            sized, ["shuffle_key", "doc_id"], "__bytes", shard_bytes
+        ).drop("__bytes")
 
     accounting = None
     if with_accounting:

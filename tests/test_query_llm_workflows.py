@@ -411,3 +411,32 @@ def test_corpus_clean_repetition_filter_drops_repetitive_doc(spark):
     strict = corpus_clean(docs, max_stopword_ratio=1.0, repetition_filter=True)
     assert {r.doc_id for r in strict["kept"].collect()} == {1}
     assert {r.doc_id for r in strict["dropped_quality"].collect()} == {2}
+
+
+def test_pretraining_pipeline_shard_packing(spark, sf_dir):
+    """shard_bytes adds a shard_id column packing the training set into
+    ~N-byte shards in the training order (shuffle_key, doc_id): shard
+    ids are contiguous from 0, non-decreasing along the order, and
+    reproduce pack_shards' exact prefix rule on the same bytes."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    S = 8192
+    out = pretraining_pipeline(docs, with_accounting=False, shard_bytes=S)
+    sizes = {
+        r["doc_id"]: r["b"]
+        for r in docs.select("doc_id", F.octet_length("text").alias("b")).collect()
+    }
+    rows = sorted(
+        out["training_set"].collect(), key=lambda r: (r["shuffle_key"], r["doc_id"])
+    )
+    assert rows and "shard_id" in rows[0].asDict()
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // S, r
+        cum += sizes[r["doc_id"]]
+    assert {r["shard_id"] for r in rows} == set(range(rows[-1]["shard_id"] + 1))
+    out["clean"].unpersist()
