@@ -24,6 +24,12 @@ reproduces the figure without this repo growing a plotting dependency:
   label colors.
 - ``tree_json`` — nested mind-map tree (`mind_map_tools.py:298-440`)
   from llm.taxonomy's edge frame.
+- ``with_series_selector`` / ``timeseries_with_overview_spec`` — the
+  widget-level parity tier: the reference's plotly dropdown menus and
+  x-axis range sliders, expressed as standard Vega-Lite ``params``
+  (bound ``<select>`` input; interval brush driving the detail
+  x-domain) — interactivity lives in the spec JSON, still zero
+  rendering dependencies.
 
 All are driver-edge sinks behind the bounded `_collect_small` guardrail
 (post-aggregation frames only — the same row cap as the HTML/xlsx
@@ -157,6 +163,100 @@ def heatmap_spec(
     (`mind_map_tools.py:559-578` renders the same matrix)."""
     spec = vega_lite_spec(df, "rect", x, y, title=title)
     spec["encoding"]["color"] = {"field": value, "type": "quantitative"}
+    return spec
+
+
+def with_series_selector(
+    spec: dict,
+    field: str,
+    label: str | None = None,
+) -> dict:
+    """Add a dropdown series selector to a single-view Vega-Lite spec —
+    the widget-level twin of the reference's plotly ``updatemenus``
+    dropdowns (`visualization_tools.py:500-570` entity pickers,
+    `AI_Cost_Cutting.../src/tool.py:379-1015` metric menus), expressed
+    as a standard VL ``params`` point-selection bound to an HTML
+    ``<select>``: choosing a value filters the view to that series;
+    the blank first option clears the selection and shows all.
+
+    Pure spec JSON — no new dependency; vega-embed (the dashboard
+    sink's renderer) wires the widget client-side. Options are derived
+    from the spec's OWN inlined data (sorted, deduped) so the menu is
+    deterministic for golden tests. The input spec is not mutated.
+    """
+    if any(k in spec for k in ("vconcat", "hconcat", "concat")):
+        # VL top-level transforms don't distribute into concat children
+        raise ValueError("series selector applies to single-view specs only")
+    values = spec.get("data", {}).get("values", [])
+    options = sorted({str(r[field]) for r in values if r.get(field) is not None})
+    out = {k: v for k, v in spec.items()}
+    out["params"] = list(spec.get("params", [])) + [
+        {
+            "name": "series_sel",
+            "select": {"type": "point", "fields": [field]},
+            "bind": {
+                "input": "select",
+                "options": [None, *options],
+                "name": (label or f"{field}: "),
+            },
+        }
+    ]
+    out["transform"] = list(spec.get("transform", [])) + [
+        {"filter": {"param": "series_sel"}}
+    ]
+    return out
+
+
+def timeseries_with_overview_spec(
+    df: DataFrame,
+    x: str,
+    y: str,
+    series: str | None = None,
+    title: str | None = None,
+    overview_height: int = 60,
+) -> dict:
+    """Detail + overview time series with a brush-driven range control —
+    the twin of plotly's x-axis ``rangeslider``
+    (`visualization_tools.py:500-570`, `tool.py:593-756` attach one to
+    every volume/attention figure). Vega-Lite idiom: a vconcat of the
+    detail line over a thin overview strip carrying an interval
+    selection on x; the detail's x-scale domain is bound to the brush
+    param, so dragging on the strip zooms the detail — all inside the
+    spec, rendered by any vega-embed consumer.
+
+    Same determinism contract as vega_lite_spec (sorted rows, inlined
+    data); data is inlined ONCE at the top level and shared by both
+    views.
+    """
+    base = vega_lite_spec(df, "line", x, y, color=series)
+    enc = base["encoding"]
+    detail_enc = {
+        "x": {**enc["x"], "scale": {"domain": {"param": "brush"}}},
+        "y": enc["y"],
+        **({"color": enc["color"]} if "color" in enc else {}),
+    }
+    overview_enc = {
+        "x": enc["x"],
+        "y": {**enc["y"], "axis": {"tickCount": 2, "title": None}},
+        **({"color": enc["color"]} if "color" in enc else {}),
+    }
+    spec = {
+        "$schema": _VL_SCHEMA,
+        "data": base["data"],
+        "vconcat": [
+            {"mark": {"type": "line"}, "encoding": detail_enc},
+            {
+                "height": int(overview_height),
+                "mark": {"type": "line"},
+                "params": [
+                    {"name": "brush", "select": {"type": "interval", "encodings": ["x"]}}
+                ],
+                "encoding": overview_enc,
+            },
+        ],
+    }
+    if title:
+        spec["title"] = title
     return spec
 
 

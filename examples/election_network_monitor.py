@@ -50,7 +50,8 @@ from bigdata_cookbook_spark.sources.fixtures import fixture_tables
 from bigdata_cookbook_spark.viz import (
     bar_chart_spec,
     node_link_json,
-    timeseries_spec,
+    timeseries_with_overview_spec,
+    with_series_selector,
 )
 from bigdata_cookbook_spark.workflows import dual_role_analysis
 
@@ -99,7 +100,8 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
         .limit(5)
         .collect()
     ]
-    ts_spec = timeseries_spec(
+    # overview strip + brush = the reference's plotly x-axis rangeslider
+    ts_spec = timeseries_with_overview_spec(
         weekly.filter(F.col("entity_name").isin(top_entities)).select(
             "week", "net_exposure", "entity_name"
         ),
@@ -109,13 +111,18 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
         title="Weekly net exposure (top 5 entities)",
     )
 
-    # -- top companies per sector (provider role), the screener bar.
-    bar_spec = bar_chart_spec(
-        out["top_by_sector"],
-        category="entity_name",
-        value="n_hits",
-        group="entity_sector",
-        title="Top provider companies per sector",
+    # -- top companies per sector (provider role), the screener bar,
+    # with the reference's sector dropdown (plotly updatemenus twin).
+    bar_spec = with_series_selector(
+        bar_chart_spec(
+            out["top_by_sector"],
+            category="entity_name",
+            value="n_hits",
+            group="entity_sector",
+            title="Top provider companies per sector",
+        ),
+        "entity_sector",
+        label="Sector: ",
     )
 
     dash_path = os.path.join(out_dir, "network_dashboard.html")

@@ -121,6 +121,10 @@ def test_election_network_monitor_example_runs_and_is_byte_stable(spark, tmp_pat
     # bipartite nodes carry the majority-label group the reference
     # colors by
     assert '"group":"company"' in dash
+    # widget-level parity: the rangeslider brush (overview+detail) and
+    # the sector dropdown param ride inside the embedded specs
+    assert '"name":"brush"' in dash
+    assert '"name":"series_sel"' in dash
 
     dot = open(p1["dot"], encoding="utf-8").read()
     assert dot.startswith("graph g {") and " -- " in dot

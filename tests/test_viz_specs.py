@@ -84,6 +84,46 @@ def test_node_link_from_comention_edges(spark):
     json.dumps(g)
 
 
+def test_series_selector_param_filters_and_is_deterministic(weekly):
+    """with_series_selector: a bound <select> param + filter transform
+    over the spec's own inlined data; options sorted/deduped with a
+    blank show-all first entry; input spec not mutated; concat specs
+    rejected (VL top-level transforms don't reach concat children)."""
+    from bigdata_cookbook_spark.viz import timeseries_spec, with_series_selector
+
+    base = timeseries_spec(weekly, x="week", y="cnt", series="label")
+    spec = with_series_selector(base, "label")
+    assert "params" not in base and "transform" not in base  # no mutation
+    (param,) = spec["params"]
+    assert param["select"] == {"type": "point", "fields": ["label"]}
+    opts = param["bind"]["options"]
+    assert opts[0] is None and opts[1:] == sorted(set(opts[1:]))
+    assert {"filter": {"param": "series_sel"}} in spec["transform"]
+    json.dumps(spec)
+
+    with pytest.raises(ValueError):
+        with_series_selector({"vconcat": [], "data": {"values": []}}, "x")
+
+
+def test_timeseries_overview_brush_drives_detail_domain(weekly):
+    """timeseries_with_overview_spec: vconcat detail+overview where the
+    overview carries an x-interval brush and the detail's x-scale
+    domain binds to it — the rangeslider twin. Data inlined once."""
+    from bigdata_cookbook_spark.viz import timeseries_with_overview_spec
+
+    spec = timeseries_with_overview_spec(
+        weekly, x="week", y="cnt", series="label", title="t"
+    )
+    detail, overview = spec["vconcat"]
+    assert detail["encoding"]["x"]["scale"] == {"domain": {"param": "brush"}}
+    (brush,) = overview["params"]
+    assert brush["name"] == "brush"
+    assert brush["select"] == {"type": "interval", "encodings": ["x"]}
+    assert "data" in spec and "data" not in detail and "data" not in overview
+    assert spec["data"]["values"]  # inlined rows present
+    json.dumps(spec)
+
+
 def test_node_link_conflicting_groups_resolve_in_sorted_edge_order(spark):
     """A node whose incident edges carry DIFFERENT group values gets the
     group from its first edge in sorted (src, dst) order — not Spark's
