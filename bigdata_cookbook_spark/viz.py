@@ -87,6 +87,7 @@ def vega_lite_spec(
     title: str | None = None,
     stacked: bool = False,
     sort_by: Sequence[str] | None = None,
+    size: str | None = None,
 ) -> dict:
     """One single-view Vega-Lite v5 spec with the frame inlined as
     ``data.values``. ``mark``: 'bar' | 'line' | 'point' | 'rect' (rect +
@@ -99,7 +100,13 @@ def vega_lite_spec(
     """
     rows = _collect_small(df)
     cols = list(df.columns)
-    for c in (x, y, *([color] if color else []), *(tooltip or [])):
+    for c in (
+        x,
+        y,
+        *([color] if color else []),
+        *([size] if size else []),
+        *(tooltip or []),
+    ):
         if c not in cols:
             raise KeyError(f"column {c!r} not in frame {cols}")
     keys = list(sort_by) if sort_by else cols
@@ -114,6 +121,8 @@ def vega_lite_spec(
         encoding["color"] = enc(color)
         if mark == "bar" and not stacked:
             encoding["xOffset"] = {"field": color}
+    if size is not None:
+        encoding["size"] = enc(size)
     if tooltip:
         encoding["tooltip"] = [enc(c) for c in tooltip]
     spec = {
@@ -153,6 +162,27 @@ def bar_chart_spec(
     `AI_Cost_Cutting.../src/tool.py:378-552`)."""
     return vega_lite_spec(
         df, "bar", category, value, color=group, stacked=stacked, title=title
+    )
+
+
+def scatter_spec(
+    df: DataFrame,
+    x: str,
+    y: str,
+    size: str | None = None,
+    group: str | None = None,
+    tooltip: Sequence[str] | None = None,
+    title: str | None = None,
+) -> dict:
+    """Scatter / bubble chart — the top-themes-per-company bubble figure
+    (`Risk_Analyzer/src/tool.py:221-350`: x=company, y=theme, marker
+    area scaled to the exposure score, one color per company). ``size``
+    maps the score column to the VL size channel (area-scaled, the
+    plotly ``sizemode='area'`` twin); feed it the top-k rows from
+    ``operators.analytics.topk_per_group`` for the reference's top-3
+    selection."""
+    return vega_lite_spec(
+        df, "point", x, y, color=group, tooltip=tooltip, title=title, size=size
     )
 
 

@@ -176,6 +176,24 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
     from bigdata_cookbook_spark.viz import tree_json
 
     edges = tree_to_edges(spark, tree)
+
+    # the Risk_Analyzer top-themes bubble (tool.py:221-350): melt the
+    # per-company label pivot to rows and put the score on the size
+    # channel — x=company, y=label, bubble area = exposure
+    from bigdata_cookbook_spark.viz import scatter_spec
+
+    melted = by_company.limit(10).selectExpr(
+        "entity_name", "stack(3, 'P', P, 'A', A, 'N', N) as (label, score)"
+    ).filter("score > 0")
+    bubble = scatter_spec(
+        melted,
+        x="entity_name",
+        y="label",
+        size="score",
+        group="entity_name",
+        title="Top label exposure per company",
+    )
+
     dash_path = os.path.join(out_dir, "dashboard.html")
     with open(dash_path, "w", encoding="utf-8") as f:
         f.write(
@@ -187,6 +205,7 @@ def main(spark: SparkSession, out_dir: str) -> dict[str, str]:
                         category="entity_industry",
                         value="composite_score",
                     ),
+                    "Label exposure bubbles": bubble,
                     "Theme taxonomy": tree_json(
                         edges, root_label=tree["Label"]
                     ),

@@ -255,3 +255,19 @@ def test_dashboard_html_script_injection_escaped(spark):
     assert h.count("\\u003c/script") >= 2  # escaped form present per panel
     # exactly the page's own script tags remain: CDN x4 + one inline pair
     assert h.count("</script>") == 5
+
+
+def test_scatter_spec_bubble_size_channel(weekly):
+    """scatter_spec: point mark with the score column on the size
+    channel (the Risk_Analyzer top-themes bubble figure) — quantitative
+    size, nominal color per group, unknown size column rejected."""
+    from bigdata_cookbook_spark.viz import scatter_spec
+
+    s = scatter_spec(weekly, x="label", y="week", size="cnt", group="label")
+    assert s["mark"] == {"type": "point"}
+    assert s["encoding"]["size"] == {"field": "cnt", "type": "quantitative"}
+    assert s["encoding"]["color"] == {"field": "label", "type": "nominal"}
+    json.dumps(s)
+
+    with pytest.raises(KeyError):
+        scatter_spec(weekly, x="label", y="week", size="nope")
