@@ -53,6 +53,7 @@ def bm25_scores(
     b: float = 0.75,
     round_to: int = 4,
     tokenize=analyzer_tokens_expr,
+    tokenize_query=None,
 ) -> DataFrame:
     """Per-document BM25 score against ``query_terms``. Documents and
     query terms go through the SAME analyzer (``tokenize``, default
@@ -61,18 +62,28 @@ def bm25_scores(
     like "state-of-the-art" contributes each of its analyzed words).
     Documents matching no term are absent (score 0).
 
+    A custom ``tokenize`` (document side, Column -> array Column) MUST
+    come with its Python twin ``tokenize_query`` (str -> list[str]) —
+    tf is exact term equality against the analyzed document array, so
+    mismatched analyzers silently score every document 0. Enforced
+    with a ValueError rather than inherited silently.
+
     Output: (id_col, score) — feed to a top-k window or join back.
     """
     if not query_terms:
         raise ValueError("bm25_scores requires at least one query term")
-    # analyze query terms with the Python twin of the default analyzer
-    # (property-tested identical to the Spark expression), dedup
-    # preserving order: duplicate query terms contribute once
-    terms = list(
-        dict.fromkeys(
-            w for t in query_terms for w in analyzer_tokens_py(t)
+    if tokenize is not analyzer_tokens_expr and tokenize_query is None:
+        raise ValueError(
+            "custom document tokenize= requires its Python twin "
+            "tokenize_query= (str -> list[str]); the query side would "
+            "otherwise be analyzed differently and every tf comparison "
+            "silently miss"
         )
-    )
+    q_tok = tokenize_query or analyzer_tokens_py
+    # analyze query terms with the Python twin of the document analyzer
+    # (the default pair is property-tested identical), dedup preserving
+    # order: duplicate query terms contribute once
+    terms = list(dict.fromkeys(w for t in query_terms for w in q_tok(t)))
     if not terms:
         raise ValueError("query_terms contain no alphanumeric tokens")
 
@@ -166,6 +177,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenize=analyzer_tokens_expr,
+    tokenize_query=None,
 ) -> DataFrame:
     """Top-k documents by BM25 score, ties broken by id (deterministic).
 
@@ -174,7 +186,12 @@ def bm25_topk(
     output partitioning is a single partition, so the rank window runs
     over the k surviving rows with no further exchange."""
     scored = bm25_scores(
-        docs, query_terms, id_col=id_col, text_col=text_col, tokenize=tokenize
+        docs,
+        query_terms,
+        id_col=id_col,
+        text_col=text_col,
+        tokenize=tokenize,
+        tokenize_query=tokenize_query,
     )
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())

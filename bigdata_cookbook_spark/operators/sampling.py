@@ -293,10 +293,11 @@ def pack_shards(
     table pays), per-partition byte totals aggregated to
     partition-count scale and broadcast back as offsets, and the
     within-partition running sum under a pid-partitioned window (every
-    partition sums in parallel). A row larger than shard_bytes gets a
-    shard to itself (its successor starts past the next boundary), so
-    oversized documents degrade to one-file-per-doc instead of
-    breaking the packing.
+    partition sums in parallel). A row larger than shard_bytes CLOSES
+    its shard: the successor starts past the next boundary, so the
+    oversized doc shares its shard only with the rows that preceded it
+    there, and the skipped-over shard ids are simply unoccupied — the
+    packing degrades gracefully instead of splitting the document.
 
     ``order_by`` MUST be a total order (include an id tiebreaker) or
     prefix sums at ties become partition-layout-dependent. After the
@@ -382,6 +383,14 @@ def domain_mix_temperature(
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if None in counts:
+        # fail loud: a null group would shrink n_out (and with it every
+        # quota) while the equi-join below silently drops the null rows
+        # themselves — the worst of both. Filter or impute first.
+        raise ValueError(
+            f"{domain_col} contains NULLs ({counts[None]} rows); "
+            "filter or impute the domain column before mixing"
+        )
     if not counts:
         raise ValueError("empty input: no domains to mix")
     n_out = min(c ** (1.0 - alpha) for c in counts.values())

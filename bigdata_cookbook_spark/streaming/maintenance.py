@@ -143,8 +143,21 @@ def consolidate_deltas(
         p = os.path.join(path, f"ingest_batch={i}")
         if _tree_stats([p])[0] == 0:
             shutil.rmtree(p, ignore_errors=True)
+    # sweep staging dirs orphaned by a crash BEFORE their manifest was
+    # published (recover_pending only knows manifest-referenced tmps):
+    # without a manifest the staged copy was never part of any commit,
+    # so removing it is safe — and not removing it leaks a full-size
+    # consolidated copy of the state per failed run
+    for entry in os.listdir(path):
+        if entry.startswith("._state_compact_"):
+            cid = entry[len("._state_compact_"):]
+            manifest = os.path.join(path, f"._commit_manifest_{cid}.json")
+            if not os.path.exists(manifest):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
     ids = _delta_ids(path)
-    merge = ids[: len(ids) - keep_last] if keep_last else ids
+    # max(0, ...): keep_last above the delta count must keep EVERYTHING
+    # (a negative python slice bound would wrap and merge all but one)
+    merge = ids[: max(0, len(ids) - keep_last)] if keep_last else ids
     if len(merge) < (1 if transform is not None else 2):
         n, _ = _tree_stats([path])
         return {"merged": 0, "files_before": n, "files_after": n}
@@ -251,8 +264,13 @@ def rebucket_srp_state(
     if n_planes is None:
         n_planes = default_srp_planes_for(state.count())
     # bounded collect: one row to bind the plane width (same contract
-    # class as semantic_dedup's dim probe)
-    dim = state.select(F.size("vec")).first()[0]
+    # class as semantic_dedup's dim probe). A schema-only state (every
+    # batch so far had zero embedding-covered docs) has nothing to
+    # re-bucket — return the chosen count for pinning, touch nothing.
+    probe = state.select(F.size("vec")).first()
+    if probe is None:
+        return int(n_planes)
+    dim = probe[0]
     planes = srp_planes(dim, n_planes, seed)
 
     def _transform(df: DataFrame) -> DataFrame:

@@ -524,6 +524,17 @@ def streaming_corpus_clean(
     bucket_root = os.path.join(state_dir, "buckets")
     span_root = os.path.join(state_dir, "spans")
     emb_root = os.path.join(state_dir, "embeddings")
+    # roll forward any maintenance commit a crash left half-promoted:
+    # a published-manifest consolidation whose tombstones didn't all
+    # promote leaves the merged rows present TWICE (consolidated delta
+    # + un-retired originals), which the next batch's _read_state would
+    # double-count — corrupting every dedup decision. Same self-heal
+    # layout.py's writers run on entry; a no-op when nothing is pending.
+    from bigdata_cookbook_spark.plans.layout import recover_pending
+
+    for root in (hash_root, shingle_root, bucket_root, span_root, emb_root):
+        if os.path.isdir(root):
+            recover_pending(root)
     lsh_mode = clean_kwargs.get("near_dup") == "lsh"
     span_mode = clean_kwargs.get("span_tokens") is not None
     sem_mode = clean_kwargs.get("embeddings_df") is not None

@@ -218,7 +218,14 @@ def with_series_selector(
         # VL top-level transforms don't distribute into concat children
         raise ValueError("series selector applies to single-view specs only")
     values = spec.get("data", {}).get("values", [])
-    options = sorted({str(r[field]) for r in values if r.get(field) is not None})
+    # NATIVE values, not str(): the VL point selection compares with
+    # === — a stringified option over a numeric field would never
+    # match and selecting it would blank the chart. Values are already
+    # JSON-safe (the spec's data was _jsonable'd); key=str only orders
+    # the menu deterministically.
+    options = sorted(
+        {r[field] for r in values if r.get(field) is not None}, key=str
+    )
     out = {k: v for k, v in spec.items()}
     out["params"] = list(spec.get("params", [])) + [
         {

@@ -1079,3 +1079,42 @@ def test_lang_id_hand_cases_and_shared_marker_double_count(spark):
         1: "en", 2: "es", 3: "fr", 4: "de",
         5: "zh", 6: "unknown", 7: "unknown", 8: "es", 9: "en",
     }
+
+
+def test_bm25_custom_tokenize_requires_query_twin(spark):
+    """A custom document tokenizer without its Python query twin would
+    silently analyze the two sides differently and score everything 0 —
+    rejected loudly instead."""
+    import pytest
+
+    from bigdata_cookbook_spark.functions.text import tokens_expr
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "state-of-the-art spark engine")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tokenize_query"):
+        bm25_scores(docs, ["state-of-the-art"], tokenize=tokens_expr)
+    with pytest.raises(ValueError, match="tokenize_query"):
+        bm25_topk(docs, ["state-of-the-art"], tokenize=tokens_expr)
+    # matched pair: whitespace tokenizer on both sides scores the
+    # glued token as one term
+    got = bm25_scores(
+        docs,
+        ["state-of-the-art"],
+        tokenize=tokens_expr,
+        tokenize_query=lambda s: s.lower().split(),
+    ).collect()
+    assert len(got) == 1 and got[0]["score"] > 0
+
+
+def test_domain_mix_temperature_rejects_null_domains(spark):
+    import pytest
+
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        domain_mix_temperature(df, "source", "doc_id", alpha=0.5)

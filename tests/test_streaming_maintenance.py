@@ -252,3 +252,53 @@ def test_plane_guard_raises_and_rebucket_migrates(spark, tmp_path):
     assert {r[0] for r in got["dropped"].collect()} == {
         r[0] for r in want["dropped"].collect()
     }
+
+
+def test_keep_last_above_delta_count_keeps_everything(spark, tmp_path):
+    """keep_last greater than the number of deltas must merge NOTHING —
+    the naive python slice ids[:len-keep] would wrap negative and merge
+    all but one delta, the opposite of what the caller asked for."""
+    root = str(tmp_path / "hashes")
+    for i in range(3):
+        spark.createDataFrame([(f"h{i}",)], "text_hash string").write.parquet(
+            os.path.join(root, f"ingest_batch={i}")
+        )
+    before = _rows(spark, root)
+    stats = consolidate_deltas(spark, root, keep_last=5)
+    assert stats["merged"] == 0
+    assert _delta_dirs(root) == [f"ingest_batch={i}" for i in range(3)]
+    assert _rows(spark, root) == before
+
+
+def test_orphaned_staging_dir_is_swept(spark, tmp_path):
+    """A crash BEFORE the manifest publishes leaves a ._state_compact_*
+    staging dir with a full consolidated copy; no manifest references
+    it, so the next consolidation must sweep it instead of leaking a
+    state-sized copy per failed run."""
+    root = str(tmp_path / "hashes")
+    for i in range(3):
+        spark.createDataFrame([(f"h{i}",)], "text_hash string").write.parquet(
+            os.path.join(root, f"ingest_batch={i}")
+        )
+    orphan = os.path.join(root, "._state_compact_deadbeef")
+    os.makedirs(os.path.join(orphan, "ingest_batch=0"))
+    with open(os.path.join(orphan, "ingest_batch=0", "junk.parquet"), "w") as f:
+        f.write("x")
+    before = _rows(spark, root)
+    consolidate_deltas(spark, root, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert _rows(spark, root) == before
+
+
+def test_rebucket_on_schema_only_state_is_noop(spark, tmp_path):
+    """Every micro-batch writes its embeddings delta even when zero
+    docs carried embeddings; rebucket over such a schema-only state
+    must return the plane count without crashing on the dim probe."""
+    state = str(tmp_path / "state")
+    emb_root = os.path.join(state, "embeddings")
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, vec array<float>, bucket string"
+    )
+    empty.write.parquet(os.path.join(emb_root, "ingest_batch=0"))
+    got = rebucket_srp_state(spark, state, n_planes=6)
+    assert got == 6

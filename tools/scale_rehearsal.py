@@ -61,6 +61,12 @@ TIER = [
     # the auto-plane default path; the plain semantic_dedup row is the
     # deliberately-dense fixed-plane oracle form (BASELINE.md §E)
     "semantic_dedup_auto",
+    # round-5/6 additions
+    "line_dedup",
+    "compression_ratio",
+    "cluster_safe_split_docs",
+    "domain_mix_temperature",
+    "shard_pack_documents",
 ]
 
 def _sf_dirs() -> list[tuple[str, str]]:
