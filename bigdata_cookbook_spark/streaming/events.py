@@ -50,8 +50,19 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str | None = Non
         )
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
+        # ABSOLUTE target: a relative sf_dir would resolve relative to
+        # the link's own directory — a dangling symlink that
+        # os.path.exists() reports absent, so the old guard re-created
+        # it into EEXIST on every later session. Replace any stale or
+        # differently-targeted link (lexists sees dangling ones).
+        target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) == target:
+                pass  # correct link already in place
+            else:
+                os.remove(link)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type == "bigint":
