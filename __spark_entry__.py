@@ -1594,6 +1594,57 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT day, event_type, cnt FROM {name}")
 
 
+def q_sentence_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary token-budget chunking (functions/text.
+    sentence_budget_chunks_expr — the engine twin of the reference's
+    TokenManager.split_text, token_manager.py:97-195), budget 64 BPE
+    pretokens. Partial value oracle in the compression_ratio style:
+    chunk BOUNDARIES come from an aggregate fold DuckDB cannot replay
+    in plain SQL, but (a) the per-doc token total is recomputed
+    independently by the oracle from the SAME sentence construction +
+    shared BPE pattern and hash-matched, and (b) the two fold
+    invariants — every chunk within budget unless it is a lone word
+    piece, and chunk concatenation reproducing the sentence stream
+    verbatim — are engine-computed booleans the oracle pins TRUE.
+    Exact chunking semantics are pinned by the Python-reference
+    property test (tests/test_misc_operators.py)."""
+    from bigdata_cookbook_spark.functions.text import (
+        bpe_token_count_expr,
+        sentence_budget_chunks_expr,
+    )
+
+    max_tokens = 64
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = F.transform(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(s)),
+            lambda s: s != F.lit(""),
+        ),
+        lambda s: F.concat(s, F.lit(".")),
+    )
+    chunks = sentence_budget_chunks_expr(F.col("text"), max_tokens)
+    staged = docs.select(
+        "doc_id",
+        sentences.alias("__sents"),
+        chunks.alias("__chunks"),
+    )
+    total = F.aggregate(
+        "__sents", F.lit(0), lambda a, s: a + bpe_token_count_expr(s)
+    )
+    within = F.forall(
+        "__chunks",
+        lambda c: (bpe_token_count_expr(c) <= F.lit(max_tokens))
+        | (F.instr(c, " ") == 0),
+    )
+    coverage = F.array_join("__chunks", " ") == F.array_join("__sents", " ")
+    return staged.select(
+        "doc_id",
+        total.cast("int").alias("total_tokens"),
+        within.alias("within_budget"),
+        coverage.alias("coverage_exact"),
+    )
+
+
 def q_dual_role_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: normalize -> stub-label -> top providers per
     sector (W1 over L1 output), over the committed fixture parquet.
@@ -2108,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split_docs": q_cluster_safe_split,
         "domain_mix_temperature": q_domain_mix_temperature,
         "shard_pack_documents": q_shard_pack,
+        "sentence_budget_chunks": q_sentence_budget_chunks,
     }
 
 
@@ -2637,6 +2689,36 @@ def _bpe_token_count_sql() -> str:
                GREATEST(CAST(FLOOR(LENGTH(text) / 4) AS BIGINT), 1)
                    AS est_tokens_chars4
         FROM documents
+    """
+
+
+def _sentence_budget_chunks_sql() -> str:
+    """Oracle twin of q_sentence_budget_chunks: recompute the per-doc
+    token total from the SAME sentence construction (trim-split on '.',
+    drop empties, re-append '.') and the SAME shared BPE pattern, and
+    pin the two engine-computed fold invariants TRUE. The fold itself
+    (chunk boundaries) is not SQL-replayable; its semantics are pinned
+    by the Python-reference property test."""
+    from bigdata_cookbook_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(
+                       LIST_FILTER(
+                           LIST_TRANSFORM(STRING_SPLIT(text, '.'), x -> TRIM(x)),
+                           x -> x <> ''),
+                       x -> x || '.') AS sents
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(sents,
+                   x -> LEN(REGEXP_EXTRACT_ALL(LOWER(x), '{pat}')))), 0) AS INT)
+                   AS total_tokens,
+               TRUE AS within_budget,
+               TRUE AS coverage_exact
+        FROM s
     """
 
 
@@ -3398,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
         "dual_role_workflow": _dual_role_sql(),
         "neardup_canonical_clusters": _neardup_clusters_sql(),
         "cluster_safe_split_docs": _cluster_safe_split_sql(),
+        "sentence_budget_chunks": _sentence_budget_chunks_sql(),
         "comention_parts": """
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS weight
             FROM lineitem a JOIN lineitem b

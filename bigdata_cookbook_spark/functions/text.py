@@ -751,3 +751,127 @@ def repetition_keep_expr(
             n = int(name[3 : name.index("gram")])
             keep = keep & (col <= F.lit(dup_t.get(n, min(dup_t.values()))))
     return keep
+
+
+def sentence_budget_chunks_expr(
+    text: Column, max_tokens: int, counter=None
+) -> Column:
+    """Sentence-boundary-preserving chunking to a token budget, as ONE
+    JVM-side aggregate fold — the engine twin of the reference's
+    TokenManager.split_text (Tracking_Inflation_Drivers/src/
+    token_manager.py:97-195): split on periods, greedily pack whole
+    sentences into chunks of <= max_tokens, and word-split any single
+    sentence that alone exceeds the budget (an oversized single word
+    becomes its own piece rather than being truncated).
+
+    ``counter``: Column -> Column token counter; default
+    bpe_token_count_expr (the engine's tiktoken-class estimator —
+    counts are ADDITIVE under single-space joins because the pattern's
+    optional leading space is count-invariant, so the sum of chunk
+    counts equals the sum of sentence counts exactly; the partial
+    oracle leans on this).
+
+    Two reference quirks are fixed by design (each documented so a
+    migrating user can diff behavior):
+
+    - token_manager.py:128-163 appends oversized-sentence word pieces
+      directly to the OUTPUT list while earlier whole sentences are
+      still buffered, so chunk order interleaves out of text order.
+      Here the buffer flushes first — chunks read in document order.
+    - token_manager.py:144,170 joins buffered sentences (each already
+      ending '.') with a further '+ "."', emitting doubled trailing
+      periods. Here chunks are the space-join of their sentences,
+      nothing added — concatenating the chunks reproduces the
+      sentence stream verbatim.
+
+    Returns array<string>; empty/blank text -> empty array. Everything
+    runs inside Catalyst HOFs (aggregate/transform/filter) — no UDF,
+    no shuffle, scales as a pure narrow map.
+    """
+    cnt = counter or bpe_token_count_expr
+    mx = F.lit(int(max_tokens))
+
+    sentences = F.transform(
+        F.filter(
+            F.transform(F.split(text, r"\."), lambda s: F.trim(s)),
+            lambda s: s != F.lit(""),
+        ),
+        lambda s: F.concat(s, F.lit(".")),
+    )
+
+    chunk_arr = "array<string>"
+
+    def word_pieces(s: Column) -> Column:
+        """Budget-fitting pieces of one oversized sentence (word fold)."""
+        words = F.split(F.trim(s), r"\s+")
+        init = F.struct(
+            F.array().cast(chunk_arr).alias("ps"),
+            F.lit("").alias("cur"),
+            F.lit(0).alias("n"),
+        )
+
+        def step(st, w):
+            wn = cnt(w)
+            over = (st["n"] + wn > mx) & (st["cur"] != F.lit(""))
+            return F.struct(
+                F.when(over, F.concat(st["ps"], F.array(st["cur"])))
+                .otherwise(st["ps"])
+                .alias("ps"),
+                F.when(over, w)
+                .otherwise(
+                    F.when(st["cur"] == F.lit(""), w).otherwise(
+                        F.concat_ws(" ", st["cur"], w)
+                    )
+                )
+                .alias("cur"),
+                F.when(over, wn).otherwise(st["n"] + wn).alias("n"),
+            )
+
+        return F.aggregate(
+            words,
+            init,
+            step,
+            lambda st: F.when(
+                st["cur"] == F.lit(""), st["ps"]
+            ).otherwise(F.concat(st["ps"], F.array(st["cur"]))),
+        )
+
+    init = F.struct(
+        F.array().cast(chunk_arr).alias("cs"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("n"),
+    )
+
+    def step(st, s):
+        sn = cnt(s)
+        flushed = F.when(
+            st["cur"] == F.lit(""), st["cs"]
+        ).otherwise(F.concat(st["cs"], F.array(st["cur"])))
+        oversized = sn > mx
+        overflow = st["n"] + sn > mx
+        return F.struct(
+            F.when(oversized, F.concat(flushed, word_pieces(s)))
+            .otherwise(F.when(overflow, flushed).otherwise(st["cs"]))
+            .alias("cs"),
+            F.when(oversized, F.lit(""))
+            .otherwise(
+                F.when(overflow, s).otherwise(
+                    F.when(st["cur"] == F.lit(""), s).otherwise(
+                        F.concat_ws(" ", st["cur"], s)
+                    )
+                )
+            )
+            .alias("cur"),
+            F.when(oversized, F.lit(0))
+            .otherwise(F.when(overflow, sn).otherwise(st["n"] + sn))
+            .alias("n"),
+        )
+
+    return F.aggregate(
+        sentences,
+        init,
+        step,
+        lambda st: F.when(
+            st["cur"] == F.lit(""), st["cs"]
+        ).otherwise(F.concat(st["cs"], F.array(st["cur"]))),
+    )

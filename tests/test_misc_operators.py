@@ -1118,3 +1118,87 @@ def test_domain_mix_temperature_rejects_null_domains(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         domain_mix_temperature(df, "source", "doc_id", alpha=0.5)
+
+
+def _split_text_py(text, max_tokens, count):
+    """Python reference of sentence_budget_chunks_expr's semantics (the
+    reference algorithm with its two documented quirks fixed: flush
+    before word-splitting, no doubled trailing periods)."""
+    sentences = [s.strip() + "." for s in text.split(".") if s.strip()]
+    chunks, cur, n = [], "", 0
+    for s in sentences:
+        sn = count(s)
+        if sn > max_tokens:
+            if cur:
+                chunks.append(cur)
+                cur, n = "", 0
+            pw, pn = "", 0
+            for w in s.split():
+                wn = count(w)
+                if pn + wn > max_tokens and pw:
+                    chunks.append(pw)
+                    pw, pn = w, wn
+                else:
+                    pw = w if not pw else pw + " " + w
+                    pn += wn
+            if pw:
+                chunks.append(pw)
+        elif n + sn > max_tokens:
+            chunks.append(cur)
+            cur, n = s, sn
+        else:
+            cur = s if not cur else cur + " " + s
+            n += sn
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def test_sentence_budget_chunks_matches_python_reference(spark):
+    """The aggregate-fold chunker reproduces the Python reference on
+    hand cases + a deterministic batch of varied texts; every chunk
+    fits the budget (or is a single oversized word piece), order is
+    document order, and concatenating chunks reproduces the sentence
+    stream (the two reference quirks fixed by design)."""
+    import re as _re
+
+    from bigdata_cookbook_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        sentence_budget_chunks_expr,
+    )
+
+    def count(s):
+        return len(_re.findall(BPE_TOKEN_PATTERN, s.lower()))
+
+    texts = [
+        "the cat sat. the dog ran. a very long sentence with many many words here goes on. end.",
+        "",
+        "   ",
+        "no period at all just words",
+        "x. " * 30,
+        "supercalifragilistic. tiny.",
+        "one two three four five six seven eight nine ten eleven twelve.",
+        "a. b. c. d. e. f. g. h.",
+        "word " * 50 + ".",
+        "Mixed CASE Sentences. With, punctuation! inside. ok.",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for mx in (5, 8, 20):
+        got = {
+            r["id"]: r["chunks"]
+            for r in df.select(
+                "id", sentence_budget_chunks_expr(F.col("text"), mx).alias("chunks")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = _split_text_py(t, mx, count)
+            assert got[i] == want, (mx, t, got[i], want)
+            # every chunk within budget unless it is a lone word piece
+            for c in want:
+                assert count(c) <= mx or " " not in c
+            # coverage: chunk concatenation == sentence stream
+            sent_stream = " ".join(
+                s.strip() + "." for s in t.split(".") if s.strip()
+            )
+            assert " ".join(want) == sent_stream
