@@ -2000,13 +2000,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     HEADLINE set. The tail entries all have green driver rows on record
     and stay continuously checked by tools/verify_local.py.
 
-    Rotation plan (next two displacements, round-7+): the next new
-    entry displaces token_window_chunks (double-green r04+r05; the
-    packing family stays pinned in-window by token_pack_buckets); the
-    one after displaces pii_redaction (double-green r04+r05; the
-    text-transform family stays pinned by token_quality + lang_id).
-    Entries are eligible for displacement only with hash-green rows in
-    TWO past CORRECTNESS rounds."""
+    Rotation plan (round 7): the four round-6 tail entries rotate into
+    the scored window in this order, each displacing a double-green
+    row (hash-green in TWO past CORRECTNESS rounds — the eligibility
+    rule): cluster_safe_split_docs over token_window_chunks (packing
+    family stays pinned by token_pack_buckets), sentence_budget_chunks
+    over pii_redaction (text-transform family stays pinned by
+    token_quality + lang_id), domain_mix_temperature over
+    benchmark_contamination (contamination has r04+r05 rows; the mixing
+    family doubles up in-window during the swap round),
+    shard_pack_documents over char_bigram_perplexity (LM-quality family
+    stays pinned by gopher_repetition + token_quality)."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
