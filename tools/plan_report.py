@@ -86,6 +86,8 @@ EXCHANGE_CEILINGS = {
     # partition-count running-sum window). 5 exchanges, none carrying
     # more than id+bytes per row — see pack_shards' scale contract.
     "shard_pack_documents": 5,
+    # round 6: pure narrow map (HOF fold over a pruned 2-column scan)
+    "sentence_budget_chunks": 0,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -279,6 +281,8 @@ def main() -> None:
         "cluster_safe_split_docs",
         "shard_pack_documents",
         "domain_mix_temperature",
+        # scan-only aggregate fold (sentence chunking): zero exchanges
+        "sentence_budget_chunks",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
