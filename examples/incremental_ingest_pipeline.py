@@ -7,14 +7,20 @@ on:
     exact-Jaccard verified) -> decontamination vs a held-out eval set
     -> semantic dedup (vs SRP embedding state)
 
-Two document batches are spooled as files and drained one per
+Three document batches are spooled as files and drained one per
 micro-batch through streaming_corpus_clean (foreachBatch over
 Structured Streaming). Each batch signs in against five append-only
 parquet state tables (seen_hashes / shingles / buckets / spans /
 embeddings) whose per-batch deltas land under ingest_batch=<id>
 directories — the crash-replay-safe discipline of
-streaming/pipeline.py. A third drain pass demonstrates replay safety:
-no new files, no state growth, nothing re-kept.
+streaming/pipeline.py. A further drain pass demonstrates replay
+safety: no new files, no state growth, nothing re-kept. Finally the
+NIGHTLY MAINTENANCE step runs with the stream quiesced
+(streaming.maintenance.maintain_state, keep_last=1): the two older
+deltas of every state table consolidate into one directory, the
+newest stays intact for crash replay, the pinned SRP plane count is
+staleness-checked, and the example asserts state CONTENT is preserved
+exactly through the consolidation.
 
 Outputs under <out_dir>:
 
@@ -39,7 +45,21 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
-MID = 250  # doc_id split between the two ingest batches
+# three ingest batches by doc_id range (sf0.001 corpus = ids 0..499)
+BATCH_RANGES = [(0, 170), (170, 340), (340, 500)]
+
+
+def _state_rows(spark: SparkSession, path: str) -> set[tuple]:
+    """Content snapshot of one state table, ignoring which delta a row
+    lives in (ingest_batch changes when deltas merge; rows must not)."""
+
+    def h(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return {
+        tuple(h(v) for v in r)
+        for r in spark.read.parquet(path).drop("ingest_batch").collect()
+    }
 
 
 def main(spark: SparkSession, out_dir: str) -> dict:
@@ -57,15 +77,17 @@ def main(spark: SparkSession, out_dir: str) -> dict:
     eval_df = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
 
     # spool: one file per ingest batch, drained in order (the stand-in
-    # for a message queue / landing bucket)
+    # for a message queue / landing bucket). Three batches so the
+    # maintenance pass below has something to consolidate (keep_last=1
+    # preserves the newest; the older two merge into one delta).
     spool = os.path.join(out_dir, "spool")
     os.makedirs(spool, exist_ok=True)
-    docs.filter(F.col("doc_id") <= MID).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(spool, "f1"))
-    docs.filter(F.col("doc_id") > MID).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(spool, "f2"))
+    for i, (lo, hi) in enumerate(BATCH_RANGES, start=1):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(spool, f"f{i}")
+        )
 
     stream = (
         spark.readStream.schema(
@@ -93,7 +115,8 @@ def main(spark: SparkSession, out_dir: str) -> dict:
         eval_df=eval_df,
         **stages,
     )
-    if not q.awaitTermination(300):
+    # three micro-batches with every stage on: ~2-4 min under CI load
+    if not q.awaitTermination(720):
         raise RuntimeError("stream did not drain")
 
     kept = spark.read.parquet(kept_dir)
@@ -101,7 +124,7 @@ def main(spark: SparkSession, out_dir: str) -> dict:
     n_kept = kept.count()
 
     # replay safety: draining again (same spool, same checkpoint) adds
-    # nothing — the checkpoint says both files are processed
+    # nothing — the checkpoint says all three files are processed
     q2 = streaming_corpus_clean(
         stream,
         state_dir=state,
@@ -110,27 +133,34 @@ def main(spark: SparkSession, out_dir: str) -> dict:
         eval_df=eval_df,
         **stages,
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination(240)
     assert spark.read.parquet(kept_dir).count() == n_kept
 
-    # parity: the batch-callable chain over the same two batches yields
-    # the same kept ids (the foreachBatch sink is just plumbing)
-    b1 = docs.filter(F.col("doc_id") <= MID)
-    b2 = docs.filter(F.col("doc_id") > MID)
-    r1 = incremental_corpus_clean(b1, eval_df=eval_df, **stages)
-    r2 = incremental_corpus_clean(
-        b2,
-        seen_hashes=r1["new_hashes"],
-        shingle_state=r1["new_shingles"],
-        bucket_state=r1["new_buckets"],
-        span_state=r1["new_spans"],
-        srp_state=r1["new_embeddings"],
-        eval_df=eval_df,
-        **stages,
-    )
-    want = {r.doc_id for r in r1["kept"].select("doc_id").collect()} | {
-        r.doc_id for r in r2["kept"].select("doc_id").collect()
-    }
+    # parity: the batch-callable chain over the same three batches
+    # yields the same kept ids (the foreachBatch sink is just plumbing)
+    want: set[int] = set()
+    chain_state: dict = {}
+    delta_keys = [
+        ("seen_hashes", "new_hashes"),
+        ("shingle_state", "new_shingles"),
+        ("bucket_state", "new_buckets"),
+        ("span_state", "new_spans"),
+        ("srp_state", "new_embeddings"),
+    ]
+    for lo, hi in BATCH_RANGES:
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        r = incremental_corpus_clean(b, eval_df=eval_df, **chain_state, **stages)
+        want |= {row.doc_id for row in r["kept"].select("doc_id").collect()}
+        # the new_* outputs are per-batch DELTAS: the chain's state is
+        # the running union (exactly what the parquet state dirs hold).
+        # localCheckpoint cuts the lineage — without it batch N's plan
+        # re-executes every earlier batch's whole cleaning chain per
+        # state reference (measured 3x the wall-clock at three batches).
+        for param, out_key in delta_keys:
+            prev = chain_state.get(param)
+            chain_state[param] = (
+                r[out_key] if prev is None else prev.unionByName(r[out_key])
+            ).localCheckpoint()
     got = {r.doc_id for r in kept.select("doc_id").collect()}
     assert got == want, "streaming kept set != batch-callable chain"
 
@@ -145,9 +175,31 @@ def main(spark: SparkSession, out_dir: str) -> dict:
         .collect()
     }
 
+    # nightly maintenance (stream quiesced — both drains terminated):
+    # consolidate each state table's per-batch deltas into one delta +
+    # the newest (keep_last=1, the crash-replay guard), with the
+    # pinned plane count checked for staleness. Content must be
+    # preserved exactly: the audit trail and every future batch's
+    # dedup decisions read the same rows afterward.
+    from bigdata_cookbook_spark.streaming.maintenance import maintain_state
+
+    pre_rows = {
+        t: _state_rows(spark, os.path.join(state, t))
+        for t in sorted(os.listdir(state))
+    }
+    maint = maintain_state(
+        spark, state, keep_last=1, semantic_n_planes=stages["semantic_n_planes"]
+    )
+    for t, rows in pre_rows.items():
+        assert _state_rows(spark, os.path.join(state, t)) == rows, t
+
     summary = {
         "batches": n_batches,
         "kept": n_kept,
+        "maintenance": {
+            t: {"merged": m["merged"], "files_after": m["files_after"]}
+            for t, m in sorted(maint.items())
+        },
         "state_tables": sorted(os.listdir(state)),
         "per_batch_kept": {
             str(r.ingest_batch): r.n

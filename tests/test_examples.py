@@ -83,7 +83,7 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
 
     paths = iex.main(spark, str(tmp_path / "run"))
     s = json.load(open(paths["summary"], encoding="utf-8"))
-    assert s["batches"] == 2 and s["kept"] > 0
+    assert s["batches"] == 3 and s["kept"] > 0
     assert s["parity_vs_batch_chain"] is True
     assert set(s["state_tables"]) == {
         "seen_hashes", "shingles", "buckets", "spans", "embeddings",
@@ -93,7 +93,8 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
     # partition the batch's docs
     total_dropped = sum(s["drop_audit"].values())
     assert s["kept"] + total_dropped == 500  # sf0.001 corpus
-    # every state table carries one delta dir per batch
+    # post-maintenance layout: the two older deltas merged into one,
+    # the newest preserved for crash replay -> exactly 2 dirs per table
     for t in s["state_tables"]:
         dirs = [
             d
@@ -101,6 +102,10 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
             if d.startswith("ingest_batch=")
         ]
         assert len(dirs) == 2, t
+    # the maintenance stats made it into the summary (content-equality
+    # through consolidation is asserted inside the example itself)
+    assert set(s["maintenance"]) == set(s["state_tables"])
+    assert any(m["merged"] >= 2 for m in s["maintenance"].values())
 
 
 def test_election_network_monitor_example_runs_and_is_byte_stable(spark, tmp_path):
