@@ -1726,6 +1726,46 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, ["doc_id"], "n_bytes", shard_bytes=32768)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup
+    (operators/corpus.paragraph_dedup — the Dolma/CCNet paragraph-hash
+    pass; within-doc complement is line_dedup, cross-doc n-gram spans
+    are span_dedup). The synthetic corpus has no newlines, so the query
+    PLANTS a paragraph structure both engines build with the same
+    expression: para1 = 'BOILERPLATE-' || source (shared by every doc
+    of that source — the skewed repeated-footer case the operator
+    exists for), para2 = first 60 chars, para3 = rest. Keeper = lowest
+    (doc_id, pos) corpus-wide; sub-min_chars paragraphs (here: the
+    empty third para of short docs) are formatting, always kept.
+    Full value oracle: window row_number over the paragraph key."""
+    from bigdata_cookbook_spark.operators.corpus import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    syn = F.concat(
+        F.lit("BOILERPLATE-"),
+        F.col("source"),
+        F.lit("\n"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("\n"),
+        F.expr("substring(text, 61)"),
+    )
+    planted = docs.select("doc_id", syn.alias("text"))
+    return paragraph_dedup(planted, min_chars=1)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF
+    (operators/retrieval.tfidf_top_terms — corpus-aware keyword
+    extraction; same analyzer as the BM25 tier, same sklearn
+    smooth-idf formula, term-ascending tiebreak so top-k is
+    total-ordered). Full value oracle: identical CTE chain in DuckDB
+    with the shared [^\\pL\\pN]+ analyzer split."""
+    from bigdata_cookbook_spark.operators.retrieval import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (operators/dedup.contamination_pairs):
     flag training docs whose 8-gram set contains >= 30% of an eval doc's
@@ -2164,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_temperature": q_domain_mix_temperature,
         "shard_pack_documents": q_shard_pack,
         "sentence_budget_chunks": q_sentence_budget_chunks,
+        "paragraph_dedup": q_paragraph_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3485,6 +3527,72 @@ def oracle_sql() -> dict[str, str]:
         "neardup_canonical_clusters": _neardup_clusters_sql(),
         "cluster_safe_split_docs": _cluster_safe_split_sql(),
         "sentence_budget_chunks": _sentence_budget_chunks_sql(),
+        "paragraph_dedup": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       'BOILERPLATE-' || source || chr(10)
+                           || substr(text, 1, 60) || chr(10)
+                           || substr(text, 61) AS syn
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       unnest(string_split(syn, chr(10))) AS para,
+                       generate_subscripts(string_split(syn, chr(10)), 1) AS pos
+                FROM s
+            ), k AS (
+                SELECT doc_id, para, pos,
+                       (LENGTH(para) < 1) OR (row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos) = 1
+                       ) AS keep
+                FROM u
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY pos) AS text_deduped,
+                       CAST(count(*) AS INT) AS n_paras_kept
+                FROM k WHERE keep GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id,
+                       CAST(LEN(string_split(syn, chr(10))) AS INT) AS n_paras_total
+                FROM s
+            )
+            SELECT t.doc_id,
+                   coalesce(a.text_deduped, '') AS text_deduped,
+                   t.n_paras_total,
+                   coalesce(a.n_paras_kept, 0) AS n_paras_kept
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "tfidf_top_terms": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LIST_FILTER(
+                           STRING_SPLIT_REGEX(LOWER(text), '[^\pL\pN]+'),
+                           x -> x <> ''
+                       ) AS toks
+                FROM documents
+            ),
+            h AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM h GROUP BY 1, 2
+            ),
+            dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       ROUND(tf.tf * (LN((s.n + 1.0) / (d.df + 1.0)) + 1.0),
+                             4) AS score
+                FROM tf JOIN dfx d USING (term) CROSS JOIN stats s
+            ),
+            ranked AS (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(rank AS INT) AS rank, tf, score
+            FROM ranked WHERE rank <= 3
+        """,
         "comention_parts": """
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS weight
             FROM lineitem a JOIN lineitem b

@@ -658,3 +658,100 @@ def span_dedup_incremental(
         F.col("__k").alias("span_hash"), F.col("__s").alias("span")
     )
     return {"rewritten": rewritten, "new_spans": new_spans}
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the Dolma / CCNet
+    paragraph-hash pass; reference has no corpus-wide text dedup at all
+    — its notebooks dedup rows by id only, e.g.
+    Thematic_Screener/src/utils.py drop_duplicates — so this is part of
+    the declared training-data extension tier): split each document
+    into paragraphs on ``sep``, keep only the FIRST corpus-wide
+    occurrence of every distinct paragraph (first = lexicographically
+    smallest (id, position)), and reassemble each document from its
+    surviving paragraphs in original order.
+
+    Paragraphs shorter than ``min_chars`` are NOT dedup candidates —
+    they are always kept (empty lines and one-character separators are
+    formatting, not boilerplate; collapsing every blank line in the
+    corpus to one would destroy document structure). Eligibility is a
+    function of the paragraph text alone, so a keeper group is never
+    split across eligible/ineligible rows.
+
+    Returns one row per input document:
+    (id, text_deduped, n_paras_total, n_paras_kept) — empty string if
+    every paragraph was removed; the count columns are the audit trail.
+
+    Scale shape (same keeper pattern as span_dedup, NOT a window):
+    boilerplate paragraphs are precisely the skewed keys this operator
+    exists for (a site footer can occur in millions of documents), and
+    a window over the paragraph key would put every occurrence in one
+    partition. groupBy gets map-side partial aggregation instead — the
+    min-(id,pos) struct collapses per input partition before the
+    shuffle, so a million-occurrence footer ships one candidate row per
+    map task, not a million rows to one reducer. Identity is
+    (xxhash64, text) exactly as in span_dedup: the hash drives
+    partitioning, carrying the text alongside costs nothing and makes
+    64-bit collisions harmless at 100-TB paragraph counts.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)  # F.split takes a regex; sep is a literal
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "para"),
+    )
+    eligible = paras.where(F.length("para") >= min_chars)
+    keeper = eligible.groupBy(
+        F.xxhash64("para").alias("__k"), F.col("para").alias("__p")
+    ).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("__first")
+    )
+    # left join: ineligible paragraphs never match (keeper is built from
+    # eligible rows and eligibility depends only on the text) -> null
+    # __first -> always kept. Eligible rows always match -> kept iff
+    # they ARE the corpus-wide first occurrence.
+    kept = (
+        paras.join(
+            keeper,
+            (F.xxhash64(F.col("para")) == F.col("__k"))
+            & (F.col("para") == F.col("__p")),
+            "left",
+        )
+        .where(
+            F.col("__first").isNull()
+            | (
+                (F.col(id_col) == F.col("__first.i"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+        .select(id_col, "pos", "para")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count("*").cast("int").alias("n_paras_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat)).alias("n_paras_total"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_paras_total",
+        F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+    )

@@ -227,3 +227,72 @@ def rrf_fuse(
     ]
     allc = reduce(lambda a, b: a.unionByName(b), parts)
     return allc.groupBy(id_col).agg(F.round(F.sum("__c"), round_to).alias("rrf"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    tokenize=analyzer_tokens_expr,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF — the standard
+    per-document keyword extraction (reference analogue: the keyword /
+    theme surfacing in Tracking_Inflation_Drivers/src/token_manager.py
+    and the Election monitor's topic summaries, which rank raw counts;
+    IDF weighting is the extension that makes the ranking corpus-aware).
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1), rounded to ``round_to``
+    (sklearn's smooth-idf formula — public knowledge; deterministic
+    across engines because tf/N/df are exact integers and the rounding
+    is pinned). Ties broken by term ascending, so top-k is total-ordered.
+
+    Output: (id_col, term, rank, tf, score), rank 1..k per document.
+    Documents with no analyzed tokens emit no rows.
+
+    Scale shape: explode -> groupBy (doc, term) [map-side combine does
+    the tf counting before the shuffle] -> df per term via a SECOND
+    groupBy on term over the already-collapsed (doc, term) pairs (far
+    smaller than the raw token stream) -> sort-merge join back on term
+    (vocabulary scales with the corpus, so no broadcast assumption) ->
+    corpus N from a one-row broadcast aggregate -> per-doc top-k window.
+    Every shuffle key (term, doc) is high-cardinality; natural-language
+    term skew ("the") is absorbed by the map-side combines on both
+    groupBys — the join sees each term once per document, and AQE
+    handles residual join skew.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.col("__df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tf", "score")
+    )

@@ -1202,3 +1202,90 @@ def test_sentence_budget_chunks_matches_python_reference(spark):
                 s.strip() + "." for s in t.split(".") if s.strip()
             )
             assert " ".join(want) == sent_stream
+
+
+def test_paragraph_dedup_cross_doc_keeper_and_min_chars(spark):
+    """Corpus-wide first occurrence (lowest (id, pos)) survives; later
+    occurrences drop; sub-min_chars paragraphs are always kept; a doc
+    whose every eligible paragraph was seen earlier reassembles to the
+    formatting-only remainder (here: a trailing empty line)."""
+    from bigdata_cookbook_spark.operators.corpus import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\nalpha beta\n"),
+            (2, "FOOTER\ngamma\n"),
+            (3, "FOOTER\nalpha beta\n"),
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert rows[1]["text_deduped"] == "FOOTER\nalpha beta\n"
+    assert (rows[1]["n_paras_total"], rows[1]["n_paras_kept"]) == (3, 3)
+    # doc 2: FOOTER already owned by doc 1; gamma + empty tail survive
+    assert rows[2]["text_deduped"] == "gamma\n"
+    assert rows[2]["n_paras_kept"] == 2
+    # doc 3: both eligible paras are repeats -> only the ineligible
+    # empty tail remains, which joins to the empty string
+    assert rows[3]["text_deduped"] == ""
+    assert (rows[3]["n_paras_total"], rows[3]["n_paras_kept"]) == (3, 1)
+    assert rows[4]["text_deduped"] == "solo"
+
+
+def test_paragraph_dedup_within_doc_repeat_and_sep_literal(spark):
+    """A paragraph repeated WITHIN one doc keeps only its first
+    position, and a regex-meaningful separator ('|') is treated as a
+    literal on both the split and join sides."""
+    from bigdata_cookbook_spark.operators.corpus import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "dup|dup|tail")], ["doc_id", "text"]
+    )
+    (r,) = paragraph_dedup(docs, sep="|").collect()
+    assert r["text_deduped"] == "dup|tail"
+    assert (r["n_paras_total"], r["n_paras_kept"]) == (3, 2)
+
+
+def test_tfidf_top_terms_formula_and_tiebreak(spark):
+    """score = tf * (ln((N+1)/(df+1)) + 1) rounded to 4; analyzer
+    case-folds and strips punctuation; equal scores break ties by term
+    ascending so the top-k is total-ordered."""
+    import math
+
+    from bigdata_cookbook_spark.operators.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "Spark, spark WINDOW merge"), (2, "window window rare")],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: spark tf=2 df=1 -> 2*(ln(3/2)+1); merge tf=1 df=1; window
+    # tf=1 df=2 -> ln(1)+1 = 1.0
+    assert [r["term"] for r in by_doc[1]] == ["spark", "merge", "window"]
+    assert by_doc[1][0]["score"] == round(2 * (math.log(3 / 2) + 1), 4)
+    assert by_doc[1][2]["score"] == 1.0
+    # doc 2: window tf=2 -> 2.0 beats rare 1.4055
+    assert [r["term"] for r in by_doc[2]] == ["window", "rare"]
+    # ranks are 1..k dense per doc
+    assert [r["rank"] for r in by_doc[1]] == [1, 2, 3]
+
+
+def test_tfidf_top_terms_empty_and_tie_order(spark):
+    """Docs with no analyzed tokens emit no rows; exact score ties
+    order by term ascending."""
+    from bigdata_cookbook_spark.operators.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "...!!!"), (2, "zeta alpha")], ["doc_id", "text"]
+    )
+    rows = tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank").collect()
+    assert all(r["doc_id"] == 2 for r in rows)
+    # both terms: tf=1, df=1 -> identical score; term-ascending tiebreak
+    assert [r["term"] for r in rows] == ["alpha", "zeta"]
