@@ -755,3 +755,106 @@ def paragraph_dedup(
         "n_paras_total",
         F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
     )
+
+
+def paragraph_dedup_incremental(
+    batch_docs: DataFrame,
+    para_state: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> dict[str, DataFrame]:
+    """Incremental twin of paragraph_dedup for continuous ingest: dedup
+    the BATCH's paragraphs against an append-only state of every
+    paragraph ever kept, without rescanning the corpus.
+
+    ``para_state`` is (para_hash, para) — hash for the join key, text
+    for collision-proof identity (same rule as the batch form and the
+    span-dedup family). Every batch occurrence of a state-seen
+    paragraph is removed; novel paragraphs keep their first in-batch
+    occurrence. Sub-``min_chars`` paragraphs are formatting: always
+    kept, never entered into the state. Under non-decreasing doc_id
+    ingest the union of per-batch rewrites equals paragraph_dedup over
+    the union of batches (parity-tested).
+
+    NOTE the join-rule difference from the batch form: there, a null
+    keeper match means "ineligible, keep". Here the state anti-join
+    ALSO removes keeper rows (a state-seen paragraph has no surviving
+    keeper), so a null match is ambiguous — eligible rows therefore go
+    through an INNER join to the surviving keepers and ineligible rows
+    are unioned back unconditionally.
+
+    Returns::
+
+        {"rewritten": (id, text_deduped, n_paras_total, n_paras_kept)
+                      — one row per batch doc (paragraph split always
+                      yields >= 1 row, so no doc vanishes),
+         "new_paras": (para_hash, para) DELTA to append to the state —
+                      the batch's novel keeper paragraphs only}
+
+    Scale: identical plan shape to paragraph_dedup plus one anti-join
+    of the batch's distinct paragraphs against the state keyed on the
+    hash — proportional to the batch, not the corpus; lay the state out
+    bucketed on para_hash (plans/layout.write_bucketed) and the
+    state-side shuffle disappears.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    paras = batch_docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "para"),
+    )
+    eligible = paras.where(F.length("para") >= min_chars)
+    keeper = eligible.groupBy(
+        F.xxhash64("para").alias("__k"), F.col("para").alias("__p")
+    ).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("__first")
+    )
+    if para_state is not None:
+        st = para_state.select(
+            F.col("para_hash").alias("__k"), F.col("para").alias("__p")
+        )
+        keeper = keeper.join(st, ["__k", "__p"], "left_anti")
+    kept_eligible = (
+        eligible.join(
+            keeper,
+            (F.xxhash64(F.col("para")) == F.col("__k"))
+            & (F.col("para") == F.col("__p")),
+        )
+        .where(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("pos") == F.col("__first.p"))
+        )
+        .select(id_col, "pos", "para")
+    )
+    kept = kept_eligible.unionByName(
+        paras.where(F.length("para") < min_chars).select(id_col, "pos", "para")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count("*").cast("int").alias("n_paras_kept"),
+    )
+    totals = batch_docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat)).alias("n_paras_total"),
+    )
+    rewritten = totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_paras_total",
+        F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+    )
+    new_paras = keeper.select(
+        F.col("__k").alias("para_hash"), F.col("__p").alias("para")
+    )
+    return {"rewritten": rewritten, "new_paras": new_paras}

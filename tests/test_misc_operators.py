@@ -1289,3 +1289,67 @@ def test_tfidf_top_terms_empty_and_tie_order(spark):
     assert all(r["doc_id"] == 2 for r in rows)
     # both terms: tf=1, df=1 -> identical score; term-ascending tiebreak
     assert [r["term"] for r in rows] == ["alpha", "zeta"]
+
+
+def test_paragraph_dedup_incremental_two_batch_parity(spark):
+    """Under non-decreasing doc_id ingest, the union of per-batch
+    rewrites equals paragraph_dedup over the union of batches, and the
+    state deltas are exactly the novel keeper paragraphs (formatting
+    rows below min_chars never enter the state)."""
+    from bigdata_cookbook_spark.operators.corpus import (
+        paragraph_dedup,
+        paragraph_dedup_incremental,
+    )
+
+    rows = [
+        (1, "FOOTER\nalpha beta\n"),
+        (2, "FOOTER\ngamma\n"),
+        (3, "FOOTER\nalpha beta\n"),
+        (4, "gamma\ndelta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {tuple(r) for r in paragraph_dedup(docs).collect()}
+
+    b1 = docs.filter(F.col("doc_id") <= 2)
+    b2 = docs.filter(F.col("doc_id") > 2)
+    r1 = paragraph_dedup_incremental(b1)
+    r2 = paragraph_dedup_incremental(b2, para_state=r1["new_paras"])
+    got = {tuple(r) for r in r1["rewritten"].collect()} | {
+        tuple(r) for r in r2["rewritten"].collect()
+    }
+    assert got == want
+    # state deltas: batch 1 owns FOOTER/alpha beta/gamma; batch 2 adds
+    # only delta; the empty formatting paragraph is in NEITHER delta
+    s1 = {r["para"] for r in r1["new_paras"].collect()}
+    s2 = {r["para"] for r in r2["new_paras"].collect()}
+    assert s1 == {"FOOTER", "alpha beta", "gamma"}
+    assert s2 == {"delta"}
+
+
+def test_paragraph_dedup_incremental_replay_and_reingest(spark):
+    """Crash-replay (same batch against the state WITHOUT its own
+    delta) recomputes identical rewrites and an identical delta; a
+    re-ingest of the same docs as a NEW batch against the state WITH
+    the delta drops every eligible paragraph and adds nothing."""
+    from bigdata_cookbook_spark.operators.corpus import (
+        paragraph_dedup_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "FOOTER\nalpha"), (2, "FOOTER\nbeta")], ["doc_id", "text"]
+    )
+    r1 = paragraph_dedup_incremental(docs)
+    replay = paragraph_dedup_incremental(docs)
+    assert {tuple(r) for r in replay["rewritten"].collect()} == {
+        tuple(r) for r in r1["rewritten"].collect()
+    }
+    assert {tuple(r) for r in replay["new_paras"].collect()} == {
+        tuple(r) for r in r1["new_paras"].collect()
+    }
+    reingest = paragraph_dedup_incremental(
+        docs, para_state=r1["new_paras"]
+    )
+    assert reingest["new_paras"].count() == 0
+    for r in reingest["rewritten"].collect():
+        assert r["text_deduped"] == ""
+        assert r["n_paras_kept"] == 0
