@@ -1,8 +1,8 @@
 """State-table lifecycle for the streaming capstone (round-6 VERDICT
 task 2).
 
-streaming_corpus_clean's five state tables (seen_hashes, shingles,
-buckets, spans, embeddings) plus the drop log grow one
+streaming_corpus_clean's six state tables (seen_hashes, shingles,
+buckets, paras, spans, embeddings) plus the drop log grow one
 ``ingest_batch=<id>`` parquet delta directory PER MICRO-BATCH, forever:
 a nightly-ingest deployment accretes hundreds of directories of
 KB-scale files within weeks, and every subsequent batch pays a task +
@@ -68,6 +68,7 @@ STATE_TABLES = (
     "seen_hashes",
     "shingles",
     "buckets",
+    "paras",
     "spans",
     "embeddings",
     "drops",

@@ -14,6 +14,8 @@ in against append-only state tables —
                   per-doc shingle count) of every exact-kept doc so far
                   (the pair SOURCE set of corpus_clean, which includes
                   near-dup losers — see parity note below),
+    paras         (paragraph mode) every paragraph ever kept
+                  corpus-wide (corpus.paragraph_dedup_incremental),
     spans         (span mode) every span ever kept corpus-wide
                   (corpus.span_dedup_incremental), and
     embeddings    (semantic mode) the SRP-bucketed vector of every doc
@@ -192,6 +194,8 @@ def incremental_corpus_clean(
     lsh_num_hashes: int = 12,
     lsh_band_size: int = 2,
     repetition_filter: bool = False,
+    paragraph_sep: str | None = None,
+    para_state: DataFrame | None = None,
     span_tokens: int | None = None,
     span_state: DataFrame | None = None,
     embeddings_df: DataFrame | None = None,
@@ -245,7 +249,13 @@ def incremental_corpus_clean(
     Round-5 optional stages (mirroring the batch capstone's
     pretraining_pipeline; both off by default):
 
-    - ``span_tokens`` runs C4-style duplicate-span removal FIRST
+    - ``paragraph_sep`` (round 6, e.g. ``"\\n"``) runs corpus-wide
+      paragraph dedup BEFORE every other stage
+      (corpus.paragraph_dedup_incremental vs the append-only
+      ``para_state`` of every paragraph ever kept) — structural
+      boilerplate is the coarsest duplication, so it goes first, the
+      same order as the batch capstone. Emits a ``new_paras`` delta.
+    - ``span_tokens`` runs C4-style duplicate-span removal next
       (corpus.span_dedup_incremental vs the append-only ``span_state``
       of every span ever kept), rewriting batch text before quality
       scoring — C4's order, so later token counts see the deduped
@@ -262,6 +272,33 @@ def incremental_corpus_clean(
     """
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
+
+    new_paras = None
+    if paragraph_sep is not None:
+        from bigdata_cookbook_spark.operators.corpus import (
+            paragraph_dedup_incremental,
+        )
+
+        pr = paragraph_dedup_incremental(
+            batch_docs, para_state, sep=paragraph_sep
+        )
+        batch_docs = (
+            batch_docs.drop("text")
+            .join(
+                pr["rewritten"].select(
+                    "doc_id", F.col("text_deduped").alias("text")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+        new_paras = pr["new_paras"]
 
     new_spans = None
     if span_tokens is not None:
@@ -395,6 +432,8 @@ def incremental_corpus_clean(
         "new_hashes": new_hashes,
         "new_shingles": new_shingles,
     }
+    if new_paras is not None:
+        out["new_paras"] = new_paras
     if new_spans is not None:
         out["new_spans"] = new_spans
     if new_buckets is not None:
@@ -497,6 +536,7 @@ def streaming_corpus_clean(
 
         {state_dir}/seen_hashes/ingest_batch=<id>/   novel text hashes
         {state_dir}/shingles/ingest_batch=<id>/      exact-kept shingle index
+        {state_dir}/paras/ingest_batch=<id>/         (paragraph_sep) novel keeper paragraphs
         {state_dir}/spans/ingest_batch=<id>/         (span_tokens) novel keeper spans
         {state_dir}/embeddings/ingest_batch=<id>/    (embeddings_df) SRP-bucketed vectors
         {state_dir}/drops/ingest_batch=<id>/         (stage, doc_id) drop log
@@ -522,6 +562,7 @@ def streaming_corpus_clean(
     hash_root = os.path.join(state_dir, "seen_hashes")
     shingle_root = os.path.join(state_dir, "shingles")
     bucket_root = os.path.join(state_dir, "buckets")
+    para_root = os.path.join(state_dir, "paras")
     span_root = os.path.join(state_dir, "spans")
     emb_root = os.path.join(state_dir, "embeddings")
     # roll forward any maintenance commit a crash left half-promoted:
@@ -532,10 +573,18 @@ def streaming_corpus_clean(
     # layout.py's writers run on entry; a no-op when nothing is pending.
     from bigdata_cookbook_spark.plans.layout import recover_pending
 
-    for root in (hash_root, shingle_root, bucket_root, span_root, emb_root):
+    for root in (
+        hash_root,
+        shingle_root,
+        bucket_root,
+        para_root,
+        span_root,
+        emb_root,
+    ):
         if os.path.isdir(root):
             recover_pending(root)
     lsh_mode = clean_kwargs.get("near_dup") == "lsh"
+    para_mode = clean_kwargs.get("paragraph_sep") is not None
     span_mode = clean_kwargs.get("span_tokens") is not None
     sem_mode = clean_kwargs.get("embeddings_df") is not None
     band_cols = ["doc_id", "band"] + [
@@ -551,6 +600,10 @@ def streaming_corpus_clean(
         if lsh_mode:
             clean_kwargs["bucket_state"] = _read_state(
                 spark, bucket_root, band_cols, batch_id
+            )
+        if para_mode:
+            clean_kwargs["para_state"] = _read_state(
+                spark, para_root, ["para_hash", "para"], batch_id
             )
         if span_mode:
             clean_kwargs["span_state"] = _read_state(
@@ -572,6 +625,10 @@ def streaming_corpus_clean(
         res["new_shingles"].write.mode("overwrite").parquet(
             os.path.join(shingle_root, f"ingest_batch={batch_id}")
         )
+        if para_mode:
+            res["new_paras"].write.mode("overwrite").parquet(
+                os.path.join(para_root, f"ingest_batch={batch_id}")
+            )
         if span_mode:
             res["new_spans"].write.mode("overwrite").parquet(
                 os.path.join(span_root, f"ingest_batch={batch_id}")

@@ -272,6 +272,7 @@ def pretraining_pipeline(
     n_curriculum_buckets: int = 8,
     with_accounting: bool = True,
     jaccard_df_cap: int | None = None,
+    paragraph_dedup_sep: str | None = None,
     span_dedup_tokens: int | None = None,
     repetition_filter: bool = False,
     embeddings_df: DataFrame | None = None,
@@ -281,15 +282,21 @@ def pretraining_pipeline(
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
-        [span dedup ->] quality filter [+ repetition rules]
+        [paragraph dedup ->] [span dedup ->] quality filter [+ repetition rules]
         -> exact dedup -> near-dup removal
         [-> decontaminate vs eval_df] [-> semantic dedup]
         [-> domain-mix resample]
         -> deterministic shuffle key + length-curriculum bucket
 
     Optional stages (all off by default, preserving the oracled
-    baseline shape): ``span_dedup_tokens`` rewrites document text
-    FIRST with C4-style duplicate-span removal (corpus.span_dedup) —
+    baseline shape): ``paragraph_dedup_sep`` (e.g. ``"\\n"``) rewrites
+    document text with corpus-wide paragraph dedup
+    (corpus.paragraph_dedup — the Dolma/CCNet boilerplate-footer pass)
+    BEFORE everything else: structural boilerplate is the coarsest
+    duplication, so removing it first keeps the span/token stages from
+    re-discovering the same footers window by window;
+    ``span_dedup_tokens`` rewrites document text
+    next with C4-style duplicate-span removal (corpus.span_dedup) —
     C4's order, so later token counts see the deduped text;
     ``repetition_filter`` adds the Gopher n-gram repetition rules to
     the quality stage (corpus_clean passthrough); ``embeddings_df``
@@ -340,6 +347,30 @@ def pretraining_pipeline(
     # re-run once per counted stage. Released before returning —
     # only ``clean``'s cache is handed to the caller.
     temp_caches = []
+
+    if paragraph_dedup_sep is not None:
+        from bigdata_cookbook_spark.operators.corpus import paragraph_dedup
+
+        para_rw = paragraph_dedup(docs, sep=paragraph_dedup_sep).select(
+            "doc_id", F.col("text_deduped").alias("text")
+        )
+        # paragraph_dedup emits a row per input doc, but the left join +
+        # coalesce keeps the blank-doc contract identical to the span
+        # stage: an emptied doc flows into the quality stage and is
+        # dropped + booked there
+        docs = (
+            docs.drop("text")
+            .join(para_rw, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+        if with_accounting:
+            docs = docs.persist()
+            temp_caches.append(docs)
 
     if span_dedup_tokens is not None:
         from bigdata_cookbook_spark.operators.corpus import span_dedup

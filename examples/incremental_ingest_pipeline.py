@@ -1,17 +1,18 @@
 """Runnable example: continuous-ingest corpus cleaning — the streaming
-twin of examples/pretraining_data_pipeline.py, with every round-5 stage
-on:
+twin of examples/pretraining_data_pipeline.py, with every optional
+stage on:
 
-    [span dedup vs span state] -> quality (+ Gopher repetition rules)
+    [paragraph dedup vs paragraph state]
+    -> [span dedup vs span state] -> quality (+ Gopher repetition rules)
     -> exact dedup (vs hash state) -> LSH near-dup (vs bucket state,
     exact-Jaccard verified) -> decontamination vs a held-out eval set
     -> semantic dedup (vs SRP embedding state)
 
 Three document batches are spooled as files and drained one per
 micro-batch through streaming_corpus_clean (foreachBatch over
-Structured Streaming). Each batch signs in against five append-only
-parquet state tables (seen_hashes / shingles / buckets / spans /
-embeddings) whose per-batch deltas land under ingest_batch=<id>
+Structured Streaming). Each batch signs in against six append-only
+parquet state tables (seen_hashes / shingles / buckets / paras /
+spans / embeddings) whose per-batch deltas land under ingest_batch=<id>
 directories — the crash-replay-safe discipline of
 streaming/pipeline.py. A further drain pass demonstrates replay
 safety: no new files, no state growth, nothing re-kept. Finally the
@@ -26,7 +27,7 @@ Outputs under <out_dir>:
 
     kept/ingest_batch=<id>/   per-batch survivors (the training corpus,
                               growing as ingest proceeds)
-    state/...                 the five state tables
+    state/...                 the six state tables
     summary.json              per-batch kept/drop accounting + the
                               parity check vs the batch-callable chain
 
@@ -73,6 +74,18 @@ def main(spark: SparkSession, out_dir: str) -> dict:
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # the synthetic corpus has no newlines; plant one boilerplate
+    # paragraph per source (the repeated-footer shape the paragraph
+    # stage exists for) so the stage has real work to do
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("BOILERPLATE-"),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+        ),
+    )
     emb = load_table(spark, SF_DIR, "embeddings")
     eval_df = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
 
@@ -102,6 +115,7 @@ def main(spark: SparkSession, out_dir: str) -> dict:
     ckpt = os.path.join(out_dir, "ckpt")
     stages = dict(
         near_dup="lsh",
+        paragraph_sep="\n",
         span_tokens=5,
         repetition_filter=True,
         embeddings_df=emb,
@@ -144,6 +158,7 @@ def main(spark: SparkSession, out_dir: str) -> dict:
         ("seen_hashes", "new_hashes"),
         ("shingle_state", "new_shingles"),
         ("bucket_state", "new_buckets"),
+        ("para_state", "new_paras"),
         ("span_state", "new_spans"),
         ("srp_state", "new_embeddings"),
     ]

@@ -4,7 +4,8 @@ optional stage on — the training-data tier's capstone
 sf0.001 testdata, writing the artifacts a data-engineering run hands
 off:
 
-    span dedup -> quality (+ Gopher repetition rules) -> exact dedup
+    paragraph dedup -> span dedup
+    -> quality (+ Gopher repetition rules) -> exact dedup
     -> near-dup removal -> decontamination vs a held-out eval set
     -> semantic dedup over embeddings -> domain-mix resample
     -> deterministic shuffle key + length-curriculum bucket
@@ -40,6 +41,17 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
 
     os.makedirs(out_dir, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents")
+    # plant one boilerplate paragraph per source (the synthetic corpus
+    # has no newlines) so the paragraph-dedup stage does real work
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("BOILERPLATE-"),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+        ),
+    )
     emb = load_table(spark, sf_dir, "embeddings")
 
     # held-out eval benchmark: a deterministic corpus slice stands in
@@ -49,6 +61,7 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
     out = pretraining_pipeline(
         docs,
         eval_df=eval_df,
+        paragraph_dedup_sep="\n",
         span_dedup_tokens=5,
         repetition_filter=True,
         embeddings_df=emb,

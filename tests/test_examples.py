@@ -86,8 +86,8 @@ def test_incremental_ingest_example_runs(spark, tmp_path):
     assert s["batches"] == 3 and s["kept"] > 0
     assert s["parity_vs_batch_chain"] is True
     assert set(s["state_tables"]) == {
-        "seen_hashes", "shingles", "buckets", "spans", "embeddings",
-        "drops",
+        "seen_hashes", "shingles", "buckets", "paras", "spans",
+        "embeddings", "drops",
     }
     # the streaming audit trail reconciles: every batch's kept + drops
     # partition the batch's docs

@@ -49,11 +49,23 @@ def _rows(spark, path: str) -> set[tuple]:
 
 @pytest.fixture(scope="module")
 def drained_state(spark, tmp_path_factory):
-    """A 3-batch streaming_corpus_clean run with span + semantic stages
-    on (all five state tables + drop log populated), drained clean."""
+    """A 3-batch streaming_corpus_clean run with paragraph + span +
+    semantic stages on (all six state tables + drop log populated),
+    drained clean."""
     tmp = tmp_path_factory.mktemp("maint")
     docs = load_table(spark, SF, "documents").select(
         "doc_id", "text", "lang", "source"
+    )
+    # planted per-source boilerplate gives the paragraph stage real
+    # cross-doc duplicates (the corpus itself has no newlines)
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("BOILERPLATE-"),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+        ),
     )
     emb = load_table(spark, SF, "embeddings")
     sample = docs.filter(F.col("doc_id") < 3000)
@@ -77,6 +89,7 @@ def drained_state(spark, tmp_path_factory):
         output_dir=str(tmp / "out"),
         checkpoint_dir=str(tmp / "ckpt"),
         near_dup="lsh",
+        paragraph_sep="\n",
         span_tokens=5,
         embeddings_df=emb,
         semantic_n_planes=4,
@@ -102,7 +115,7 @@ def test_maintain_state_bounds_dirs_preserves_content_and_next_batch(
     populated = [
         t for t in STATE_TABLES if os.path.isdir(os.path.join(state, t))
     ]
-    assert set(populated) == set(STATE_TABLES)  # all six in this run
+    assert set(populated) == set(STATE_TABLES)  # all seven in this run
     before = {t: _rows(spark, os.path.join(state, t)) for t in populated}
     for t in populated:
         assert len(_delta_dirs(os.path.join(state, t))) == 3
@@ -133,6 +146,8 @@ def test_maintain_state_bounds_dirs_preserves_content_and_next_batch(
             shingle_state=_read_state(spark, os.path.join(state_dir, "shingles"), ["doc_id", "shingle", "n_sh"]),
             near_dup="lsh",
             bucket_state=_read_state(spark, os.path.join(state_dir, "buckets"), band_cols),
+            paragraph_sep="\n",
+            para_state=_read_state(spark, os.path.join(state_dir, "paras"), ["para_hash", "para"]),
             span_tokens=5,
             span_state=_read_state(spark, os.path.join(state_dir, "spans"), ["span_hash", "span"]),
             embeddings_df=emb,

@@ -533,3 +533,75 @@ def test_incremental_all_stages_combined(spark, docs):
     # subset of exact's.
     assert _ids(r["dropped_neardup"]) <= _ids(exact["dropped_neardup"])
     assert kept_lsh and kept_exact
+
+
+def test_incremental_paragraph_two_batch_parity(spark, docs, eval_docs):
+    """Round-6 stage: two-batch ordered ingest with paragraph dedup
+    (state of every kept paragraph) + span dedup == the batch
+    pretraining_pipeline with the same stages on — kept payload AND
+    per-stage drop counts. Boilerplate is planted per source (the
+    repeated-footer shape), so the paragraph stage does real work in
+    both forms."""
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("BOILERPLATE-"),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+        ),
+    )
+    ref = pretraining_pipeline(
+        planted,
+        eval_df=eval_docs,
+        paragraph_dedup_sep="\n",
+        span_dedup_tokens=5,
+    )
+    want_clean = {tuple(r) for r in ref["clean"].collect()}
+    acc = {r.stage: r.n_dropped for r in ref["accounting"].collect()}
+    ref["clean"].unpersist()
+
+    mid = planted.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = planted.filter(F.col("doc_id") <= mid)
+    b2 = planted.filter(F.col("doc_id") > mid)
+    r1 = incremental_corpus_clean(
+        b1, eval_df=eval_docs, paragraph_sep="\n", span_tokens=5
+    )
+    assert "new_paras" in r1
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        eval_df=eval_docs,
+        paragraph_sep="\n",
+        para_state=r1["new_paras"],
+        span_tokens=5,
+        span_state=r1["new_spans"],
+    )
+    got_clean = {tuple(r) for r in r1["kept"].collect()} | {
+        tuple(r) for r in r2["kept"].collect()
+    }
+    assert got_clean == want_clean
+    for key in (
+        "dropped_quality",
+        "dropped_exact",
+        "dropped_neardup",
+        "dropped_contaminated",
+    ):
+        n = r1[key].count() + r2[key].count()
+        assert n == acc[key], (key, n, acc[key])
+    # the paragraph state carries (para_hash, para) and holds the
+    # planted boilerplate exactly once across both deltas
+    boiler1 = {
+        r["para"]
+        for r in r1["new_paras"].collect()
+        if r["para"].startswith("BOILERPLATE-")
+    }
+    boiler2 = {
+        r["para"]
+        for r in r2["new_paras"].collect()
+        if r["para"].startswith("BOILERPLATE-")
+    }
+    assert boiler1 and not (boiler1 & boiler2)

@@ -88,6 +88,17 @@ EXCHANGE_CEILINGS = {
     "shard_pack_documents": 5,
     # round 6: pure narrow map (HOF fold over a pruned 2-column scan)
     "sentence_budget_chunks": 0,
+    # round 6: keeper groupBy exchange + reassembly groupBy exchange;
+    # the keeper join and the totals join broadcast at gate scale (AQE
+    # picks SMJ at corpus scale — the keys are the exchanges already
+    # counted). The keeper groupBy's map-side combine is the operator's
+    # anti-skew contract.
+    "paragraph_dedup": 2,
+    # round 6: tf groupBy, df groupBy, the term join's two sides, and
+    # the per-doc top-k window; the corpus-N crossJoin is the one-row
+    # broadcast stats pattern (BM25's shape) — a BroadcastNestedLoopJoin
+    # over a single-row side, never fact-fact.
+    "tfidf_top_terms": 5,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -283,6 +294,11 @@ def main() -> None:
         "domain_mix_temperature",
         # scan-only aggregate fold (sentence chunking): zero exchanges
         "sentence_budget_chunks",
+        # round-6 additions: corpus-wide paragraph dedup (keeper
+        # groupBy must keep its map-side combine — the anti-skew
+        # property the operator exists for) and TF-IDF top-terms
+        "paragraph_dedup",
+        "tfidf_top_terms",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
