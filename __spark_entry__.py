@@ -1782,6 +1782,26 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, eval_df, n=8, threshold=0.3, broadcast_eval=False)
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/dedup.
+    bloom_contamination): identical semantics and output to
+    q_benchmark_contamination — the eval shingle set is first folded into
+    a <=2 MiB Bloom filter probed MAP-SIDE over the corpus shingles
+    (getbit into one array literal, zero joins), and only documents with
+    a might-match shingle enter the exact containment join. False
+    positives are removed by the exact verify; false negatives are
+    impossible, so this entry shares benchmark_contamination's value
+    oracle verbatim — the driver hash-checks that the prefilter changes
+    nothing but the plan."""
+    from bigdata_cookbook_spark.operators.dedup import bloom_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    return bloom_contamination(
+        docs, eval_df, n=8, threshold=0.3, broadcast_eval=False
+    )
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report per source/domain — the monitoring aggregate
     a training-data pipeline runs per ingest: volume, token-length and
@@ -2206,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_budget_chunks": q_sentence_budget_chunks,
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination_bloom": q_contamination_bloom,
     }
 
 
@@ -2931,7 +2952,7 @@ def _semantic_dedup_auto_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "line_dedup": """
             WITH s AS (
                 SELECT doc_id,
@@ -4039,3 +4060,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
     }
+    # the Bloom prefilter is exactness-preserving by construction (false
+    # positives verified away, false negatives impossible), so its oracle
+    # IS the exact tier's — shared by reference, not by copy, so the two
+    # can never drift
+    sql["contamination_bloom"] = sql["benchmark_contamination"]
+    return sql

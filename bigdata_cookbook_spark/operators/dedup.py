@@ -20,6 +20,8 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -233,6 +235,146 @@ def contamination_pairs(
     if exclude_self:
         out = out.filter(F.col("train_id") != F.col("eval_id"))
     return out
+
+
+@dataclass(frozen=True)
+class ShingleBloom:
+    """A Bloom filter over xxhash64(shingle) longs, held as a dense array
+    of ``m // 64`` bit-words. Driver-resident by contract: at the default
+    ``max_bits`` cap (2^24) the filter is at most 2 MiB — the same
+    bounded-collect contract as the SRP plane list (srp_planes)."""
+
+    words: tuple
+    m: int  # power-of-two bit count
+    k: int  # hash functions
+    n_items: int  # distinct shingles inserted
+
+
+def build_shingle_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits_per_item: int = 12,
+    n_hashes: int = 5,
+    max_bits: int = 1 << 24,
+) -> ShingleBloom:
+    """Build a Bloom filter of the eval set's word n-grams.
+
+    One pass over the (benchmark-sized, by the same contract as
+    contamination_pairs' broadcast default) eval side: distinct shingle
+    hashes -> k = ``n_hashes`` bit positions each (xxhash64 re-keyed by
+    the hash index, masked to the power-of-two ``m``) -> per-word bit
+    sets aggregated and OR-folded on the driver. ``m`` is sized at
+    ``bits_per_item`` bits per distinct shingle (capped at ``max_bits``;
+    12 bits/item at k=5 gives ~0.5% false positives, and saturating the
+    cap only degrades prefilter selectivity, never correctness)."""
+    sh = (
+        doc_shingles(eval_df, text_col, id_col, n, repartition=False)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    n_items = sh.count()
+    m = 2048
+    while m < min(max_bits, bits_per_item * max(n_items, 1)):
+        m <<= 1
+    pos = F.explode(
+        F.array(
+            *[
+                F.xxhash64(F.col("sh"), F.lit(i)).bitwiseAND(F.lit(m - 1))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("p")
+    rows = (
+        sh.select(pos)
+        .select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+            F.col("p").bitwiseAND(F.lit(63)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.collect_set("b").alias("bs"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        acc = 0
+        for b in r["bs"]:
+            acc |= 1 << b
+        # fold to SIGNED 64-bit (bit 63 set -> negative long) so the word
+        # boxes as a JVM long in the array literal
+        words[r["w"]] = acc - (1 << 64) if acc >= 1 << 63 else acc
+    return ShingleBloom(tuple(words), m, n_hashes, n_items)
+
+
+def bloom_might_contain(bloom: ShingleBloom, col) -> "F.Column":
+    """Map-side membership test for a long-hash column against the
+    filter: k getbit probes into one array literal — zero joins, zero
+    shuffles, whole-stage-codegen friendly. False positives possible
+    (callers must verify exactly), false negatives impossible."""
+    arr = F.lit(list(bloom.words))
+    cond = F.lit(True)
+    for i in range(bloom.k):
+        p = F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(bloom.m - 1))
+        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
+        cond = cond & (F.getbit(word, p.bitwiseAND(F.lit(63)).cast("int")) == F.lit(1))
+    return cond
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    exclude_self: bool = True,
+    broadcast_eval: bool = True,
+    bits_per_item: int = 12,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — bit-identical output
+    to contamination_pairs, built for the 100 TB asymmetry where the
+    corpus is enormous and the eval suite is benchmark-sized.
+
+    contamination_pairs ships EVERY corpus shingle into the shingle join
+    (broadcast of the full eval index, or a full shuffle on the shuffle
+    tier). Here the corpus side instead streams once through a map-side
+    Bloom probe of the eval shingle set (a <=2 MiB literal on every
+    executor, vs gigabytes for a broadcast shingle index); only documents
+    with at least one might-match shingle re-enter the exact
+    contamination join. Bloom false positives cost only wasted verify
+    work and are removed by the exact join; false negatives are
+    impossible (same xxhash64(shingle) key on both sides), so the result
+    set equals the exact tier's — the registry entry shares
+    benchmark_contamination's value oracle verbatim.
+
+    The verify pass re-shingles the surviving documents (a second scan of
+    the flagged subset) — at the design point that subset is tiny, and
+    trading a re-scan for never materializing the full corpus shingle
+    join is the right side of the bargain."""
+    bloom = build_shingle_bloom(
+        eval_df, text_col, id_col, n, bits_per_item, n_hashes
+    )
+    tr = doc_shingles(corpus, text_col, id_col, n)
+    flagged = (
+        tr.filter(bloom_might_contain(bloom, F.xxhash64("shingle")))
+        .select(F.col("doc_id").alias("__flag_id"))
+        .distinct()
+    )
+    survivors = corpus.join(
+        flagged, F.col(id_col) == F.col("__flag_id"), "left_semi"
+    )
+    return contamination_pairs(
+        survivors,
+        eval_df,
+        text_col,
+        id_col,
+        n,
+        threshold,
+        exclude_self,
+        broadcast_eval,
+    )
 
 
 MINHASH_MOD = 1 << 32

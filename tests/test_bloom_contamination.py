@@ -1,0 +1,116 @@
+"""Bloom-prefiltered decontamination (operators/dedup.py): the map-side
+Bloom probe must never drop a true contaminator (no false negatives), must
+actually prune disjoint documents before the exact verify join, and the
+end result must be bit-identical to the exact contamination_pairs tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.operators.dedup import (
+    ShingleBloom,
+    bloom_contamination,
+    bloom_might_contain,
+    build_shingle_bloom,
+    contamination_pairs,
+    doc_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every shingle of the eval set must probe positive — the exactness
+    of the whole tier rests on this."""
+    rows = [(i, f"token{i} alpha beta gamma delta epsilon zeta eta theta word{i}")
+            for i in range(40)]
+    ev = _docs(spark, rows)
+    bloom = build_shingle_bloom(ev, n=8)
+    assert bloom.n_items > 0
+    probes = (
+        doc_shingles(ev, "text", "doc_id", 8, repartition=False)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .withColumn("hit", bloom_might_contain(bloom, F.col("sh")))
+    )
+    misses = probes.filter(~F.col("hit")).count()
+    assert misses == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Absent keys rarely probe positive at the default 12 bits/item, k=5
+    sizing (expected ~0.5%; assert a loose 5% so the test is not flaky
+    on hash luck)."""
+    ev = _docs(
+        spark,
+        [(i, f"ev{i} aa bb cc dd ee ff gg hh ii jj kk") for i in range(50)],
+    )
+    bloom = build_shingle_bloom(ev, n=8)
+    absent = spark.range(5000).select(
+        F.xxhash64(F.concat(F.lit("absent:"), F.col("id"))).alias("sh")
+    )
+    fp = absent.filter(bloom_might_contain(bloom, F.col("sh"))).count()
+    assert fp / 5000 < 0.05
+
+
+def test_bloom_prefilter_prunes_disjoint_docs(spark):
+    """Documents sharing no 8-gram with the eval set must be dropped by
+    the probe itself, before any join — the point of the tier."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = _docs(
+        spark,
+        [(1, eval_text)]
+        + [
+            (100 + i, f"disjoint{i} one two three four five six seven eight nine")
+            for i in range(30)
+        ],
+    )
+    ev = corpus.filter("doc_id = 1")
+    bloom = build_shingle_bloom(ev, n=8)
+    flagged = (
+        doc_shingles(corpus, "text", "doc_id", 8)
+        .filter(bloom_might_contain(bloom, F.xxhash64("shingle")))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert {r.doc_id for r in flagged} == {1}
+
+
+def test_bloom_contamination_matches_exact_tier(spark, sf_dir):
+    """Full parity on real documents: the registry configuration (eval =
+    doc_id % 7 == 0, threshold 0.3) produces the identical pair set and
+    containment values as the exact tier."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    exact = {
+        (r.train_id, r.eval_id): r.containment
+        for r in contamination_pairs(
+            docs, ev, n=8, threshold=0.3, broadcast_eval=False
+        ).collect()
+    }
+    got = {
+        (r.train_id, r.eval_id): r.containment
+        for r in bloom_contamination(
+            docs, ev, n=8, threshold=0.3, broadcast_eval=False
+        ).collect()
+    }
+    assert got == exact
+    assert len(got) > 0
+
+
+def test_bloom_contamination_empty_eval(spark):
+    """An empty eval set yields an all-zeros filter and an empty result,
+    not an error."""
+    corpus = _docs(spark, [(1, "one two three four five six seven eight nine")])
+    ev = corpus.filter("doc_id < 0")
+    out = bloom_contamination(corpus, ev, n=8, threshold=0.3)
+    assert out.count() == 0
+
+
+def test_bloom_sizing_and_cap():
+    """m scales with item count at bits_per_item and respects the cap."""
+    b = ShingleBloom((0,) * 32, 2048, 5, 0)
+    assert b.m // 64 == len(b.words)
