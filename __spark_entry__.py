@@ -1802,6 +1802,22 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality pruning (operators/corpus.quality_prune): keep
+    the top 60% of each source by document length — the keep-best-X%-
+    per-domain pass a pre-training pipeline runs after quality scoring.
+    Exact-integer threshold semantics (smallest score whose cumulative
+    histogram count exceeds 0.4*n; ties at the cut survive), so the twin
+    recomputes the identical row set with no interpolated-percentile
+    boundary hazard."""
+    from bigdata_cookbook_spark.operators.corpus import quality_prune
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quality_prune(docs, "n_chars", "source", keep_frac=0.6)
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report per source/domain — the monitoring aggregate
     a training-data pipeline runs per ingest: volume, token-length and
@@ -2227,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_bloom": q_contamination_bloom,
+        "quality_prune_per_source": q_quality_prune_per_source,
     }
 
 
@@ -4065,4 +4082,27 @@ def oracle_sql() -> dict[str, str]:
     # IS the exact tier's — shared by reference, not by copy, so the two
     # can never drift
     sql["contamination_bloom"] = sql["benchmark_contamination"]
+    sql["quality_prune_per_source"] = """
+        WITH hist AS (
+            SELECT source, n_chars, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT source, n_chars,
+                   SUM(c) OVER (PARTITION BY source ORDER BY n_chars ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumc
+            FROM hist
+        ),
+        tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY 1),
+        thr AS (
+            SELECT source, MIN(n_chars) AS cut
+            FROM cum JOIN tot USING (source)
+            WHERE cumc > 0.4 * n
+            GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN thr USING (source)
+        WHERE d.n_chars >= cut
+    """
     return sql

@@ -858,3 +858,52 @@ def paragraph_dedup_incremental(
         F.col("__k").alias("para_hash"), F.col("__p").alias("para")
     )
     return {"rewritten": rewritten, "new_paras": new_paras}
+
+
+def quality_prune(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` fraction of rows per group by a quality
+    score — the per-domain pruning pass a pre-training pipeline runs
+    after scoring (keep the best X% of each source rather than a global
+    cut, which would empty low-scoring domains entirely).
+
+    Scale shape: no window over the fact table. Stage 1 shuffles only a
+    per-(group, score) HISTOGRAM (bounded by value cardinality, not row
+    count); the cumulative count runs over distinct score values per
+    group; the threshold per group joins back as a broadcast (one row
+    per group — bounded-domain contract). The fact table itself is
+    touched by exactly one scan + one map-side filter.
+
+    Threshold semantics are exact-integer, not interpolated: the cut is
+    the smallest score value whose cumulative count exceeds
+    ``(1 - keep_frac) * n`` — every row with ``score >= cut`` survives,
+    so ties at the cut inflate the kept fraction (at least ``keep_frac``
+    is always kept). Deterministic, engine-portable (the only float op
+    is one IEEE multiply both engines evaluate identically), and free of
+    the interpolated-percentile boundary-equality hazard.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    thr = (
+        cum.join(tot, group_col)
+        .filter(F.col("__cum") > (1.0 - keep_frac) * F.col("__n"))
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("__thr"))
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
