@@ -1027,6 +1027,22 @@ def q_neardup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs, id_col="doc_id")
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/graph.
+    dedup_keep_best): same MinHash/LSH candidate pairs and transitive
+    clusters as neardup_canonical_clusters, but each cluster keeps its
+    LONGEST member (n_chars, ties to min id) instead of the min-id one —
+    the keep-the-best-copy rule real pipelines use when a cluster holds
+    a full article and its truncated syndication copies. Full value
+    oracle: recursive-CTE components + the identical row_number argmax."""
+    from bigdata_cookbook_spark.operators.dedup import minhash_lsh_candidates
+    from bigdata_cookbook_spark.operators.graph import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
+    return dedup_keep_best(pairs, docs, "n_chars", id_col="doc_id")
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data tier: LEAKAGE-SAFE train/val/test split — near-dup
     clusters (same MinHash/LSH candidates + connected components as
@@ -2244,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination_bloom": q_contamination_bloom,
         "quality_prune_per_source": q_quality_prune_per_source,
+        "neardup_keep_best": q_neardup_keep_best,
     }
 
 
@@ -2684,6 +2701,45 @@ SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def _neardup_keep_best_sql() -> str:
+    """Oracle twin of q_neardup_keep_best: the same recursive-CTE
+    components as _neardup_clusters_sql, then the identical
+    (n_chars DESC, node ASC) row_number argmax picks each cluster's
+    keeper."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT e.a, c.label FROM edges e JOIN cc c ON e.b = c.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+best AS (
+    SELECT component, node AS best_id
+    FROM (
+        SELECT c.component, c.node,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.node ASC
+               ) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.best_id, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(b.best_id, d.doc_id) AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node
+LEFT JOIN best b ON c.component = b.component
 """
 
 
@@ -4082,6 +4138,7 @@ def oracle_sql() -> dict[str, str]:
     # IS the exact tier's — shared by reference, not by copy, so the two
     # can never drift
     sql["contamination_bloom"] = sql["benchmark_contamination"]
+    sql["neardup_keep_best"] = _neardup_keep_best_sql()
     sql["quality_prune_per_source"] = """
         WITH hist AS (
             SELECT source, n_chars, COUNT(*) AS c

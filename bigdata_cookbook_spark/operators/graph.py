@@ -292,3 +292,54 @@ def dedup_clusters(
         id_col,
         F.coalesce("component", F.col(id_col)).alias("canonical_id"),
     ).withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Quality-aware canonical selection: candidate near-dup pairs ->
+    transitive clusters -> keep the HIGHEST-SCORING member per cluster
+    (ties broken by min id), not the min-id member.
+
+    dedup_clusters' min-id rule is stable but quality-blind: in a
+    near-dup cluster of a full article and its truncated syndication
+    copies, min-id keeps whichever was crawled first. Real pipelines
+    keep the best copy — longest, highest quality score, least
+    boilerplate — and drop the rest. Same component machinery
+    (pointer-jumped min-label propagation, O(log diameter)); the argmax
+    runs per component, and components are near-dup cliques (tiny), so
+    the extra window shuffles only the clustered subset, never the
+    whole corpus.
+
+    Output: (id_col, canonical_id, is_canonical) — the same shape as
+    dedup_clusters, with canonical_id = the best-scoring member's id.
+    Singleton documents (no dup edge) are their own canonical.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("node").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("component", F.col("node").alias("__best"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .join(best, "component", "left")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("__best", F.col(id_col)).alias("canonical_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))

@@ -99,3 +99,70 @@ def test_long_chain_converges_via_pointer_jumping(spark):
     assert got.select(F.countDistinct("component")).collect()[0][0] == 1
     assert got.agg(F.max("component")).collect()[0][0] == 0
     assert got.count() == 301
+
+
+def test_dedup_keep_best_planted(spark):
+    """A cluster of a full article and two truncations keeps the longest;
+    ties break to min id; singletons are their own canonical."""
+    from bigdata_cookbook_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100),  # truncated copy
+            (2, 500),  # the full article -> keeper
+            (3, 100),  # another truncation
+            (4, 500),  # tie cluster: same score as 5 -> min id 4 wins
+            (5, 500),
+            (9, 7),    # singleton
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in dedup_keep_best(pairs, docs, "n_chars").collect()
+    }
+    assert got == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        4: (4, True),
+        5: (4, False),
+        9: (9, True),
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dedup_keep_best_matches_brute_force(spark, seed):
+    """Random graph + random scores: canonical = argmax score (tie min id)
+    within the union-find component."""
+    from bigdata_cookbook_spark.operators.graph import dedup_keep_best
+
+    rng = np.random.default_rng(seed)
+    n, m = 120, 90
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))]
+    edges = [(a, b) for a, b in edges if a != b]
+    scores = {v: int(rng.integers(0, 10)) for v in range(n)}  # force ties
+    docs = spark.createDataFrame(
+        [(v, scores[v]) for v in range(n)], "doc_id long, score long"
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges]
+    )
+    comp = _union_find(n, edges)
+    members = {}
+    for v in range(n):
+        members.setdefault(comp[v], []).append(v)
+    want = {}
+    touched = {v for e in edges for v in e}
+    for root, vs in members.items():
+        best = min(vs, key=lambda v: (-scores[v], v))
+        for v in vs:
+            want[v] = best if v in touched else v
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup_keep_best(pairs, docs, "score").collect()
+    }
+    assert got == want
