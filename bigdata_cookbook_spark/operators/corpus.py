@@ -38,6 +38,7 @@ def corpus_clean(
     broadcast_eval: bool = True,
     jaccard_df_cap: int | None = None,
     repetition_filter: bool = False,
+    bloom_decontaminate: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
     (+ dropped_contaminated when ``eval_df`` is given).
@@ -63,6 +64,13 @@ def corpus_clean(
     at corpus scale (the exact form's self-join is quadratic on
     vocabulary-saturated corpora — sf1-rehearsal finding, measured in
     BASELINE.md §D); None keeps the exact oracle-tier semantics.
+
+    ``bloom_decontaminate=True`` swaps the decontamination join for the
+    Bloom-prefiltered tier (dedup.bloom_contamination) — bit-identical
+    drop set (false positives verified away, false negatives
+    impossible), but the corpus side streams through a map-side probe
+    of a <=2 MiB filter instead of entering the full shingle join; the
+    100 TB default when eval_df is benchmark-sized.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
@@ -122,10 +130,14 @@ def corpus_clean(
         "dropped_neardup": near_losers,
     }
     if eval_df is not None:
-        from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+        from bigdata_cookbook_spark.operators.dedup import (
+            bloom_contamination,
+            contamination_pairs,
+        )
 
+        _contam = bloom_contamination if bloom_decontaminate else contamination_pairs
         contaminated = (
-            contamination_pairs(
+            _contam(
                 kept,
                 eval_df,
                 n=contamination_n,

@@ -332,6 +332,7 @@ def bloom_contamination(
     broadcast_eval: bool = True,
     bits_per_item: int = 12,
     n_hashes: int = 5,
+    bloom: ShingleBloom | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered benchmark decontamination — bit-identical output
     to contamination_pairs, built for the 100 TB asymmetry where the
@@ -352,10 +353,16 @@ def bloom_contamination(
     The verify pass re-shingles the surviving documents (a second scan of
     the flagged subset) — at the design point that subset is tiny, and
     trading a re-scan for never materializing the full corpus shingle
-    join is the right side of the bargain."""
-    bloom = build_shingle_bloom(
-        eval_df, text_col, id_col, n, bits_per_item, n_hashes
-    )
+    join is the right side of the bargain.
+
+    ``bloom`` accepts a prebuilt filter (build_shingle_bloom over the
+    SAME eval_df and n — the caller's contract): a static benchmark set
+    probed repeatedly (e.g. once per ingest micro-batch) should build
+    once and reuse, skipping the per-call eval scan."""
+    if bloom is None:
+        bloom = build_shingle_bloom(
+            eval_df, text_col, id_col, n, bits_per_item, n_hashes
+        )
     tr = doc_shingles(corpus, text_col, id_col, n)
     flagged = (
         tr.filter(bloom_might_contain(bloom, F.xxhash64("shingle")))

@@ -202,6 +202,7 @@ def incremental_corpus_clean(
     srp_state: DataFrame | None = None,
     semantic_threshold: float = 0.4,
     semantic_n_planes: int = 8,
+    eval_bloom=None,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -439,10 +440,29 @@ def incremental_corpus_clean(
     if new_buckets is not None:
         out["new_buckets"] = new_buckets
     if eval_df is not None:
-        from bigdata_cookbook_spark.operators.dedup import contamination_pairs
+        from bigdata_cookbook_spark.operators.dedup import (
+            bloom_contamination,
+            contamination_pairs,
+        )
 
-        contaminated = (
-            contamination_pairs(
+        # eval_bloom (a prebuilt dedup.ShingleBloom over the SAME
+        # eval_df and n — caller's contract) routes each batch through
+        # the map-side Bloom prefilter before the exact join:
+        # bit-identical drop set, and the static benchmark set is
+        # folded to a <=2 MiB literal ONCE for the stream's lifetime
+        # instead of re-entering a shingle join every micro-batch.
+        if eval_bloom is not None:
+            raw = bloom_contamination(
+                kept,
+                eval_df,
+                n=contamination_n,
+                threshold=contamination_threshold,
+                exclude_self=False,
+                broadcast_eval=broadcast_eval,
+                bloom=eval_bloom,
+            )
+        else:
+            raw = contamination_pairs(
                 kept,
                 eval_df,
                 n=contamination_n,
@@ -450,8 +470,8 @@ def incremental_corpus_clean(
                 exclude_self=False,
                 broadcast_eval=broadcast_eval,
             )
-            .select(F.col("train_id").alias("doc_id"))
-            .distinct()
+        contaminated = (
+            raw.select(F.col("train_id").alias("doc_id")).distinct()
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
         out["dropped_contaminated"] = contaminated

@@ -278,14 +278,16 @@ def pretraining_pipeline(
     embeddings_df: DataFrame | None = None,
     semantic_threshold: float = 0.4,
     shard_bytes: int | None = None,
+    quality_prune_frac: float | None = None,
+    bloom_decontaminate: bool = False,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
         [paragraph dedup ->] [span dedup ->] quality filter [+ repetition rules]
         -> exact dedup -> near-dup removal
-        [-> decontaminate vs eval_df] [-> semantic dedup]
-        [-> domain-mix resample]
+        [-> decontaminate vs eval_df] [-> per-domain quality prune]
+        [-> semantic dedup] [-> domain-mix resample]
         -> deterministic shuffle key + length-curriculum bucket
 
     Optional stages (all off by default, preserving the oracled
@@ -304,7 +306,15 @@ def pretraining_pipeline(
     near-dup removal (dedup.semantic_dedup at ``semantic_threshold``)
     after the text-level stages — text near-dups are cheaper to find
     and decontamination must never be masked by a dedup drop, so the
-    embedding pass runs last and only sees survivors.
+    embedding pass runs last and only sees survivors;
+    ``quality_prune_frac`` keeps only that top fraction of each source
+    by n_tokens (corpus.quality_prune — the FineWeb-style
+    keep-the-best-X%-per-domain cut), applied after cleaning +
+    decontamination and before the semantic stage, booked as
+    ``dropped_quality_prune``; ``bloom_decontaminate`` passes through
+    to corpus_clean — the decontamination drop set is bit-identical,
+    only the plan changes (map-side Bloom prefilter instead of the
+    full shingle join).
 
     Returns {clean, mixed, training_set, accounting}: ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
@@ -405,8 +415,27 @@ def pretraining_pipeline(
         eval_df=eval_df,
         jaccard_df_cap=jaccard_df_cap,
         repetition_filter=repetition_filter,
+        bloom_decontaminate=bloom_decontaminate,
     )
     clean = stages["kept"]
+
+    dropped_prune = None
+    if quality_prune_frac is not None:
+        from bigdata_cookbook_spark.operators.corpus import quality_prune
+
+        if with_accounting:
+            # the pre-prune kept set feeds both the pruned survivors and
+            # the drop count — cache it so neither re-runs the cleaning
+            # lineage
+            clean = clean.persist()
+            temp_caches.append(clean)
+        pruned = quality_prune(
+            clean, "n_tokens", "source", keep_frac=quality_prune_frac
+        )
+        dropped_prune = clean.join(
+            pruned.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+        clean = pruned
 
     dropped_semantic = None
     if embeddings_df is not None:
@@ -501,6 +530,8 @@ def pretraining_pipeline(
             ("dropped_exact", stages["dropped_exact"]),
             ("dropped_neardup", stages["dropped_neardup"]),
         ]
+        if dropped_prune is not None:
+            acc_rows.append(("dropped_quality_prune", dropped_prune))
         if dropped_semantic is not None:
             acc_rows.append(("dropped_semantic", dropped_semantic))
         if eval_df is not None:

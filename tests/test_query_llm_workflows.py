@@ -440,3 +440,54 @@ def test_pretraining_pipeline_shard_packing(spark, sf_dir):
         cum += sizes[r["doc_id"]]
     assert {r["shard_id"] for r in rows} == set(range(rows[-1]["shard_id"] + 1))
     out["clean"].unpersist()
+
+
+def test_pretraining_pipeline_quality_prune_stage(spark, sf_dir):
+    """Round-6 optional stage: per-domain quality prune (keep the top
+    fraction of each source by n_tokens) runs after decontamination and
+    books its drops as dropped_quality_prune — accounting still sums
+    exactly, and pruned survivors are exactly quality_prune applied to
+    the unpruned clean set."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.corpus import quality_prune
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = pretraining_pipeline(docs)
+    pruned = pretraining_pipeline(docs, quality_prune_frac=0.5)
+    acc = {r.stage: r.n_dropped for r in pruned["accounting"].collect()}
+    assert "dropped_quality_prune" in acc and acc["dropped_quality_prune"] > 0
+    ts = pruned["training_set"].collect()
+    assert docs.count() - sum(acc.values()) == len(ts)
+    # the stage is the standalone operator applied to the unpruned clean set
+    want = {
+        r.doc_id
+        for r in quality_prune(base["clean"], "n_tokens", "source", 0.5).collect()
+    }
+    assert {r.doc_id for r in ts} == want
+    base["clean"].unpersist()
+    pruned["clean"].unpersist()
+
+
+def test_pretraining_pipeline_bloom_decontaminate_parity(spark, sf_dir):
+    """bloom_decontaminate=True must not change a single row of any
+    output — it is a plan-level swap only."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    a = pretraining_pipeline(docs, eval_df=ev)
+    b = pretraining_pipeline(docs, eval_df=ev, bloom_decontaminate=True)
+    ids_a = sorted(r.doc_id for r in a["training_set"].collect())
+    ids_b = sorted(r.doc_id for r in b["training_set"].collect())
+    assert ids_a == ids_b
+    acc_a = {r.stage: r.n_dropped for r in a["accounting"].collect()}
+    acc_b = {r.stage: r.n_dropped for r in b["accounting"].collect()}
+    assert acc_a == acc_b
+    a["clean"].unpersist()
+    b["clean"].unpersist()

@@ -605,3 +605,43 @@ def test_incremental_paragraph_two_batch_parity(spark, docs, eval_docs):
         if r["para"].startswith("BOILERPLATE-")
     }
     assert boiler1 and not (boiler1 & boiler2)
+
+
+def test_incremental_eval_bloom_parity(spark, docs, eval_docs):
+    """A prebuilt eval Bloom filter routed through every micro-batch
+    changes no row of any output — kept and dropped_contaminated are
+    identical with and without the prefilter, across both batches."""
+    from bigdata_cookbook_spark.operators.dedup import build_shingle_bloom
+
+    bloom = build_shingle_bloom(
+        eval_docs, n=8, bits_per_item=12, n_hashes=5
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    plain1 = incremental_corpus_clean(b1, eval_df=eval_docs, contamination_n=8)
+    plain2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=plain1["new_hashes"],
+        shingle_state=plain1["new_shingles"],
+        eval_df=eval_docs,
+        contamination_n=8,
+    )
+    blm1 = incremental_corpus_clean(
+        b1, eval_df=eval_docs, contamination_n=8, eval_bloom=bloom
+    )
+    blm2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=blm1["new_hashes"],
+        shingle_state=blm1["new_shingles"],
+        eval_df=eval_docs,
+        contamination_n=8,
+        eval_bloom=bloom,
+    )
+    for key in ("kept", "dropped_contaminated"):
+        assert _ids(plain1[key]) == _ids(blm1[key]), key
+        assert _ids(plain2[key]) == _ids(blm2[key]), key
+    assert _ids(plain1["dropped_contaminated"]) | _ids(
+        plain2["dropped_contaminated"]
+    ) == _ids(blm1["dropped_contaminated"]) | _ids(blm2["dropped_contaminated"])
