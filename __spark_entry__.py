@@ -2102,7 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     benchmark_contamination (contamination has r04+r05 rows; the mixing
     family doubles up in-window during the swap round),
     shard_pack_documents over char_bigram_perplexity (LM-quality family
-    stays pinned by gopher_repetition + token_quality)."""
+    stays pinned by gopher_repetition + token_quality). The remaining
+    round-6 tail entries (paragraph_dedup, tfidf_top_terms,
+    contamination_bloom, quality_prune_per_source, neardup_keep_best)
+    queue behind them for rounds 8+ in registry order."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -2258,6 +2261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_budget_chunks": q_sentence_budget_chunks,
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # new round 6 (second wave) — outside the scored window per the
+        # rotation discipline; contamination_bloom shares the exact
+        # tier's oracle (bit-identical by construction)
         "contamination_bloom": q_contamination_bloom,
         "quality_prune_per_source": q_quality_prune_per_source,
         "neardup_keep_best": q_neardup_keep_best,
