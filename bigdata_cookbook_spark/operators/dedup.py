@@ -733,9 +733,9 @@ def semantic_dedup(
     SemDeDup proper partitions the space with k-means and prunes
     within clusters; signed random projections give the same
     partition-then-prune shape with a deterministic, engine-portable
-    cluster function (the k-means form is available via ml/ivf.py's
-    trained centroids when a model-driven partition is wanted — this
-    operator is the zero-training tier).
+    cluster function (the k-means form IS implemented —
+    semantic_dedup_kmeans below — when a model-driven partition is
+    wanted; this operator is the zero-training, oracle-portable tier).
 
     Scale: the bucket join is an equi-join on the bucket id — one
     shuffle of (id, bucket, vec) — and the quadratic cosine work is
@@ -788,6 +788,14 @@ def semantic_dedup(
         norm.alias("__n"),
         srp_bucket_expr(v, planes).alias("bucket"),
     )
+    return _bucket_cosine_prune(b, id_col, threshold)
+
+
+def _bucket_cosine_prune(b: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Shared within-bucket prune of the semantic dedup tiers: ``b`` is
+    (id_col, __v array<double>, __n norm, bucket); drop any row whose
+    cosine to a LOWER-id row of the same bucket reaches ``threshold``.
+    One equi-join on bucket; the quadratic work is confined per bucket."""
     a_side = b.select(
         F.col(id_col).alias("__a_id"),
         F.col("__v").alias("__a_v"),
@@ -814,6 +822,62 @@ def semantic_dedup(
         b.join(dropped, id_col, "left_anti")
         .select(id_col, "bucket")
     )
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_clusters: int | None = None,
+    target_cluster_rows: int = 64,
+    seed: int = 123,
+) -> DataFrame:
+    """SemDeDup in its original form (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with K-MEANS, then
+    prune within clusters — drop any document >= ``threshold``
+    cosine-similar to a lower-id document in its cluster. Returns
+    (id_col, bucket) with bucket = the k-means cell, the same output
+    shape and keep rule as the SRP tier (semantic_dedup).
+
+    Trade-off vs the SRP tier: k-means cells follow the DATA's density
+    (tight semantic neighborhoods land in one cell even when no
+    hyperplane grid would isolate them — better recall on clustered
+    corpora) at the cost of a training pass (MLlib Lloyd's, JVM-side,
+    one pass per iteration over cached vectors) and an
+    engine-UNPORTABLE partition: cluster ids depend on MLlib's
+    initialization, so there is no DuckDB twin — semantics are pinned
+    by the numpy replication test instead (the IVF funnel's contract
+    pattern, ml/ivf.py). ``n_clusters`` defaults to
+    ceil(n / target_cluster_rows) — expected cell size tracks the SRP
+    tier's 64-row bucket target, keeping the within-cell quadratic
+    verify linear overall as the corpus grows.
+    """
+    import math
+
+    n_rows = df.count()
+    if n_rows == 0:
+        return df.select(F.col(id_col), F.lit(0).alias("bucket")).limit(0)
+    if n_clusters is None:
+        n_clusters = max(2, math.ceil(n_rows / target_cluster_rows))
+    from bigdata_cookbook_spark.ml.ivf import build_ivf
+
+    assignments, _ = build_ivf(
+        df, nlist=n_clusters, id_col=id_col, emb_col=vec_col, seed=seed
+    )
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    b = assignments.select(
+        F.col(id_col),
+        v.alias("__v"),
+        norm.alias("__n"),
+        F.col("cell").cast("long").alias("bucket"),
+    )
+    return _bucket_cosine_prune(b, id_col, threshold)
 
 
 def semantic_dedup_incremental(

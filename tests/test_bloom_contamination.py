@@ -114,3 +114,62 @@ def test_bloom_sizing_and_cap():
     """m scales with item count at bits_per_item and respects the cap."""
     b = ShingleBloom((0,) * 32, 2048, 5, 0)
     assert b.m // 64 == len(b.words)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_kmeans (true-SemDeDup tier; lives here with the other
+# round-6 dedup additions)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_kmeans_matches_numpy_model(spark, sf_dir):
+    """Given the SAME k-means assignments (deterministic seed), the kept
+    set equals a numpy replication of the within-cluster lower-id prune."""
+    import numpy as np
+
+    from bigdata_cookbook_spark.ml.ivf import build_ivf
+    from bigdata_cookbook_spark.operators.dedup import semantic_dedup_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    import math
+
+    k = max(2, math.ceil(n / 64))
+    assignments, _ = build_ivf(emb, nlist=k, seed=123)
+    rows = assignments.select("vec_id", "embedding", "cell").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    dropped = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1:]:
+                cos = round(
+                    float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb)),
+                    4,
+                )
+                if cos >= 0.4:
+                    dropped.add(idb)
+    want = {ida for ms in by_cell.values() for ida, _ in ms if ida not in dropped}
+    got = {
+        r.vec_id
+        for r in semantic_dedup_kmeans(emb, threshold=0.4, seed=123).collect()
+    }
+    assert got == want
+    assert len(got) < n  # something was actually pruned on this data
+
+
+def test_semantic_dedup_kmeans_bucket_confinement(spark, sf_dir):
+    """Output buckets are the k-means cells, and every kept row keeps its
+    own cell id — the partition is real, not cosmetic."""
+    from bigdata_cookbook_spark.operators.dedup import semantic_dedup_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    out = semantic_dedup_kmeans(emb, threshold=0.99, n_clusters=8, seed=7)
+    cells = {r.bucket for r in out.collect()}
+    assert cells <= set(range(8))
+    # near-1 threshold keeps almost everything
+    assert out.count() >= 450

@@ -78,6 +78,10 @@ TIER = [
     "cluster_safe_split_docs",
     "domain_mix_temperature",
     "shard_pack_documents",
+    # round-6 second wave (sf1/sf10 baselines in BASELINE.md §F)
+    "quality_prune_per_source",
+    "contamination_bloom",
+    "neardup_keep_best",
 ]
 
 def _sf_dirs() -> list[tuple[str, str]]:
