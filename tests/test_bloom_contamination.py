@@ -173,3 +173,28 @@ def test_semantic_dedup_kmeans_bucket_confinement(spark, sf_dir):
     assert cells <= set(range(8))
     # near-1 threshold keeps almost everything
     assert out.count() >= 450
+
+
+def test_probe_filter_matches_expression_form(spark):
+    """The broadcast-join probe (scale form) and the array-literal
+    expression probe keep exactly the same rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.dedup import (
+        bloom_probe_filter,
+        build_shingle_bloom,
+    )
+
+    ev = _docs(
+        spark,
+        [(i, f"ev{i} aa bb cc dd ee ff gg hh ii jj kk") for i in range(30)],
+    )
+    bloom = build_shingle_bloom(ev, n=8)
+    probes = spark.range(20000).select(F.xxhash64("id").alias("sh"))
+    expr_hits = {
+        r.sh for r in probes.filter(bloom_might_contain(bloom, F.col("sh"))).collect()
+    }
+    join_hits = {
+        r.sh for r in bloom_probe_filter(probes, bloom, F.col("sh")).collect()
+    }
+    assert expr_hits == join_hits
