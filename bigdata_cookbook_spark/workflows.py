@@ -423,12 +423,19 @@ def pretraining_pipeline(
     if quality_prune_frac is not None:
         from bigdata_cookbook_spark.operators.corpus import quality_prune
 
-        if with_accounting:
-            # the pre-prune kept set feeds both the pruned survivors and
-            # the drop count — cache it so neither re-runs the cleaning
-            # lineage
-            clean = clean.persist()
-            temp_caches.append(clean)
+        # localCheckpoint, NOT persist: the prune joins the cleaned
+        # corpus against itself (histogram -> threshold -> join-back +
+        # the drop-set anti-join) on top of an already-deep optional-
+        # stage lineage (paragraph/span rewrites, bloom prefilter,
+        # decontamination). A cache would keep the full logical plan,
+        # whose tree STRING alone blows the driver heap at
+        # explain/event-log time once every stage is on (found by the
+        # all-stages-on example); checkpointing truncates the plan —
+        # the same move connected_components makes per fixpoint round.
+        # eager only under accounting (which runs actions anyway); the
+        # lazy path truncates at its single action, keeping the
+        # one-action contract below.
+        clean = clean.localCheckpoint(eager=with_accounting)
         pruned = quality_prune(
             clean, "n_tokens", "source", keep_frac=quality_prune_frac
         )

@@ -6,7 +6,9 @@ off:
 
     paragraph dedup -> span dedup
     -> quality (+ Gopher repetition rules) -> exact dedup
-    -> near-dup removal -> decontamination vs a held-out eval set
+    -> near-dup removal
+    -> decontamination vs a held-out eval set (Bloom-prefiltered)
+    -> per-domain quality prune (keep top 90% of each source)
     -> semantic dedup over embeddings -> domain-mix resample
     -> deterministic shuffle key + length-curriculum bucket
 
@@ -66,6 +68,11 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
         repetition_filter=True,
         embeddings_df=emb,
         semantic_threshold=0.4,
+        # round-6 stages: decontaminate through the map-side Bloom
+        # prefilter (bit-identical drop set, benchmark-shaped plan) and
+        # keep the top 90% of each source by n_tokens after cleaning
+        bloom_decontaminate=True,
+        quality_prune_frac=0.9,
     )
 
     ts_path = os.path.join(out_dir, "training_set")

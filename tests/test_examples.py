@@ -61,7 +61,8 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     # every optional stage reported, totals reconcile
     assert {
         "dropped_quality", "dropped_exact", "dropped_neardup",
-        "dropped_semantic", "dropped_contaminated", "dropped_mixing",
+        "dropped_quality_prune", "dropped_semantic",
+        "dropped_contaminated", "dropped_mixing",
     } == set(stages)
     assert a1["kept"] > 0
     assert a1["kept"] + sum(stages.values()) == 500  # sf0.001 corpus
