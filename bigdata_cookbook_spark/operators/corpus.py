@@ -872,11 +872,48 @@ def paragraph_dedup_incremental(
     return {"rewritten": rewritten, "new_paras": new_paras}
 
 
+def quality_prune_thresholds(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group prune cut for :func:`quality_prune`: one (group_col,
+    ``__thr``) row per group — the smallest score value whose cumulative
+    histogram count exceeds ``(1 - keep_frac) * n``.
+
+    Split out so the cut can be computed as a MAINTENANCE job over the
+    corpus snapshot and applied to later ingest batches (streaming's
+    per-batch quantiles would drift with batch composition; a pinned
+    snapshot threshold is the stable contract — same pattern as the
+    SRP plane count in streaming/maintenance.py). Shuffles only a
+    per-(group, score) histogram; the cumulative sum runs over distinct
+    score values per group, never the fact table.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    return (
+        cum.join(tot, group_col)
+        .filter(F.col("__cum") > (1.0 - keep_frac) * F.col("__n"))
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("__thr"))
+    )
+
+
 def quality_prune(
     df: DataFrame,
     score_col: str,
     group_col: str = "source",
     keep_frac: float = 0.5,
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Keep the top ``keep_frac`` fraction of rows per group by a quality
     score — the per-domain pruning pass a pre-training pipeline runs
@@ -897,22 +934,18 @@ def quality_prune(
     is always kept). Deterministic, engine-portable (the only float op
     is one IEEE multiply both engines evaluate identically), and free of
     the interpolated-percentile boundary-equality hazard.
-    """
-    from pyspark.sql import Window
 
-    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("__cum", F.sum("__c").over(w))
-    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    ``thresholds`` (a quality_prune_thresholds output) applies a PINNED
+    cut instead of recomputing — the continuous-ingest form: compute the
+    cut from a corpus snapshot in the nightly maintenance pass, apply it
+    map-side to every batch. A group absent from the threshold table is
+    dropped entirely (no cut on record means the maintenance pass has
+    not admitted the domain yet — fail-closed, never fail-open).
+    """
     thr = (
-        cum.join(tot, group_col)
-        .filter(F.col("__cum") > (1.0 - keep_frac) * F.col("__n"))
-        .groupBy(group_col)
-        .agg(F.min(score_col).alias("__thr"))
+        thresholds
+        if thresholds is not None
+        else quality_prune_thresholds(df, score_col, group_col, keep_frac)
     )
     return (
         df.join(F.broadcast(thr), group_col)

@@ -203,6 +203,7 @@ def incremental_corpus_clean(
     semantic_threshold: float = 0.4,
     semantic_n_planes: int = 8,
     eval_bloom=None,
+    prune_thresholds: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -475,6 +476,22 @@ def incremental_corpus_clean(
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
         out["dropped_contaminated"] = contaminated
+    if prune_thresholds is not None:
+        from bigdata_cookbook_spark.operators.corpus import quality_prune
+
+        # PINNED per-domain cut (quality_prune_thresholds over a corpus
+        # snapshot, refreshed by the maintenance pass) — per-batch
+        # quantiles would drift with batch composition, so the batch is
+        # pruned against the snapshot's thresholds, map-side. Same
+        # stage position as the batch capstone: after decontamination,
+        # before the semantic stage.
+        pruned = quality_prune(
+            kept, "n_tokens", "source", thresholds=prune_thresholds
+        )
+        out["dropped_quality_prune"] = kept.join(
+            pruned.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+        kept = pruned
     if embeddings_df is not None:
         from bigdata_cookbook_spark.operators.dedup import (
             semantic_dedup_incremental,
@@ -671,6 +688,7 @@ def streaming_corpus_clean(
                 "dropped_exact",
                 "dropped_neardup",
                 "dropped_contaminated",
+                "dropped_quality_prune",
                 "dropped_semantic",
             ):
                 if stage not in res:

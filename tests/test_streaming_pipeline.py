@@ -645,3 +645,44 @@ def test_incremental_eval_bloom_parity(spark, docs, eval_docs):
     assert _ids(plain1["dropped_contaminated"]) | _ids(
         plain2["dropped_contaminated"]
     ) == _ids(blm1["dropped_contaminated"]) | _ids(blm2["dropped_contaminated"])
+
+
+def test_incremental_pinned_prune_thresholds(spark, docs):
+    """The streaming prune applies a PINNED snapshot threshold: two
+    batches pruned against thresholds computed over the full corpus
+    equal the batch capstone's prune of the same clean set — and a
+    domain absent from the threshold table is dropped, never passed."""
+    from bigdata_cookbook_spark.operators.corpus import (
+        corpus_clean,
+        quality_prune,
+        quality_prune_thresholds,
+    )
+
+    batch = corpus_clean(docs)
+    thr = quality_prune_thresholds(
+        batch["kept"], "n_tokens", "source", keep_frac=0.5
+    ).persist()
+    thr.count()
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    r1 = incremental_corpus_clean(b1, prune_thresholds=thr)
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        prune_thresholds=thr,
+    )
+    inc_kept = _ids(r1["kept"]) | _ids(r2["kept"])
+    want = _ids(quality_prune(batch["kept"], "n_tokens", "source", thresholds=thr))
+    assert inc_kept == want
+    assert _ids(r1["dropped_quality_prune"]) | _ids(
+        r2["dropped_quality_prune"]
+    ) == _ids(batch["kept"]) - want
+
+    # fail-closed: a threshold table missing a domain drops that domain
+    partial_thr = thr.filter(F.col("source") != "src0")
+    r = incremental_corpus_clean(b1, prune_thresholds=partial_thr)
+    assert all(s != "src0" for s in {x.source for x in r["kept"].collect()})
+    thr.unpersist()
