@@ -339,3 +339,34 @@ def maintain_state(
             target_mb=target_mb,
         )
     return stats
+
+
+def refresh_prune_thresholds(
+    spark: SparkSession,
+    output_dir: str,
+    thresholds_path: str,
+    score_col: str = "n_tokens",
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+) -> str:
+    """Nightly half of the streaming quality prune: recompute the
+    per-domain cut (operators/corpus.quality_prune_thresholds) over the
+    ENTIRE kept corpus written so far (``output_dir``'s accumulated
+    ingest_batch deltas) and persist it where the restarted stream picks
+    it up via ``prune_thresholds=spark.read.parquet(path)``.
+
+    Runs under the same stream-STOPPED contract as maintain_state (the
+    overwrite is not atomic for a concurrent reader; the quiesced
+    single-maintainer contract makes that moot). The snapshot-pinned cut
+    is the declared semantics: batches ingested between refreshes are
+    pruned against the previous snapshot — thresholds move only when
+    maintenance runs, so batch composition never skews the cut.
+    """
+    from bigdata_cookbook_spark.operators.corpus import (
+        quality_prune_thresholds,
+    )
+
+    kept = spark.read.parquet(output_dir)
+    thr = quality_prune_thresholds(kept, score_col, group_col, keep_frac)
+    thr.write.mode("overwrite").parquet(thresholds_path)
+    return thresholds_path

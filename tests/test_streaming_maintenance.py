@@ -317,3 +317,50 @@ def test_rebucket_on_schema_only_state_is_noop(spark, tmp_path):
     empty.write.parquet(os.path.join(emb_root, "ingest_batch=0"))
     got = rebucket_srp_state(spark, state, n_planes=6)
     assert got == 6
+
+
+def test_refresh_prune_thresholds_roundtrip(spark, tmp_path):
+    """Maintenance recomputes the per-domain cut over the accumulated
+    kept output and the restarted stream's pinned prune equals a batch
+    prune of that same corpus."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.corpus import quality_prune
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.streaming.maintenance import (
+        refresh_prune_thresholds,
+    )
+    from bigdata_cookbook_spark.streaming.pipeline import (
+        incremental_corpus_clean,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out_dir = str(tmp_path / "kept")
+    # simulate two shipped batches of kept output
+    r1 = incremental_corpus_clean(docs.filter(F.col("doc_id") % 2 == 0))
+    r1["kept"].write.mode("overwrite").parquet(out_dir + "/ingest_batch=0")
+    r2 = incremental_corpus_clean(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+    )
+    r2["kept"].write.mode("overwrite").parquet(out_dir + "/ingest_batch=1")
+
+    thr_path = refresh_prune_thresholds(
+        spark, out_dir, str(tmp_path / "prune_thresholds"), keep_frac=0.5
+    )
+    thr = spark.read.parquet(thr_path)
+    corpus = spark.read.parquet(out_dir)
+    want = {
+        r.doc_id
+        for r in quality_prune(corpus, "n_tokens", "source", 0.5).collect()
+    }
+    got = {
+        r.doc_id
+        for r in quality_prune(
+            corpus, "n_tokens", "source", thresholds=thr
+        ).collect()
+    }
+    assert got == want and len(got) > 0
