@@ -1834,6 +1834,42 @@ def q_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_prune(docs, "n_chars", "source", keep_frac=0.6)
 
 
+_HTML_PRE = (
+    '<html><head><script>var skip=1;</script><style>p{color:red}</style>'
+    "</head><body><!-- nav --><h1>Doc</h1><p>"
+)
+_HTML_POST = '</p><p>A &amp;lt; B&nbsp;&quot;q&quot;<br/>tail</p></body></html>'
+
+
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/text.html_to_text_expr): the
+    first stage of a web-corpus ingest. Each document is wrapped in a
+    deterministic HTML page (script/style/comment junk, block tags,
+    entities incl. the one-level '&amp;lt;' case) and the extractor must
+    recover the readable text. Spark expression, DuckDB twin
+    (html_to_text_sql) and the Python reference are all compiled from
+    the SAME step table, and the driver hash-matches the first two."""
+    from bigdata_cookbook_spark.functions.text import html_to_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id", html_to_text_expr(html).alias("text_extracted")
+    )
+
+
+def _html_to_text_sql() -> str:
+    from bigdata_cookbook_spark.functions.text import html_to_text_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    inner = f"'{pre}' || text || '{post}'"
+    return (
+        f"SELECT doc_id, {html_to_text_sql(inner)} AS text_extracted "
+        "FROM documents"
+    )
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report per source/domain — the monitoring aggregate
     a training-data pipeline runs per ingest: volume, token-length and
@@ -2267,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "quality_prune_per_source": q_quality_prune_per_source,
         "neardup_keep_best": q_neardup_keep_best,
+        "html_to_text": q_html_to_text,
     }
 
 
@@ -4145,6 +4182,7 @@ def oracle_sql() -> dict[str, str]:
     # can never drift
     sql["contamination_bloom"] = sql["benchmark_contamination"]
     sql["neardup_keep_best"] = _neardup_keep_best_sql()
+    sql["html_to_text"] = _html_to_text_sql()
     sql["quality_prune_per_source"] = """
         WITH hist AS (
             SELECT source, n_chars, COUNT(*) AS c

@@ -875,3 +875,93 @@ def sentence_budget_chunks_expr(
             st["cur"] == F.lit(""), st["cs"]
         ).otherwise(F.concat(st["cs"], F.array(st["cur"]))),
     )
+
+
+# regex steps of the HTML -> text extraction, shared verbatim by the
+# Spark expression, the DuckDB oracle twin, and the Python reference
+# (tests) so the three can never drift. Patterns stay inside the
+# Java-regex/RE2 common subset: inline (?is) flags, lazy quantifiers,
+# character classes — no backreferences, no lookaround.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b.*?</script>", " "),  # script blocks, content and all
+    (r"(?is)<style\b.*?</style>", " "),    # style blocks
+    (r"(?s)<!--.*?-->", " "),              # comments
+    (r"(?is)<br\s*/?>", "\n"),             # explicit line breaks survive
+    (r"(?is)</(p|div|li|tr|h[1-6])>", "\n"),  # block closers -> newline
+    (r"(?s)<[^>]*>", " "),                 # every remaining tag
+)
+
+# named entities decoded after tag stripping; '&amp;' LAST so
+# '&amp;lt;' decodes to '&lt;' (one level, the HTML rule), never to '<'
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text_expr(html: Column) -> Column:
+    """Extract readable text from an HTML column — the first stage of a
+    web-corpus ingest (C4/FineWeb-style pipelines start from crawl HTML,
+    not clean text). Script/style/comment blocks drop with their
+    content, block-level closers become newlines (so paragraph structure
+    survives for the paragraph/line dedup stages), remaining tags strip
+    to spaces, the six ubiquitous named entities decode (one level), and
+    horizontal whitespace collapses per line.
+
+    Pure regexp_replace chain: JVM-side, codegen, zero UDFs, and the
+    exact same HTML_STRIP_STEPS/HTML_ENTITIES constants compile the
+    DuckDB twin (html_to_text_sql) and the Python reference
+    (html_to_text_py), so the three implementations are generated from
+    one table. Numeric character references beyond &#39; are NOT decoded
+    (that needs a real parser — a Pandas-UDF tier with an HTML library
+    would slot behind the same signature); declared limitation.
+    """
+    out = html
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    # collapse runs of spaces/tabs but PRESERVE the newlines planted by
+    # the block rules; then trim each line's edges and the whole text
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # regex trim, NOT trim(): SQL trim strips spaces only, the planted
+    # newlines must go too (all three implementations agree on \s)
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def html_to_text_py(html: str) -> str:
+    """Python reference of html_to_text_expr — same step table."""
+    out = html
+    for pat, rep in HTML_STRIP_STEPS:
+        out = re.sub(pat, rep, out)
+    for ent, ch in HTML_ENTITIES:
+        out = out.replace(ent, ch)
+    out = re.sub(r"[ \t\r\f]+", " ", out)
+    out = re.sub(r" ?\n ?", "\n", out)
+    out = re.sub(r"\n{2,}", "\n", out)
+    return re.sub(r"^\s+|\s+$", "", out)
+
+
+def html_to_text_sql(col_sql: str) -> str:
+    """DuckDB twin of html_to_text_expr, compiled from the same step
+    table (regexp_replace with the 'g' flag; RE2 accepts the inline
+    (?is) flags and lazy quantifiers these patterns use)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    out = col_sql
+    for pat, rep in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, {q(pat)}, {q(rep)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, {q(ent)}, {q(ch)})"
+    out = f"regexp_replace({out}, '[ \\t\\r\\f]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{2,}}', chr(10), 'g')"
+    return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"

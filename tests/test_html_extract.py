@@ -1,0 +1,56 @@
+"""HTML -> text extraction (functions/text.py): the Spark expression,
+the DuckDB twin, and the Python reference compile from one step table
+and must agree character-for-character."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.text import (
+    html_to_text_expr,
+    html_to_text_py,
+    html_to_text_sql,
+)
+
+SAMPLES = [
+    "<html><body><p>plain paragraph</p></body></html>",
+    "<script>var x = '<p>not text</p>';</script><p>real</p>",
+    "<STYLE>body{}</STYLE>After style",
+    "<!-- hidden --><h1>Title</h1><div>block</div>tail",
+    "line one<br>line two<br/>line three",
+    "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+    "&amp;lt; decodes one level only",
+    "<p>multi\n  line\n  source</p><p>second</p>",
+    "no markup at all",
+    "",
+    "<ul><li>one</li><li>two</li></ul>",
+    "<script\n type='text/javascript'>multi\nline</script>kept",
+]
+
+
+def test_spark_matches_python_reference(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i int, h string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text_expr(F.col("h")).alias("t")).collect()
+    }
+    for i, s in enumerate(SAMPLES):
+        assert got[i] == html_to_text_py(s), f"sample {i}: {s!r} -> {got[i]!r}"
+
+
+def test_duckdb_twin_matches_python_reference():
+    con = duckdb.connect()
+    for i, s in enumerate(SAMPLES):
+        expr = html_to_text_sql("h")
+        row = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS h)", [s]
+        ).fetchone()
+        assert row[0] == html_to_text_py(s), f"sample {i}: {s!r} -> {row[0]!r}"
+
+
+def test_block_structure_survives_for_paragraph_stage(spark):
+    """Paragraph boundaries become newlines so the downstream
+    paragraph/line dedup stages see structure, not one long line."""
+    h = "<p>first</p><p>second</p><div>third</div>"
+    assert html_to_text_py(h) == "first\nsecond\nthird"
