@@ -280,11 +280,13 @@ def pretraining_pipeline(
     shard_bytes: int | None = None,
     quality_prune_frac: float | None = None,
     bloom_decontaminate: bool = False,
+    html_input: bool = False,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
-        [paragraph dedup ->] [span dedup ->] quality filter [+ repetition rules]
+        [HTML -> text ->] [paragraph dedup ->] [span dedup ->]
+        quality filter [+ repetition rules]
         -> exact dedup -> near-dup removal
         [-> decontaminate vs eval_df] [-> per-domain quality prune]
         [-> semantic dedup] [-> domain-mix resample]
@@ -357,6 +359,15 @@ def pretraining_pipeline(
     # re-run once per counted stage. Released before returning —
     # only ``clean``'s cache is handed to the caller.
     temp_caches = []
+
+    if html_input:
+        from bigdata_cookbook_spark.functions.text import html_to_text_expr
+
+        # raw-crawl corpora arrive as HTML; extract BEFORE every text
+        # stage so paragraph/span/quality all see readable text (block
+        # closers become newlines — exactly what the paragraph stage
+        # keys on). A rewrite, not a drop: nothing to book.
+        docs = docs.withColumn("text", html_to_text_expr(F.col("text")))
 
     if paragraph_dedup_sep is not None:
         from bigdata_cookbook_spark.operators.corpus import paragraph_dedup

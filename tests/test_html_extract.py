@@ -54,3 +54,29 @@ def test_block_structure_survives_for_paragraph_stage(spark):
     paragraph/line dedup stages see structure, not one long line."""
     h = "<p>first</p><p>second</p><div>third</div>"
     assert html_to_text_py(h) == "first\nsecond\nthird"
+
+
+def test_pipeline_html_input_stage(spark, sf_dir):
+    """html_input=True extracts before every text stage: a corpus wrapped
+    in HTML markup yields the same training set as the plain corpus."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><script>x()</script><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+    )
+    plain = pretraining_pipeline(docs)
+    html = pretraining_pipeline(wrapped, html_input=True)
+    ids_plain = {r.doc_id for r in plain["training_set"].collect()}
+    ids_html = {r.doc_id for r in html["training_set"].collect()}
+    assert ids_html == ids_plain and len(ids_html) > 0
+    plain["clean"].unpersist()
+    html["clean"].unpersist()
