@@ -965,3 +965,76 @@ def html_to_text_sql(col_sql: str) -> str:
     out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
     out = f"regexp_replace({out}, '\\n{{2,}}', chr(10), 'g')"
     return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+
+
+def _html_parser_extract(html: str) -> str:
+    """stdlib-parser extraction (html.parser.HTMLParser): real tokenizer,
+    so numeric character references (&#65; &#x41;), attribute values
+    containing '>', and unclosed tags are all handled correctly — the
+    cases the regex tier declares out of scope. Same output conventions
+    as html_to_text_py: script/style content dropped, <br> and block
+    closers emit newlines, whitespace collapsed per line."""
+    from html.parser import HTMLParser
+
+    _BLOCK = {"p", "div", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            # convert_charrefs=True (default) decodes ALL character
+            # references, named and numeric, into handle_data text
+            super().__init__()
+            self.parts: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            elif tag == "br":
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip = max(0, self.skip - 1)
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    p = _X()
+    p.feed(html)
+    p.close()
+    out = "".join(p.parts)
+    out = re.sub(r"[ \t\r\f]+", " ", out)
+    out = re.sub(r" ?\n ?", "\n", out)
+    out = re.sub(r"\n{2,}", "\n", out)
+    return re.sub(r"^\s+|\s+$", "", out)
+
+
+def html_to_text_parsed(
+    docs,
+    html_col: str = "text",
+    out_col: str = "text_extracted",
+):
+    """Parser-tier HTML -> text over a DataFrame (Arrow-batched
+    mapInPandas, the compression_ratio pattern): use when the corpus has
+    numeric character references or attribute edge cases the expression
+    tier (html_to_text_expr) declares out of scope. Python cost is the
+    stdlib tokenizer per document — a linear scan, no shuffle; prefer
+    the zero-UDF expression tier whenever its subset suffices."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(docs.schema.fields) + [StructField(out_col, StringType(), True)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                None if t is None else _html_parser_extract(t)
+                for t in pdf[html_col]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(run, schema)

@@ -80,3 +80,36 @@ def test_pipeline_html_input_stage(spark, sf_dir):
     assert ids_html == ids_plain and len(ids_html) > 0
     plain["clean"].unpersist()
     html["clean"].unpersist()
+
+
+def test_parser_tier_handles_numeric_refs_and_agrees_on_simple_html(spark):
+    """The stdlib-parser tier decodes numeric character references (the
+    regex tier's declared gap) and agrees with the expression tier on
+    plain block-structured HTML."""
+    from bigdata_cookbook_spark.functions.text import (
+        _html_parser_extract,
+        html_to_text_parsed,
+    )
+
+    # numeric refs: out of scope for the regex tier, exact here
+    assert _html_parser_extract("<p>&#65;&#x42; &amp; C</p>") == "AB & C"
+    # attribute containing '>' — a real parser gets this right
+    assert (
+        _html_parser_extract('<a title="a>b">link</a> tail') == "link tail"
+    )
+
+    simple = [
+        "<html><body><p>plain paragraph</p></body></html>",
+        "<script>var x = 1;</script><p>real</p>",
+        "line one<br>line two",
+        "<ul><li>one</li><li>two</li></ul>",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(simple)], "i int, text string"
+    )
+    got = {
+        r.i: r.text_extracted
+        for r in html_to_text_parsed(df).collect()
+    }
+    for i, s in enumerate(simple):
+        assert got[i] == html_to_text_py(s), f"sample {i}"

@@ -99,6 +99,16 @@ EXCHANGE_CEILINGS = {
     # broadcast stats pattern (BM25's shape) — a BroadcastNestedLoopJoin
     # over a single-row side, never fact-fact.
     "tfidf_top_terms": 5,
+    # round-6 second wave. contamination_bloom = the exact tier's
+    # shuffle plan (its verify join) + the prefilter's flagged-id
+    # distinct and semi-join; the k bloom PROBES themselves are
+    # broadcast joins and add no exchange.
+    "contamination_bloom": 7,
+    # histogram aggregate + distinct-value window + total aggregate;
+    # the FACT side re-enters via broadcast only
+    "quality_prune_per_source": 4,
+    # pure scan -> regexp_replace chain projection
+    "html_to_text": 0,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -299,6 +309,13 @@ def main() -> None:
         # property the operator exists for) and TF-IDF top-terms
         "paragraph_dedup",
         "tfidf_top_terms",
+        # round-6 second wave: bloom prefilter (broadcast-join probes,
+        # never a corpus-side shuffle for the prefilter), histogram-
+        # threshold prune (fact table: one scan + broadcast join-back),
+        # scan-only regex extraction chain
+        "contamination_bloom",
+        "quality_prune_per_source",
+        "html_to_text",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
