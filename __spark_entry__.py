@@ -1870,6 +1870,36 @@ def _html_to_text_sql() -> str:
     )
 
 
+_SCRIPT_SUFFIX = " 深度学习 Привет نص 42"  # plants CJK/Cyrillic/Arabic/digits
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-script character ratios (functions/text.script_ratio_exprs):
+    the script-detection signal a multilingual ingest routes on. The
+    synthetic corpus is ASCII, so a deterministic mixed-script suffix is
+    planted per document; the DuckDB twin compiles from the same
+    SCRIPT_RANGES table (range endpoints as literal characters — the
+    Java-regex/RE2 portable spelling)."""
+    from bigdata_cookbook_spark.functions.text import script_ratio_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.concat(F.col("text"), F.lit(_SCRIPT_SUFFIX))
+    ratios = script_ratio_exprs(mixed)
+    return docs.select(
+        "doc_id", *[c.alias(f"r_{name}") for name, c in ratios.items()]
+    )
+
+
+def _script_profile_sql() -> str:
+    from bigdata_cookbook_spark.functions.text import script_ratio_sql
+
+    inner = f"text || '{_SCRIPT_SUFFIX}'"
+    cols = ", ".join(
+        f"{sql} AS r_{name}" for name, sql in script_ratio_sql(inner).items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report per source/domain — the monitoring aggregate
     a training-data pipeline runs per ingest: volume, token-length and
@@ -2304,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prune_per_source": q_quality_prune_per_source,
         "neardup_keep_best": q_neardup_keep_best,
         "html_to_text": q_html_to_text,
+        "script_profile": q_script_profile,
     }
 
 
@@ -4183,6 +4214,7 @@ def oracle_sql() -> dict[str, str]:
     sql["contamination_bloom"] = sql["benchmark_contamination"]
     sql["neardup_keep_best"] = _neardup_keep_best_sql()
     sql["html_to_text"] = _html_to_text_sql()
+    sql["script_profile"] = _script_profile_sql()
     sql["quality_prune_per_source"] = """
         WITH hist AS (
             SELECT source, n_chars, COUNT(*) AS c

@@ -1038,3 +1038,49 @@ def html_to_text_parsed(
             yield pdf
 
     return docs.mapInPandas(run, schema)
+
+
+# script ranges for script_ratio_exprs — the pattern strings embed the
+# range endpoints as LITERAL characters (not \\u escapes), because Java
+# regex and RE2 spell codepoint escapes differently but both accept the
+# literal character inside a class; one table compiles the Spark
+# expression and the DuckDB twin.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z"),
+    ("cjk", "一-鿿"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("digit", "0-9"),
+)
+
+
+def script_ratio_exprs(text: Column) -> dict[str, Column]:
+    """Per-script character ratios — the script-detection signal a
+    multilingual ingest uses to route documents and flag mixed-script
+    spam (e.g. Latin text stuffed with Cyrillic lookalikes). For each
+    script: chars-in-range / non-whitespace chars, 4dp, NULL for
+    empty/whitespace-only text. Counting is length(text) minus length
+    with the range removed — two JVM regex passes per script, zero UDFs,
+    and the DuckDB twin (script_ratio_sql) compiles from the same
+    SCRIPT_RANGES table."""
+    base = F.length(F.regexp_replace(text, r"\s", ""))
+    out: dict[str, Column] = {}
+    for name, rng in SCRIPT_RANGES:
+        kept = F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+        out[name] = F.when(
+            base > 0, F.round(kept / base, 4)
+        ).otherwise(F.lit(None))
+    return out
+
+
+def script_ratio_sql(col_sql: str) -> dict[str, str]:
+    """DuckDB twins of script_ratio_exprs, from the same range table."""
+    base = f"length(regexp_replace({col_sql}, '\\s', '', 'g'))"
+    out: dict[str, str] = {}
+    for name, rng in SCRIPT_RANGES:
+        kept = f"length(regexp_replace({col_sql}, '[^{rng}]', '', 'g'))"
+        out[name] = (
+            f"CASE WHEN {base} > 0 "
+            f"THEN ROUND(CAST({kept} AS DOUBLE) / {base}, 4) END"
+        )
+    return out

@@ -113,3 +113,34 @@ def test_parser_tier_handles_numeric_refs_and_agrees_on_simple_html(spark):
     }
     for i, s in enumerate(simple):
         assert got[i] == html_to_text_py(s), f"sample {i}"
+
+
+def test_script_ratio_exprs(spark):
+    """Script ratios: known mixed strings produce exact, portable ratios;
+    whitespace-only text yields NULL."""
+    from bigdata_cookbook_spark.functions.text import script_ratio_exprs
+
+    rows = [
+        (1, "abc 123"),          # 6 non-ws: 3 latin, 3 digit
+        (2, "Привет"),           # 6 cyrillic
+        (3, "深度学习"),          # 4 cjk
+        (4, "   "),              # whitespace only -> NULL
+        (5, "mix 深度 Пр 12"),    # 9 non-ws: 3 latin, 2 cjk, 2 cyr, 2 digit
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    r = script_ratio_exprs(F.col("t"))
+    got = {
+        x.i: (x.latin, x.cjk, x.cyrillic, x.digit)
+        for x in df.select(
+            "i",
+            r["latin"].alias("latin"),
+            r["cjk"].alias("cjk"),
+            r["cyrillic"].alias("cyrillic"),
+            r["digit"].alias("digit"),
+        ).collect()
+    }
+    assert got[1] == (0.5, 0.0, 0.0, 0.5)
+    assert got[2] == (0.0, 0.0, 1.0, 0.0)
+    assert got[3] == (0.0, 1.0, 0.0, 0.0)
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (round(3 / 9, 4), round(2 / 9, 4), round(2 / 9, 4), round(2 / 9, 4))
