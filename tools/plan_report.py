@@ -109,6 +109,7 @@ EXCHANGE_CEILINGS = {
     "quality_prune_per_source": 4,
     # pure scan -> regexp_replace chain projection
     "html_to_text": 0,
+    "script_profile": 0,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -316,6 +317,7 @@ def main() -> None:
         "contamination_bloom",
         "quality_prune_per_source",
         "html_to_text",
+        "script_profile",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
