@@ -96,6 +96,22 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
         out["training_set"].groupBy("bucket").count().orderBy("bucket")
     )
     mix = out["training_set"].groupBy("source").count().orderBy("source")
+    # corpus-health panels: average token length per source (the
+    # quality-profile signal) and the Latin-script ratio per source
+    # (script-detection routing signal) — both over the KEPT corpus
+    from bigdata_cookbook_spark.functions.text import script_ratio_exprs
+
+    kept_src = out["clean"].groupBy("source").agg(
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens")
+    ).orderBy("source")
+    latin = script_ratio_exprs(F.col("text"))["latin"]
+    script_src = (
+        docs.join(out["clean"].select("doc_id"), "doc_id", "left_semi")
+        .select("source", latin.alias("r_latin"))
+        .groupBy("source")
+        .agg(F.round(F.avg("r_latin"), 4).alias("avg_latin_ratio"))
+        .orderBy("source")
+    )
     dash_path = os.path.join(out_dir, "dashboard.html")
     with open(dash_path, "w", encoding="utf-8") as f:
         f.write(
@@ -109,6 +125,12 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
                     ),
                     "Domain mix (kept)": bar_chart_spec(
                         mix, "source", "count"
+                    ),
+                    "Avg tokens per source (kept)": bar_chart_spec(
+                        kept_src, "source", "avg_tokens"
+                    ),
+                    "Latin-script ratio per source (kept)": bar_chart_spec(
+                        script_src, "source", "avg_latin_ratio"
                     ),
                 },
                 title="Pretraining data pipeline run",

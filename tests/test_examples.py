@@ -74,7 +74,7 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     # run dashboard: byte-stable, one Vega-Lite panel per figure
     assert _digest(p1["dashboard"]) == _digest(p2["dashboard"])
     dash = open(p1["dashboard"], encoding="utf-8").read()
-    assert dash.count("vegaEmbed('#panel") == 3
+    assert dash.count("vegaEmbed('#panel") == 5
 
 
 def test_incremental_ingest_example_runs(spark, tmp_path):
