@@ -250,3 +250,112 @@ def dashboard_html(
 
     tail = ["</div>", "<script>", *scripts, "</script>", "</body></html>"]
     return "\n".join(head + body + tail)
+
+
+def write_webdataset_shards(
+    df,
+    out_dir: str,
+    key_col: str = "doc_id",
+    content_cols: Mapping[str, str] | None = None,
+    shard_col: str = "shard_id",
+):
+    """WebDataset-style tar shards — the packaging convention large
+    multimodal training runs consume (one ``.tar`` per shard; each
+    sample is one or more members named ``<key>.<ext>``; readers stream
+    tars sequentially). Composes with sampling.pack_shards: pack assigns
+    byte-targeted ``shard_id``s in training order, this sink realizes
+    ``shard-<id>.tar`` files.
+
+    ``content_cols`` maps column -> member extension (default
+    ``{"text": "txt"}``); string columns write utf-8, binary columns
+    write bytes as-is (the multimodal ``binary`` payload path), NULLs
+    skip the member. Distributed shape: one repartition ON THE SHARD KEY
+    (each task owns whole shards, so a tar is written exactly once, by
+    one task) + a within-partition sort on (shard, key) so member order
+    — and therefore the tar BYTES — are deterministic; tar metadata is
+    pinned (mtime=0, uid/gid=0, USTAR) for byte-stable reruns. Each tar
+    lands via write-to-temp + atomic rename, so a killed task never
+    leaves a half-written shard visible (same crash discipline as
+    plans/layout.py).
+
+    ``out_dir`` must be a filesystem every executor can write (local
+    mode: any local path; a cluster points this at shared/fuse-mounted
+    storage — writing tars through the object-store committer would
+    need a custom FileFormat, declared out of scope). Returns a
+    DataFrame (shard_id, path, n_samples, n_bytes) — the shard
+    manifest; count it to force the write.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = dict(content_cols or {"text": "txt"})
+    os.makedirs(out_dir, exist_ok=True)
+    src = (
+        df.select(shard_col, key_col, *cols.keys())
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key_col)
+    )
+
+    def run(batches):
+        import tarfile
+
+        state: dict = {"sid": None, "tar": None, "tmp": None, "n": 0}
+
+        def close_current():
+            if state["tar"] is None:
+                return None
+            state["tar"].close()
+            final = os.path.join(out_dir, f"shard-{state['sid']:06d}.tar")
+            os.replace(state["tmp"], final)
+            row = (
+                int(state["sid"]),
+                final,
+                int(state["n"]),
+                int(os.path.getsize(final)),
+            )
+            state.update(sid=None, tar=None, tmp=None, n=0)
+            return row
+
+        out_rows = []
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                d = rec._asdict()
+                sid = int(d[shard_col])
+                if sid != state["sid"]:
+                    done = close_current()
+                    if done:
+                        out_rows.append(done)
+                    tmp = os.path.join(
+                        out_dir, f".shard-{sid:06d}.tar.inprogress"
+                    )
+                    state.update(
+                        sid=sid,
+                        tmp=tmp,
+                        tar=tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT),
+                        n=0,
+                    )
+                key = d[key_col]
+                for col, ext in cols.items():
+                    v = d[col]
+                    if v is None:
+                        continue
+                    payload = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    import io
+
+                    state["tar"].addfile(info, io.BytesIO(payload))
+                state["n"] += 1
+        done = close_current()
+        if done:
+            out_rows.append(done)
+        yield pd.DataFrame(
+            out_rows, columns=["shard_id", "path", "n_samples", "n_bytes"]
+        )
+
+    return src.mapInPandas(
+        run, "shard_id long, path string, n_samples long, n_bytes long"
+    )
