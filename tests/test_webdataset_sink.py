@@ -75,3 +75,23 @@ def test_binary_column_and_nulls(spark, tmp_path):
         names = {x.name for x in t.getmembers()}
         assert names == {"1.bin", "1.txt", "2.txt"}  # null payload skipped
         assert t.extractfile("1.bin").read() == b"\x00\x01PAYLOAD"
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    """Shards written by the sink read back into exactly the rows that
+    went in — the full round-trip through the engine."""
+    from bigdata_cookbook_spark.sources.webdataset import read_webdataset
+
+    docs = _docs(spark, 40).withColumn(
+        "shard_id", (F.col("doc_id") / 16).cast("long")
+    )
+    out = str(tmp_path / "rt")
+    write_webdataset_shards(docs, out).count()
+    back = read_webdataset(spark, out)
+    rows = back.collect()
+    assert len(rows) == 40
+    assert all(r.ext == "txt" for r in rows)
+    got = {int(r.key): bytes(r.content).decode() for r in rows}
+    assert got == {i: f"text of doc {i}" for i in range(40)}
+    # parallelism unit = the tar file
+    assert back.select("shard").distinct().count() == 3
