@@ -202,9 +202,23 @@ def analyzer_tokens_expr(text: Column) -> Column:
 
 
 def analyzer_tokens_py(text: str) -> list[str]:
-    """Python reference for analyzer_tokens_expr (property-test twin):
-    maximal runs of characters in Unicode categories L*/N* of the
-    lower-cased text."""
+    """Python APPROXIMATION of analyzer_tokens_expr: maximal runs of
+    characters in Unicode categories L*/N* of the lower-cased text.
+
+    UNICODE-VERSION SKEW (documented contract): the Spark expression
+    classifies letters with the JVM's Unicode tables (Java 17 ships
+    Unicode 13.0), this twin with Python's ``unicodedata`` (CPython
+    3.11 ships 14.0), and the DuckDB oracle with RE2's tables — so the
+    three DISAGREE on codepoints whose L*/N* category was assigned
+    between those versions (e.g. U+16A70 TANGSA LETTER: letter in 14.0,
+    unassigned — hence separator — in 13.0). On codepoints assigned
+    before Unicode 13.0 all three agree (category assignments are
+    stable by Unicode policy). Consequently this twin must NOT be used
+    to tokenize one side of an equality the JVM tokenizes the other
+    side of — retrieval query terms go through analyzer_tokens_jvm
+    (same JVM expression, parity by construction); this function is the
+    test reference and the fallback when no SparkSession is reachable.
+    """
     out, cur = [], []
     for ch in text.lower():
         if unicodedata.category(ch)[0] in ("L", "N"):
@@ -215,6 +229,28 @@ def analyzer_tokens_py(text: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return out
+
+
+def analyzer_tokens_jvm(spark, texts: list[str]) -> list[list[str]]:
+    """Analyze driver-side strings with the SAME JVM expression the
+    document side uses (``analyzer_tokens_expr``), so query-term and
+    document tokenization agree by construction — including on
+    codepoints where the JVM's and Python's Unicode tables disagree
+    (see analyzer_tokens_py's skew note).
+
+    Cost contract: ONE driver-local job over ``len(texts)`` rows (query
+    terms — a handful), no scan, no shuffle; the plan is a
+    LocalTableScan + one codegen projection. Returns token lists in
+    input order.
+    """
+    if not texts:
+        return []
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    rows = df.select("i", analyzer_tokens_expr(F.col("t")).alias("toks")).collect()
+    by_i = {r["i"]: list(r["toks"]) for r in rows}
+    return [by_i[i] for i in range(len(texts))]
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from bigdata_cookbook_spark.functions.text import (
     analyzer_tokens_expr,
-    analyzer_tokens_py,
+    analyzer_tokens_jvm,
 )
 
 
@@ -79,11 +79,17 @@ def bm25_scores(
             "otherwise be analyzed differently and every tf comparison "
             "silently miss"
         )
-    q_tok = tokenize_query or analyzer_tokens_py
-    # analyze query terms with the Python twin of the document analyzer
-    # (the default pair is property-tested identical), dedup preserving
-    # order: duplicate query terms contribute once
-    terms = list(dict.fromkeys(w for t in query_terms for w in q_tok(t)))
+    if tokenize_query is not None:
+        token_lists = [tokenize_query(t) for t in query_terms]
+    else:
+        # analyze the query with the SAME JVM expression the document
+        # side uses — one driver-local job over |query_terms| rows, so
+        # both sides share one Unicode table by construction (the
+        # Python twin's tables can differ on post-Unicode-13
+        # codepoints; see functions/text.py analyzer_tokens_py)
+        token_lists = analyzer_tokens_jvm(docs.sparkSession, query_terms)
+    # dedup preserving order: duplicate query terms contribute once
+    terms = list(dict.fromkeys(w for toks in token_lists for w in toks))
     if not terms:
         raise ValueError("query_terms contain no alphanumeric tokens")
 

@@ -71,21 +71,32 @@ def test_masking_roundtrip_random_corpora(spark):
     check()
 
 
-def test_analyzer_matches_python_reference_random_unicode(spark):
+def test_analyzer_matches_python_reference_stable_unicode(spark):
     """The retrieval analyzer (analyzer_tokens_expr: Java-regex split on
     [^\\pL\\pN]+ after lower) == analyzer_tokens_py (unicodedata
-    category runs) over random unicode — pins that the Spark
-    expression, the DuckDB oracle twin (same RE2 separator), and the
-    Python twin bm25_scores uses on query terms all tokenize alike.
+    category runs) over a VERSION-STABLE alphabet.
+
+    The alphabet is bounded to U+0000..U+058F (ASCII, Latin-1/Extended,
+    IPA, spacing modifiers, combining diacritics, Greek, Cyrillic,
+    Armenian) — every codepoint in that range has carried its general
+    category since far before Unicode 13.0, so Java 17 (Unicode 13),
+    CPython 3.11 (14.0), and DuckDB's RE2 agree on all of them by
+    Unicode's stability policy. Codepoints ASSIGNED a letter category
+    between those versions (e.g. U+16A70 Tangsa, added in 14.0)
+    genuinely tokenize differently across the runtimes — that skew is a
+    documented limitation (functions/text.py analyzer_tokens_py), and
+    the production retrieval path is immune to it because query terms
+    are analyzed by the SAME JVM expression as documents
+    (analyzer_tokens_jvm) — pinned by the regression test below.
     Batched: one Spark job per generated list."""
     from bigdata_cookbook_spark.functions.text import (
         analyzer_tokens_expr,
         analyzer_tokens_py,
     )
 
-    alphabet = st.characters(blacklist_categories=("Cs",))
+    alphabet = st.characters(max_codepoint=0x058F, blacklist_categories=("Cs",))
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=8, deadline=None, derandomize=True)
     @given(st.lists(st.text(alphabet=alphabet, max_size=60), min_size=1, max_size=25))
     def check(texts):
         df = spark.createDataFrame(
@@ -101,6 +112,41 @@ def test_analyzer_matches_python_reference_random_unicode(spark):
             assert got[i] == analyzer_tokens_py(t), repr(t)
 
     check()
+
+
+def test_analyzer_query_doc_parity_post_unicode13_codepoint(spark):
+    """Pinned regression for the r6 finding: U+16A70 (TANGSA LETTER KA,
+    a letter since Unicode 14.0, unassigned in 13.0) tokenizes
+    differently under Java 17's tables vs CPython 3.11's — so a
+    query-side Python twin would miss documents the JVM tokenized the
+    other way. The production path analyzes BOTH sides with the same
+    JVM expression, so retrieval parity holds on these codepoints
+    REGARDLESS of which Unicode version the JVM ships (the assertion is
+    version-independent: same expression on both sides)."""
+    from bigdata_cookbook_spark.functions.text import (
+        analyzer_tokens_expr,
+        analyzer_tokens_jvm,
+    )
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores
+
+    tangsa_word = "\U00016A70\U00016A71"  # two Tangsa letters
+    text = f"alpha {tangsa_word} beta"
+    # 1) the JVM query helper IS the document expression: identical output
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    doc_toks = df.select(
+        analyzer_tokens_expr(F.col("text")).alias("toks")
+    ).collect()[0]["toks"]
+    (query_toks,) = analyzer_tokens_jvm(spark, [text])
+    assert list(doc_toks) == list(query_toks)
+    # 2) end-to-end: querying with the Tangsa word scores the document
+    #    whenever the JVM treats it as a token at all (Unicode>=14 JVMs);
+    #    on Unicode-13 JVMs it analyzes to no token on BOTH sides — then
+    #    a query of only that word raises (no alphanumeric tokens), and
+    #    a mixed query still matches via the stable term. Either way the
+    #    two sides agree — the silent-zero-score skew is impossible.
+    scored = bm25_scores(df, ["alpha", tangsa_word], id_col="doc_id")
+    assert scored.count() == 1
+    assert scored.collect()[0]["score"] > 0
 
 
 def test_clean_text_idempotent_random_unicode(spark):
