@@ -2158,20 +2158,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     HEADLINE set. The tail entries all have green driver rows on record
     and stay continuously checked by tools/verify_local.py.
 
-    Rotation plan (round 7): the four round-6 tail entries rotate into
-    the scored window in this order, each displacing a double-green
-    row (hash-green in TWO past CORRECTNESS rounds — the eligibility
-    rule): cluster_safe_split_docs over token_window_chunks (packing
-    family stays pinned by token_pack_buckets), sentence_budget_chunks
-    over pii_redaction (text-transform family stays pinned by
-    token_quality + lang_id), domain_mix_temperature over
-    benchmark_contamination (contamination has r04+r05 rows; the mixing
-    family doubles up in-window during the swap round),
-    shard_pack_documents over char_bigram_perplexity (LM-quality family
-    stays pinned by gopher_repetition + token_quality). The remaining
-    round-6 tail entries (paragraph_dedup, tfidf_top_terms,
-    contamination_bloom, quality_prune_per_source, neardup_keep_best)
-    queue behind them for rounds 8+ in registry order."""
+    Round-7 rotation EXECUTED as documented last round: four round-6
+    tail entries rotated into the scored window, each displacing a
+    double-green row (hash-green in TWO past CORRECTNESS rounds — the
+    eligibility rule): cluster_safe_split_docs over token_window_chunks,
+    sentence_budget_chunks over pii_redaction, domain_mix_temperature
+    over benchmark_contamination, shard_pack_documents over
+    char_bigram_perplexity (displaced families stay pinned in-window —
+    see the inline comments at each swap site).
+
+    Rotation plan (round 8): the five remaining round-6 tail entries
+    rotate in, each over a double-green row, in this order:
+    paragraph_dedup over span_dedup (dedup family stays pinned by
+    exact_dedup_docs + minhash_lsh_candidates + simhash),
+    tfidf_top_terms over knn_label_vote (similarity family stays pinned
+    by similarity_multiquery_rerank + ann_cosine_topk),
+    contamination_bloom over length_curriculum (curriculum/sampling
+    family stays pinned by training_shuffle + stratified/weighted
+    samples; bloom shares the exact contamination tier's oracle),
+    quality_prune_per_source over source_quality_profile (quality
+    family stays pinned by token_quality + gopher_repetition),
+    neardup_keep_best over embedding_neardup_pairs (near-dup pair
+    family stays pinned by minhash_lsh_candidates + simhash).
+    html_to_text and script_profile queue behind them for round 9."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -2231,12 +2240,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pricing/net_exposure (A), token_quality/lang_id (text)).
         "training_shuffle": q_training_shuffle,
         "domain_mix_sample": q_domain_mix_sample,
-        "benchmark_contamination": q_benchmark_contamination,
+        # round-7 rotation (slot 3 of the plan documented last round):
+        # domain_mix_temperature takes benchmark_contamination's slot
+        # (double-green r04+r05 rows; contamination family stays
+        # represented by the bloom tier's shared oracle in the tail —
+        # the mixing family doubles up in-window during the swap round
+        # with domain_mix_sample).
+        "domain_mix_temperature": q_domain_mix_temperature,
         "exact_dedup_docs": q_exact_dedup_docs,
         "length_curriculum": q_length_curriculum,
         # (topk_parts_per_brand -> tail on its r01+r02 green rows; the W
         # family stays pinned by argmax_day_per_priority + sector_rank)
-        "char_bigram_perplexity": q_char_bigram_perplexity,
+        # round-7 rotation (slot 4): shard_pack_documents takes
+        # char_bigram_perplexity's slot (double-green r04+r05; the
+        # LM-quality family stays pinned in-window by gopher_repetition
+        # + token_quality).
+        "shard_pack_documents": q_shard_pack,
         # (ngram_jaccard_pairs -> tail on its r01+r02 green rows; near-dup
         # family stays pinned by minhash/simhash/embedding/clusters)
         "bpe_token_count": q_bpe_token_count,
@@ -2259,8 +2278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail; the text-quality family stays pinned in-window by
         # token_quality + source_quality_profile + gopher_repetition).
         "compression_ratio": q_compression_ratio,
-        "pii_redaction": q_pii_redaction,
-        "token_window_chunks": q_token_window_chunks,
+        # round-7 rotation (slot 2): sentence_budget_chunks takes
+        # pii_redaction's slot (double-green r04+r05; the
+        # text-transform family stays pinned in-window by
+        # token_quality + lang_id).
+        "sentence_budget_chunks": q_sentence_budget_chunks,
+        # round-7 rotation (slot 1): cluster_safe_split_docs takes
+        # token_window_chunks's slot (double-green r04+r05; the
+        # packing/chunking family stays pinned in-window by
+        # token_pack_buckets).
+        "cluster_safe_split_docs": q_cluster_safe_split,
         # round-6 rotation: line_dedup (within-doc RefinedWeb line dedup,
         # full value oracle, locally green both SFs since round 5) takes
         # the slot of sequence_pack (double-green r04+r05, moved to the
@@ -2319,12 +2346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out round 6 (double-green r04+r05 rows on record;
         # displaced by compression_ratio's upgraded check)
         "gopher_quality": q_gopher_quality,
-        # new round 6 — enter OUTSIDE the scored window per the
-        # rotation discipline; candidates for round-7 rotation slots
-        "cluster_safe_split_docs": q_cluster_safe_split,
-        "domain_mix_temperature": q_domain_mix_temperature,
-        "shard_pack_documents": q_shard_pack,
-        "sentence_budget_chunks": q_sentence_budget_chunks,
+        # rotated out round 7 (each double-green r04+r05; displaced by
+        # the four round-6 entries per the rotation plan documented in
+        # the round-6 registry docstring)
+        "token_window_chunks": q_token_window_chunks,
+        "benchmark_contamination": q_benchmark_contamination,
+        "char_bigram_perplexity": q_char_bigram_perplexity,
+        "pii_redaction": q_pii_redaction,
+        # new round 6, still outside the scored window — next in the
+        # round-8 rotation queue, registry order
         "paragraph_dedup": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         # new round 6 (second wave) — outside the scored window per the
