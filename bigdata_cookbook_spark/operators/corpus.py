@@ -877,6 +877,7 @@ def quality_prune_thresholds(
     score_col: str,
     group_col: str = "source",
     keep_frac: float = 0.5,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Per-group prune cut for :func:`quality_prune`: one (group_col,
     ``__thr``) row per group — the smallest score value whose cumulative
@@ -889,13 +890,55 @@ def quality_prune_thresholds(
     SRP plane count in streaming/maintenance.py). Shuffles only a
     per-(group, score) histogram; the cumulative sum runs over distinct
     score values per group, never the fact table.
+
+    The "shuffles only a histogram" claim is BOUNDED ONLY when the
+    score domain is bounded — integer scores (n_chars, n_tokens, rule
+    counts) are the native contract. A continuous score (perplexity,
+    classifier logit) makes (group, score) cardinality approach row
+    count and the per-group cumulative window degenerate into a
+    single-reducer pass over the group's full row set — so fractional
+    score columns (float/double/decimal) are REJECTED unless
+    ``quantize`` is given. ``quantize=w`` buckets the score to
+    ``floor(score / w) * w`` before the histogram (cardinality bounded
+    by score range / w); the returned cut is then a bucket lower edge,
+    and since every row with ``score >= cut`` survives the prune, ties
+    widen from equal-score rows to the whole cut bucket: the kept
+    fraction is at least ``keep_frac`` and inflated by at most the cut
+    bucket's occupancy. Deterministic for |score| < 2^52/w (exact IEEE
+    floor/multiply both engines evaluate identically).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
-    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__c"))
+    score_type = df.schema[score_col].dataType
+    fractional = isinstance(score_type, (DoubleType, FloatType)) or (
+        isinstance(score_type, DecimalType) and score_type.scale > 0
+    )
+    if fractional and quantize is None:
+        raise TypeError(
+            f"quality_prune: score column {score_col!r} is "
+            f"{score_type.simpleString()} — a continuous score makes the "
+            "(group, score) histogram approach row cardinality and the "
+            "per-group cumulative window single-reduce each group. Pass "
+            "quantize=<bucket width> to histogram on "
+            "floor(score/width)*width (bounded cardinality, documented "
+            "tie semantics), or cast the score to an integer scale first."
+        )
+    if quantize is not None:
+        if quantize <= 0:
+            raise ValueError(f"quantize must be positive, got {quantize}")
+        score_expr = F.floor(F.col(score_col) / F.lit(float(quantize))) * F.lit(
+            float(quantize)
+        )
+    else:
+        score_expr = F.col(score_col)
+
+    hist = df.groupBy(F.col(group_col), score_expr.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).asc())
+        .orderBy(F.col("__s").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("__cum", F.sum("__c").over(w))
@@ -904,7 +947,7 @@ def quality_prune_thresholds(
         cum.join(tot, group_col)
         .filter(F.col("__cum") > (1.0 - keep_frac) * F.col("__n"))
         .groupBy(group_col)
-        .agg(F.min(score_col).alias("__thr"))
+        .agg(F.min("__s").alias("__thr"))
     )
 
 
@@ -914,6 +957,7 @@ def quality_prune(
     group_col: str = "source",
     keep_frac: float = 0.5,
     thresholds: DataFrame | None = None,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Keep the top ``keep_frac`` fraction of rows per group by a quality
     score — the per-domain pruning pass a pre-training pipeline runs
@@ -941,11 +985,19 @@ def quality_prune(
     map-side to every batch. A group absent from the threshold table is
     dropped entirely (no cut on record means the maintenance pass has
     not admitted the domain yet — fail-closed, never fail-open).
+
+    Fractional score columns require ``quantize`` (see
+    :func:`quality_prune_thresholds` — the histogram-bounded scale
+    contract holds only for bounded score domains); the filter itself
+    (``score >= cut``) is type-agnostic, so a pinned ``thresholds``
+    table computed with quantization applies unchanged.
     """
     thr = (
         thresholds
         if thresholds is not None
-        else quality_prune_thresholds(df, score_col, group_col, keep_frac)
+        else quality_prune_thresholds(
+            df, score_col, group_col, keep_frac, quantize=quantize
+        )
     )
     return (
         df.join(F.broadcast(thr), group_col)
