@@ -258,6 +258,7 @@ def write_webdataset_shards(
     key_col: str = "doc_id",
     content_cols: Mapping[str, str] | None = None,
     shard_col: str = "shard_id",
+    max_shard_bytes: int | None = None,
 ):
     """WebDataset-style tar shards — the packaging convention large
     multimodal training runs consume (one ``.tar`` per shard; each
@@ -276,7 +277,25 @@ def write_webdataset_shards(
     pinned (mtime=0, uid/gid=0, USTAR) for byte-stable reruns. Each tar
     lands via write-to-temp + atomic rename, so a killed task never
     leaves a half-written shard visible (same crash discipline as
-    plans/layout.py).
+    plans/layout.py). The temp name embeds the Spark task ATTEMPT id,
+    so a speculative or zombie-retried attempt writes its own file and
+    the rename publishes whichever attempt finishes — never an
+    interleaving of two writers. Stale ``.inprogress.*`` files from
+    killed attempts are invisible to readers (the source's glob is
+    ``shard-*.tar``) and safe to delete any time no write job is
+    running.
+
+    Contracts enforced per row (fail-loud, not fail-garbage):
+    ``key_col`` values must be non-null and dot-free — '.' separates
+    the sample key from the member extension in WebDataset's naming, so
+    a dotted key would silently split wrong on every reader; content
+    values must be str (utf-8 encoded) or bytes-like — anything else
+    raises TypeError rather than falling through to ``bytes(v)``
+    (which for an int builds a ZERO-FILLED buffer of that length).
+    ``max_shard_bytes`` (optional) fails the write if a finished tar
+    exceeds it — the knob to catch pack_shards misconfiguration before
+    oversized shards hit the reader's whole-tar-in-memory bound (see
+    sources/webdataset.py).
 
     ``out_dir`` must be a filesystem every executor can write (local
     mode: any local path; a cluster points this at shared/fuse-mounted
@@ -299,6 +318,10 @@ def write_webdataset_shards(
     def run(batches):
         import tarfile
 
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         state: dict = {"sid": None, "tar": None, "tmp": None, "n": 0}
 
         def close_current():
@@ -306,12 +329,21 @@ def write_webdataset_shards(
                 return None
             state["tar"].close()
             final = os.path.join(out_dir, f"shard-{state['sid']:06d}.tar")
+            size = os.path.getsize(state["tmp"])
+            if max_shard_bytes is not None and size > max_shard_bytes:
+                os.remove(state["tmp"])
+                raise ValueError(
+                    f"shard {state['sid']} is {size} bytes, over "
+                    f"max_shard_bytes={max_shard_bytes}; re-pack with a "
+                    "smaller shard_bytes target (readers load each tar "
+                    "whole into executor memory)"
+                )
             os.replace(state["tmp"], final)
             row = (
                 int(state["sid"]),
                 final,
                 int(state["n"]),
-                int(os.path.getsize(final)),
+                int(size),
             )
             state.update(sid=None, tar=None, tmp=None, n=0)
             return row
@@ -326,7 +358,7 @@ def write_webdataset_shards(
                     if done:
                         out_rows.append(done)
                     tmp = os.path.join(
-                        out_dir, f".shard-{sid:06d}.tar.inprogress"
+                        out_dir, f".shard-{sid:06d}.tar.inprogress.{attempt}"
                     )
                     state.update(
                         sid=sid,
@@ -335,11 +367,28 @@ def write_webdataset_shards(
                         n=0,
                     )
                 key = d[key_col]
+                if key is None or "." in str(key):
+                    raise ValueError(
+                        f"write_webdataset_shards: {key_col}={key!r} — sample "
+                        "keys must be non-null and dot-free ('.' delimits "
+                        "key from member extension in WebDataset naming)"
+                    )
                 for col, ext in cols.items():
                     v = d[col]
                     if v is None:
                         continue
-                    payload = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    if isinstance(v, str):
+                        payload = v.encode("utf-8")
+                    elif isinstance(v, (bytes, bytearray, memoryview)):
+                        payload = bytes(v)
+                    else:
+                        raise TypeError(
+                            f"write_webdataset_shards: column {col!r} value "
+                            f"of type {type(v).__name__} — content columns "
+                            "must be string or binary (cast numerics "
+                            "explicitly; bytes(int) would write a "
+                            "zero-filled buffer)"
+                        )
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(payload)
                     info.mtime = 0

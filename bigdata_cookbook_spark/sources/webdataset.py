@@ -29,13 +29,26 @@ def read_webdataset(
     spark: SparkSession,
     path: str,
     pattern: str = "shard-*.tar",
+    max_shard_bytes: int | None = 4 << 30,
 ) -> DataFrame:
-    """One row per tar member: (shard_path, key, ext, content binary).
+    """One row per tar member: (shard, key, ext, content binary).
 
-    ``key``/``ext`` split the member name at the LAST dot (WebDataset's
-    convention: everything before the first dot is the sample key for
-    multi-dot extensions — this reader keeps the simpler last-dot rule
-    matching what write_webdataset_shards emits)."""
+    ``key``/``ext`` split the member name at the FIRST dot — the
+    WebDataset convention (the sample key is everything before the
+    first dot, so compound extensions like ``seg.png`` or ``json.gz``
+    stay whole in ``ext``). The sink enforces dot-free keys, so its own
+    tars split identically under either rule; foreign WebDataset tars
+    with compound extensions now split per the published convention.
+    Members with no dot at all keep the whole name as ``key`` with an
+    empty ``ext``.
+
+    MEMORY BOUND (enforced): binaryFile reads each tar WHOLE into one
+    row, so a shard must fit in executor memory — shard size
+    (pack_shards' ``shard_bytes``) is both the read-parallelism and the
+    peak-memory knob. A tar larger than ``max_shard_bytes`` (default
+    4 GiB) fails loud with the re-pack instruction instead of OOMing an
+    executor mid-job; pass ``None`` to disable when executors are
+    provisioned for known-larger shards."""
     import pandas as pd
 
     src = (
@@ -49,11 +62,19 @@ def read_webdataset(
         for pdf in batches:
             rows = []
             for tar_path, blob in zip(pdf["path"], pdf["content"]):
+                if max_shard_bytes is not None and len(blob) > max_shard_bytes:
+                    raise ValueError(
+                        f"read_webdataset: {tar_path} is {len(blob)} bytes, "
+                        f"over max_shard_bytes={max_shard_bytes}. Tars are "
+                        "read whole into executor memory — re-pack with a "
+                        "smaller shard_bytes target or raise the bound if "
+                        "executor memory allows."
+                    )
                 with tarfile.open(fileobj=io.BytesIO(blob)) as t:
                     for m in t.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        key, _, ext = m.name.partition(".")
                         rows.append(
                             (
                                 os.path.basename(tar_path),
@@ -69,3 +90,45 @@ def read_webdataset(
     return src.mapInPandas(
         run, "shard string, key string, ext string, content binary"
     )
+
+
+def webdataset_samples(
+    members: DataFrame,
+    exts: list[str] | None = None,
+    text_exts: tuple[str, ...] = ("txt", "json", "jsonl", "csv"),
+) -> DataFrame:
+    """Regroup read_webdataset's long member rows into one WIDE row per
+    sample: (shard, key, <ext> ...) — the pivot every consumer would
+    otherwise hand-roll. One member column per extension; extensions in
+    ``text_exts`` decode utf-8 to string, the rest stay binary; a
+    sample missing a member gets NULL (WebDataset tolerates ragged
+    samples).
+
+    ``exts=None`` infers the extension set from the data with one tiny
+    distinct-collect — bounded by MEMBER-TYPE cardinality (a handful:
+    txt/json/jpg/...), never by rows; pass the list explicitly in
+    pipelines to keep the plan collect-free.
+
+    Shape: one groupBy on (shard, key) — map-side combined, keyed by
+    the sample id so no skew (samples are unique) — building an
+    ext->content map, then a codegen projection of element_at lookups.
+    """
+    from pyspark.sql import functions as F
+
+    if exts is None:
+        exts = sorted(
+            r["ext"] for r in members.select("ext").distinct().collect()
+        )
+    grouped = members.groupBy("shard", "key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ext", "content")))
+        ).alias("__m")
+    )
+    cols = []
+    for ext in exts:
+        c = F.element_at(F.col("__m"), F.lit(ext))
+        if ext in text_exts:
+            c = c.cast("string")
+        # a dot would collide with DataFrame column-path syntax
+        cols.append(c.alias(ext.replace(".", "_")))
+    return grouped.select("shard", "key", *cols)

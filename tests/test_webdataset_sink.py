@@ -95,3 +95,107 @@ def test_read_webdataset_roundtrip(spark, tmp_path):
     assert got == {i: f"text of doc {i}" for i in range(40)}
     # parallelism unit = the tar file
     assert back.select("shard").distinct().count() == 3
+
+
+def test_sink_rejects_dotted_keys_and_bad_types(spark, tmp_path):
+    """Fail-loud contracts: dotted sample keys would split wrong on
+    every WebDataset reader; non-string/binary content would fall
+    through to bytes(v) and write zero-filled garbage."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    dotted = spark.createDataFrame(
+        [("a.b", "t")], "doc_id string, text string"
+    ).withColumn("shard_id", F.lit(0))
+    with pytest.raises(PythonException, match="dot-free"):
+        write_webdataset_shards(dotted, str(tmp_path / "d")).count()
+
+    ints = spark.createDataFrame([(1, 5)], "doc_id long, n int").withColumn(
+        "shard_id", F.lit(0)
+    )
+    with pytest.raises(PythonException, match="string or binary"):
+        write_webdataset_shards(
+            ints, str(tmp_path / "i"), content_cols={"n": "txt"}
+        ).count()
+
+
+def test_sink_max_shard_bytes_enforced(spark, tmp_path):
+    import pytest
+    from pyspark.errors import PythonException
+
+    docs = _docs(spark, 50).withColumn("shard_id", F.lit(0))
+    with pytest.raises(PythonException, match="max_shard_bytes"):
+        write_webdataset_shards(
+            docs, str(tmp_path / "cap"), max_shard_bytes=512
+        ).count()
+    # no finished shard was published; temps carry attempt-unique names
+    leftover = os.listdir(tmp_path / "cap")
+    assert all(".inprogress." in n for n in leftover)
+
+
+def test_read_webdataset_first_dot_split_and_bound(spark, tmp_path):
+    """Foreign tars with compound extensions split at the FIRST dot
+    (WebDataset convention); the whole-tar memory bound fails loud."""
+    import io
+    import pytest
+    from pyspark.errors import PythonException
+
+    from bigdata_cookbook_spark.sources.webdataset import read_webdataset
+
+    d = tmp_path / "foreign"
+    d.mkdir()
+    with tarfile.open(d / "shard-000000.tar", "w") as t:
+        for name, payload in [
+            ("k1.json.gz", b"gzbytes"),
+            ("k1.txt", b"hello"),
+            ("noext", b"raw"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            t.addfile(info, io.BytesIO(payload))
+    rows = {
+        (r.key, r.ext): bytes(r.content)
+        for r in read_webdataset(spark, str(d)).collect()
+    }
+    assert rows == {
+        ("k1", "json.gz"): b"gzbytes",
+        ("k1", "txt"): b"hello",
+        ("noext", ""): b"raw",
+    }
+    with pytest.raises(PythonException, match="max_shard_bytes"):
+        read_webdataset(spark, str(d), max_shard_bytes=4).count()
+
+
+def test_webdataset_samples_pivot(spark, tmp_path):
+    """The (shard, key) -> wide-sample helper: one row per sample, one
+    column per extension, text extensions decoded, missing members
+    NULL, compound extensions aliased dot-free."""
+    from bigdata_cookbook_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+    )
+
+    rows = [
+        (1, "text one", bytearray(b"\x01\x02"), 0),
+        (2, "text two", None, 0),
+        (3, "text three", bytearray(b"\x03"), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary, shard_id long"
+    )
+    out = str(tmp_path / "wide")
+    write_webdataset_shards(
+        df, out, content_cols={"text": "txt", "payload": "bin"}
+    ).count()
+    wide = webdataset_samples(read_webdataset(spark, out))
+    assert set(wide.columns) == {"shard", "key", "txt", "bin"}
+    got = {int(r.key): (r.txt, bytes(r.bin) if r.bin is not None else None)
+           for r in wide.collect()}
+    assert got == {
+        1: ("text one", b"\x01\x02"),
+        2: ("text two", None),
+        3: ("text three", b"\x03"),
+    }
+    # explicit exts keeps the plan collect-free and selects a subset
+    only_txt = webdataset_samples(read_webdataset(spark, out), exts=["txt"])
+    assert set(only_txt.columns) == {"shard", "key", "txt"}
