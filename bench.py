@@ -283,9 +283,8 @@ def main() -> None:
     duck_total = round(sum(duck.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     duck_cold_total = round(sum(duck_cold.values()), 3)
-    print(
-        json.dumps(
-            {
+    line = json.dumps(
+        {
                 "metric": "headline_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -307,8 +306,22 @@ def main() -> None:
                 else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
     )
+    print(line)
+    # The driver's BENCH_r{N}.json captures only a truncated tail of
+    # stdout (r6 VERDICT item 4: per-query warm maps were cut off, so
+    # round-over-round regressions were not diffable from the artifact).
+    # Persist the complete line next to the repo so each round commits
+    # a full copy (close-out copies it to bench_r{N}_full.json).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full_latest.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout still benches; stdout remains canonical
 
 
 if __name__ == "__main__":

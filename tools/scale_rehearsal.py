@@ -82,7 +82,42 @@ TIER = [
     "quality_prune_per_source",
     "contamination_bloom",
     "neardup_keep_best",
+    # round-7 additions (r6 VERDICT item 4: the five round-6 operators
+    # the curve did not yet cover)
+    "html_to_text",
+    "script_profile",
+    "paragraph_dedup",
+    "tfidf_top_terms",
+    "sentence_budget_chunks",
 ]
+
+# super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
+# linear production tier measured in the same artifact); the flag
+# computation exempts exactly these, by name, with the reason recorded
+# in the artifact so "zero unexplained flags" is machine-checked
+EXEMPT_KNOWN_SUPERLINEAR = {
+    "ngram_jaccard_pairs": (
+        "exact all-pairs tier is O(n^2) by definition; the df-capped "
+        "linear production tier is the ngram_jaccard_capped row"
+    ),
+    "corpus_clean": (
+        "batch form includes the within-corpus exact-dedup self-join "
+        "whose candidate set grows quadratically on the synthetic "
+        "near-dup-heavy corpus; the incremental/streaming form is the "
+        "production tier"
+    ),
+    "semantic_dedup": (
+        "fixed-plane oracle form: bucket occupancy grows with corpus "
+        "size at constant plane count (dense by construction); the "
+        "auto-scaled production tier is the semantic_dedup_auto row"
+    ),
+}
+#: step ratios are only meaningful once the base time is above Spark's
+#: fixed job floor (~0.1-0.3 s scheduling+codegen); a ratio whose base
+#: is below this is recorded separately (floor-deflated base), not
+#: flagged — the r6 bpe_token_count lesson
+FLAG_FLOOR_SEC = 0.25
+FLAG_RATIO_PER_10X = 10.0
 
 def _sf_dirs() -> list[tuple[str, str]]:
     """Default curve 0.01/0.1/1; override with SPARK_GRAFT_SCALE_SFS
@@ -110,6 +145,46 @@ SKIP = {
     for s in os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "").split(",")
     if s.strip()
 }
+
+
+def compute_flags(
+    table: list[dict],
+    results: dict[str, dict],
+    steps: list[tuple[str, str]],
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Machine-computed super-linearity flags (r6 VERDICT item 2: the
+    "zero super-linear flags" claim must be a property of the ARTIFACT,
+    not of a commit message). A step is flagged when its ratio exceeds
+    FLAG_RATIO_PER_10X scaled to the step's actual data growth;
+    exempt-by-design rows land in exempt_superlinear with their
+    documented reason; ratios whose base time is under the fixed job
+    floor land in floor_deflated_base (the ratio is arithmetic over
+    scheduling noise, not a scale signal — the r6 bpe_token_count
+    lesson, where a 0.111 s base tripled the recorded ratio).
+
+    Returns (flagged, exempt_hits, floor_hits); a publishable curve has
+    flagged == [].
+    """
+    flagged, exempt_hits, floor_hits = [], [], []
+    for row in table:
+        name = row["query"]
+        for a, b in steps:
+            r = row.get(f"r_{a}_{b}")
+            if r is None:
+                continue
+            thr = FLAG_RATIO_PER_10X * (float(b) / float(a)) / 10.0
+            if r <= thr:
+                continue
+            hit = {"query": name, "step": f"{a}->{b}", "ratio": r}
+            if name in EXEMPT_KNOWN_SUPERLINEAR:
+                hit["reason"] = EXEMPT_KNOWN_SUPERLINEAR[name]
+                exempt_hits.append(hit)
+            elif (results.get(name, {}).get(a) or 0) < FLAG_FLOOR_SEC:
+                hit["base_sec"] = results.get(name, {}).get(a)
+                floor_hits.append(hit)
+            else:
+                flagged.append(hit)
+    return flagged, exempt_hits, floor_hits
 
 
 def main() -> None:
@@ -153,6 +228,61 @@ def main() -> None:
                 results[name][sf] = None
                 results[name][f"err_{sf}"] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"sf{sf} {name}: FAILED {type(exc).__name__}", file=sys.stderr, flush=True)
+        # WebDataset sink -> source round-trip (not a registry query:
+        # the sink writes real tars; timed against a scratch dir).
+        # Write = pack_shards + tar emit, forced by the manifest;
+        # read = whole-tar binaryFile ingest + untar to member rows.
+        if "webdataset_roundtrip" not in SKIP:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from bigdata_cookbook_spark.operators.sampling import pack_shards
+            from bigdata_cookbook_spark.sinks import write_webdataset_shards
+            from bigdata_cookbook_spark.sources.webdataset import read_webdataset
+
+            results.setdefault("webdataset_write", {})
+            results.setdefault("webdataset_read", {})
+            try:
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text", F.octet_length("text").alias("nb")
+                )
+                wtimes, rtimes = [], []
+                for _ in range(3):
+                    run_dir = tempfile.mkdtemp(prefix="wds_rehearsal_")
+                    try:
+                        packed = pack_shards(
+                            docs, ["doc_id"], "nb", shard_bytes=4 << 20
+                        )
+                        sink = write_webdataset_shards(packed, run_dir)
+                        t0 = time.perf_counter()
+                        sink.write.format("noop").mode("overwrite").save()
+                        wtimes.append(time.perf_counter() - t0)
+                        back = read_webdataset(spark, run_dir)
+                        t0 = time.perf_counter()
+                        back.write.format("noop").mode("overwrite").save()
+                        rtimes.append(time.perf_counter() - t0)
+                    finally:
+                        shutil.rmtree(run_dir, ignore_errors=True)
+                results["webdataset_write"][sf] = round(min(wtimes), 3)
+                results["webdataset_read"][sf] = round(min(rtimes), 3)
+                print(
+                    f"sf{sf} webdataset write/read: "
+                    f"{results['webdataset_write'][sf]}/"
+                    f"{results['webdataset_read'][sf]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001
+                results["webdataset_write"][f"err_{sf}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                print(
+                    f"sf{sf} webdataset: FAILED {type(exc).__name__}",
+                    file=sys.stderr,
+                    flush=True,
+                )
         for df in cached:
             df.unpersist()
         spark.catalog.clearCache()
@@ -161,7 +291,8 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_SFS list)
     steps = [(SFS[i][0], SFS[i + 1][0]) for i in range(len(SFS) - 1)]
     table = []
-    for name in names:
+    all_names = names + [n for n in results if n not in names]
+    for name in all_names:
         r = results[name]
         row = {"query": name, **{f"sf{sf}": r.get(sf) for sf, _ in SFS}}
         for a, b in steps:
@@ -170,9 +301,34 @@ def main() -> None:
         err = {k: v for k, v in r.items() if k.startswith("err_")}
         row.update(err)
         table.append(row)
+
+    flagged, exempt_hits, floor_hits = compute_flags(table, results, steps)
     with open(out_path, "w") as f:
-        json.dump({"unit": "sec", "min_of": 3, "rows": table}, f, indent=1)
-    print(json.dumps({"wrote": out_path, "queries": len(table)}))
+        json.dump(
+            {
+                "unit": "sec",
+                "min_of": 3,
+                "flag_ratio_per_10x": FLAG_RATIO_PER_10X,
+                "flag_floor_sec": FLAG_FLOOR_SEC,
+                "flagged": flagged,
+                "exempt_superlinear": exempt_hits,
+                "floor_deflated_base": floor_hits,
+                "rows": table,
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "wrote": out_path,
+                "queries": len(table),
+                "flagged": flagged,
+                "exempt": [h["query"] for h in exempt_hits],
+                "floor_deflated": [h["query"] for h in floor_hits],
+            }
+        )
+    )
 
     # markdown table for BASELINE.md
     hdr = (
