@@ -1,0 +1,224 @@
+"""sf10 capstone rehearsal (round-7 VERDICT item 6): measure the
+COMPOSITION, not just the stages.
+
+Every per-operator scaling curve is recorded in SCALING.json /
+BASELINE.md §D-F; this script closes the remaining gap — one recorded
+end-to-end run of each capstone at the largest local tier
+(.scale/sf10, ~500k docs):
+
+1. **Batch capstone** — workflows.pretraining_pipeline with every
+   optional stage on (the examples/pretraining_data_pipeline.py
+   configuration: paragraph dedup, span dedup, Gopher repetition,
+   Bloom decontamination, per-domain prune, semantic dedup, shards),
+   training_set written to scratch parquet. Records wall time and the
+   full per-stage drop accounting.
+
+2. **Streaming capstone** — streaming_corpus_clean over >= 3
+   micro-batches (spool-file source, LSH near-dup tier — the
+   production funnel) with decontamination, then ONE
+   maintenance.maintain_state cycle. Records wall time, the drop-log
+   audit per (stage, batch), and state file/dir counts before and
+   after maintenance.
+
+Output: one JSON document (default capstone_sf10.json) whose numbers
+feed BASELINE.md's capstone table.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=32g python tools/capstone_sf10.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", ".scale/sf10")
+
+
+def _tree_counts(root: str) -> dict[str, dict[str, int]]:
+    """Per state table: number of delta dirs and data files."""
+    out: dict[str, dict[str, int]] = {}
+    if not os.path.isdir(root):
+        return out
+    for table in sorted(os.listdir(root)):
+        troot = os.path.join(root, table)
+        if not os.path.isdir(troot):
+            continue
+        ndirs = nfiles = 0
+        for dirpath, dirnames, filenames in os.walk(troot):
+            ndirs += sum(
+                1 for d in dirnames if d.startswith("ingest_batch=") or d.startswith("consolidated")
+            )
+            nfiles += sum(1 for f in filenames if f.endswith(".parquet"))
+        out[table] = {"delta_dirs": ndirs, "parquet_files": nfiles}
+    return out
+
+
+def run_batch_capstone(spark, scratch: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, SF10_DIR, "documents")
+    # same corpus shaping as the runnable example: plant one
+    # boilerplate paragraph per source so paragraph dedup does real work
+    docs = docs.withColumn(
+        "text",
+        F.concat(F.lit("BOILERPLATE-"), F.col("source"), F.lit("\n"), F.col("text")),
+    )
+    emb = load_table(spark, SF10_DIR, "embeddings")
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+
+    t0 = time.perf_counter()
+    out = pretraining_pipeline(
+        docs,
+        eval_df=eval_df,
+        paragraph_dedup_sep="\n",
+        span_dedup_tokens=5,
+        repetition_filter=True,
+        embeddings_df=emb,
+        semantic_threshold=0.4,
+        bloom_decontaminate=True,
+        quality_prune_frac=0.9,
+        shard_bytes=32 << 20,
+        # the df-capped near-dup tier — REQUIRED at corpus scale per the
+        # pretraining_pipeline docstring: the exact all-pairs form is
+        # the documented quadratic oracle tier (SCALING.json exempt
+        # list), and at sf10 its shingle-pair shuffle spill exceeds
+        # local disk (measured: first run of this script died ENOSPC)
+        jaccard_df_cap=20,
+    )
+    ts_path = os.path.join(scratch, "training_set")
+    out["training_set"].write.mode("overwrite").parquet(ts_path)
+    accounting = sorted(
+        (r["stage"], int(r["n_dropped"])) for r in out["accounting"].collect()
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    n_rows = spark.read.parquet(ts_path).count()
+    n_shards = spark.read.parquet(ts_path).select("shard_id").distinct().count()
+    out["clean"].unpersist()
+    return {
+        "wall_sec": wall,
+        "input_docs": docs.count(),
+        "training_set_rows": n_rows,
+        "n_shards": n_shards,
+        "accounting": [{"stage": s, "n_dropped": n} for s, n in accounting],
+    }
+
+
+def run_streaming_capstone(spark, scratch: str, n_batches: int = 4) -> dict:
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.streaming.maintenance import maintain_state
+    from bigdata_cookbook_spark.streaming.pipeline import streaming_corpus_clean
+
+    docs = load_table(spark, SF10_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    spool = os.path.join(scratch, "spool")
+    os.makedirs(spool, exist_ok=True)
+    # one spool file per micro-batch, contiguous doc_id ranges
+    n_docs = docs.count()
+    per = n_docs // n_batches + 1
+    # one FILE per intended micro-batch (coalesce(1)) with
+    # maxFilesPerTrigger=1 — the availableNow planner groups whatever
+    # files it lists up to the limit per batch, so one-file spools are
+    # the only way to pin the batch count deterministically
+    for b in range(n_batches):
+        docs.filter(
+            (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+        ).coalesce(1).write.parquet(os.path.join(spool, f"f{b}"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(spool, "*", "*.parquet"))
+    )
+    state = os.path.join(scratch, "state")
+    out_dir = os.path.join(scratch, "out")
+    t0 = time.perf_counter()
+    q = streaming_corpus_clean(
+        stream,
+        state_dir=state,
+        output_dir=out_dir,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        eval_df=eval_df,
+        near_dup="lsh",
+    )
+    if not q.awaitTermination(7200):
+        raise RuntimeError("stream did not drain within 2h")
+    wall = round(time.perf_counter() - t0, 1)
+
+    kept = spark.read.parquet(out_dir).count()
+    drops = [
+        {"stage": r["stage"], "batch": int(r["ingest_batch"]), "n": int(r["n"])}
+        for r in (
+            spark.read.parquet(os.path.join(state, "drops"))
+            .groupBy("stage", "ingest_batch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("ingest_batch", "stage")
+            .collect()
+        )
+    ]
+    before = _tree_counts(state)
+    t1 = time.perf_counter()
+    stats = maintain_state(spark, state)
+    maint_wall = round(time.perf_counter() - t1, 1)
+    after = _tree_counts(state)
+    return {
+        "wall_sec": wall,
+        "n_batches": n_batches,
+        "input_docs": n_docs,
+        "kept_docs": kept,
+        "drops_per_stage_batch": drops,
+        "state_files_before": before,
+        "maintain_state_sec": maint_wall,
+        "maintain_state_stats": stats,
+        "state_files_after": after,
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "capstone_sf10.json"
+    if not os.path.isdir(SF10_DIR):
+        raise SystemExit(f"{SF10_DIR} missing — run tools/gen_scale_data.py first")
+    from bench import bench_session, cleanup_scratch
+
+    spark = bench_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tempfile.mkdtemp(prefix="capstone_sf10_")
+    # SPARK_GRAFT_CAPSTONE_PHASES=batch,streaming — re-run one phase
+    # and merge into an existing artifact (each phase is ~15 min at
+    # sf10; no reason to pay for both when iterating on one)
+    phases = set(
+        os.environ.get("SPARK_GRAFT_CAPSTONE_PHASES", "batch,streaming").split(",")
+    )
+    try:
+        result = {"sf": 10, "sf_dir": SF10_DIR}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                result.update(json.load(f))
+        if "batch" in phases:
+            result["batch_pretraining_pipeline"] = run_batch_capstone(spark, scratch)
+            print(json.dumps(result["batch_pretraining_pipeline"]), flush=True)
+        if "streaming" in phases:
+            result["streaming_corpus_clean"] = run_streaming_capstone(spark, scratch)
+            print(json.dumps(result["streaming_corpus_clean"]), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({"wrote": out_path}))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        cleanup_scratch(spark)
+
+
+if __name__ == "__main__":
+    main()
