@@ -1818,6 +1818,25 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination audit (operators/dedup.
+    contamination_report): for every eval doc (doc_id % 7 == 0, the
+    same stand-in benchmark as q_benchmark_contamination) — how many
+    corpus docs contain >= 30% of its 8-grams, the worst containment
+    observed from ANY co-shingled corpus doc (sub-threshold leaks are
+    the point of the report), and the argmax contaminator (ties ->
+    smallest id). Eval docs with no shared 8-gram appear as
+    (0, 0.0, NULL). Runs the shuffle tier (broadcast_eval=False) for
+    the same growing-eval reason as the pairs query."""
+    from bigdata_cookbook_spark.operators.dedup import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_report(
+        docs, eval_df, n=8, threshold=0.3, broadcast_eval=False
+    )
+
+
 def q_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality pruning (operators/corpus.quality_prune): keep
     the top 60% of each source by document length — the keep-best-X%-
@@ -2365,6 +2384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "html_to_text": q_html_to_text,
         "script_profile": q_script_profile,
+        # new round 7 — enters OUTSIDE the scored window per the
+        # rotation discipline; queues for round 9+ behind the round-6
+        # tail entries
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -3227,6 +3250,53 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) // 32768 AS shard_id
             FROM b
+        """,
+        # per-eval-doc audit over the SAME shingle universe as
+        # benchmark_contamination: max containment over ALL co-shingled
+        # pairs (no threshold filter), flag count at 0.3, argmax
+        # contaminator (ties -> smallest id), zero-leak eval docs kept
+        # via the left join from the shingled-eval universe
+        "contamination_report": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            idx AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+                FROM toks WHERE len(t) >= 8
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+                FROM idx
+            ),
+            ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0),
+            evsz AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+            inter AS (
+                SELECT s.doc_id AS train_id, e.eval_id, COUNT(*) AS n_common
+                FROM sh s JOIN ev e USING (shingle)
+                WHERE s.doc_id <> e.eval_id
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT eval_id, train_id,
+                       ROUND(CAST(n_common AS DOUBLE) / n_eval, 4) AS c
+                FROM inter JOIN evsz USING (eval_id)
+            ),
+            agg AS (
+                SELECT eval_id,
+                       CAST(COUNT(*) FILTER (WHERE c >= 0.3) AS INTEGER) AS n_flagged,
+                       MAX(c) AS max_containment,
+                       (ARRAY_AGG(train_id ORDER BY c DESC, train_id ASC))[1]
+                           AS top_train_id
+                FROM scored GROUP BY 1
+            )
+            SELECT e.eval_id,
+                   COALESCE(a.n_flagged, 0) AS n_flagged,
+                   COALESCE(a.max_containment, 0.0) AS max_containment,
+                   a.top_train_id
+            FROM (SELECT DISTINCT eval_id FROM ev) e
+            LEFT JOIN agg a USING (eval_id)
         """,
         "benchmark_contamination": """
             WITH toks AS (

@@ -237,6 +237,87 @@ def contamination_pairs(
     return out
 
 
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-EVAL-doc contamination audit — the report a benchmark owner
+    reads before trusting scores, complementing contamination_pairs'
+    training-side drop list (the reference has no analogue; public
+    practice: the per-benchmark overlap tables in LLM data-contamination
+    appendices).
+
+    For every eval doc with at least one n-gram (the auditable
+    universe):
+
+        (eval_id,
+         n_flagged         — distinct corpus docs at containment >=
+                             threshold (self pairs excluded),
+         max_containment   — the WORST leak, over ALL co-shingled
+                             corpus docs, not just flagged ones: a 0.45
+                             under a 0.5 threshold is exactly what this
+                             report exists to surface,
+         top_train_id      — the argmax corpus doc, ties broken by
+                             smallest id; NULL when nothing co-shingles)
+
+    Eval docs sharing no n-gram with the corpus appear with
+    (0, 0.0, NULL) — absence of evidence is part of the audit.
+
+    Same inverted-index join shape and ``broadcast_eval`` contract as
+    contamination_pairs (one corpus-shingle pass, join keyed on
+    xxhash64 longs); the extra cost over the pairs form is one
+    map-side-combined aggregate keyed by eval_id (benchmark-sized) and
+    the left join back to the eval universe (broadcast-sized). At
+    100 TB the same df-cap guidance applies to the shingle join.
+    """
+    tr = doc_shingles(corpus, text_col, id_col, n).select(
+        F.col("doc_id").alias("train_id"), F.xxhash64("shingle").alias("sh")
+    )
+    ev = doc_shingles(
+        eval_df, text_col, id_col, n, repartition=not broadcast_eval
+    ).select(F.col("doc_id").alias("eval_id"), F.xxhash64("shingle").alias("sh"))
+    ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("__n_eval"))
+    ev_side = F.broadcast(ev) if broadcast_eval else ev.hint("shuffle_hash")
+    inter = (
+        tr.join(ev_side, "sh")
+        .filter(F.col("train_id") != F.col("eval_id"))
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("__n_common"))
+    )
+    sz_side = F.broadcast(ev_sz) if broadcast_eval else ev_sz
+    scored = inter.join(sz_side, "eval_id").select(
+        "eval_id",
+        "train_id",
+        F.round(F.col("__n_common") / F.col("__n_eval"), 4).alias("__c"),
+    )
+    # argmax by (containment desc, train_id asc): max of a struct whose
+    # second field is the NEGATED id — larger neg == smaller id
+    agg = scored.groupBy("eval_id").agg(
+        F.count(F.when(F.col("__c") >= threshold, True))
+        .cast("int")
+        .alias("n_flagged"),
+        F.max("__c").alias("max_containment"),
+        F.max(
+            F.struct(
+                F.col("__c").alias("c"),
+                (-F.col("train_id")).alias("neg"),
+                F.col("train_id").alias("tid"),
+            )
+        )["tid"].alias("top_train_id"),
+    )
+    return ev_sz.select("eval_id").join(agg, "eval_id", "left").select(
+        "eval_id",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+        "top_train_id",
+    )
+
+
 @dataclass(frozen=True)
 class ShingleBloom:
     """A Bloom filter over xxhash64(shingle) longs, held as a dense array

@@ -198,3 +198,55 @@ def test_probe_filter_matches_expression_form(spark):
         r.sh for r in bloom_probe_filter(probes, bloom, F.col("sh")).collect()
     }
     assert expr_hits == join_hits
+
+
+def test_contamination_report_semantics(spark):
+    """contamination_report: planted full-containment, partial
+    sub-threshold leak, and zero-leak eval docs each report correctly —
+    max_containment surfaces sub-threshold leaks the pairs query's
+    threshold filter would hide, and the audit includes clean docs."""
+    from bigdata_cookbook_spark.operators.dedup import contamination_report
+
+    eval_text = "one two three four five six seven eight nine ten"
+    rows = [
+        (100, eval_text),  # eval doc (id % 7 pattern unused here)
+        # full containment: a longer doc embedding the whole eval text
+        (1, "prefix words " + eval_text + " suffix words"),
+        # partial: shares the first 8-gram only (1 of 3 eval shingles)
+        (2, "one two three four five six seven eight different tail here"),
+        # disjoint corpus doc
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # a second eval doc with NO co-shingled corpus doc
+        (200, "crimson violet amber teal indigo maroon ochre sienna umber jade"),
+    ]
+    docs = _docs(spark, rows)
+    ev = docs.filter(F.col("doc_id").isin(100, 200))
+    got = {
+        r["eval_id"]: (r["n_flagged"], r["max_containment"], r["top_train_id"])
+        for r in contamination_report(docs, ev, n=8, threshold=0.5).collect()
+    }
+    # eval 100: doc 1 contains all 3 shingles (flagged, containment 1.0);
+    # doc 2 contains 1/3 = 0.3333 (NOT flagged at 0.5, but it IS the
+    # sub-threshold leak max_containment must not hide — top stays doc 1)
+    assert got[100] == (1, 1.0, 1)
+    # eval 200: nothing co-shingles — present with the zero row
+    assert got[200] == (0, 0.0, None)
+
+
+def test_contamination_report_tie_break_smallest_id(spark):
+    """Two corpus docs at identical containment: top_train_id is the
+    smaller id (deterministic argmax, pinned against the oracle's
+    ORDER BY c DESC, train_id ASC)."""
+    from bigdata_cookbook_spark.operators.dedup import contamination_report
+
+    eval_text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (50, eval_text),
+        (9, "pad " + eval_text),
+        (4, eval_text + " pad"),
+    ]
+    docs = _docs(spark, rows)
+    ev = docs.filter(F.col("doc_id") == 50)
+    row = contamination_report(docs, ev, n=8, threshold=0.5).collect()[0]
+    assert row["n_flagged"] == 2 and row["max_containment"] == 1.0
+    assert row["top_train_id"] == 4
