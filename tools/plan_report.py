@@ -107,6 +107,11 @@ EXCHANGE_CEILINGS = {
     # histogram aggregate + distinct-value window + total aggregate;
     # the FACT side re-enters via broadcast only
     "quality_prune_per_source": 4,
+    # round 7: the pairs tier's shuffle plan (registry form runs
+    # broadcast_eval=False: both shingle sides + the n_eval join
+    # shuffle) + the per-eval aggregate and the left join back to the
+    # benchmark-sized eval universe
+    "contamination_report": 8,
     # pure scan -> regexp_replace chain projection
     "html_to_text": 0,
     "script_profile": 0,
@@ -318,6 +323,10 @@ def main() -> None:
         "quality_prune_per_source",
         "html_to_text",
         "script_profile",
+        # round 7: per-eval-doc audit — same inverted-index join as the
+        # pairs form plus one benchmark-sized aggregate; the left
+        # join-back to the eval universe must not shuffle the fact side
+        "contamination_report",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:
