@@ -1837,6 +1837,22 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (functions/text.
+    winnow_fingerprints — Schleimer et al.'s MOSS algorithm): per doc,
+    the distinct 5-gram fingerprints selected as the min-md5 gram
+    (rightmost tie) of every 4-wide sliding hash window. The rolling-
+    hash local-fingerprint tier above the whole-document md5
+    (q_doc_fingerprint): any >= 8-token shared substring between two
+    docs is GUARANTEED to produce an identical fingerprint in both.
+    md5-hex ordering makes the selection itself engine-portable, so the
+    oracle reproduces the argmin, not just the format."""
+    from bigdata_cookbook_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality pruning (operators/corpus.quality_prune): keep
     the top 60% of each source by document length — the keep-best-X%-
@@ -2388,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation discipline; queues for round 9+ behind the round-6
         # tail entries
         "contamination_report": q_contamination_report,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -3250,6 +3267,38 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) // 32768 AS shard_id
             FROM b
+        """,
+        # winnowing (MOSS) fingerprint selection: the argmin is over
+        # md5 HEX STRINGS (lexicographic), identical in both engines,
+        # so the oracle reproduces the selection itself; slice t[i:i+4]
+        # is DuckDB-inclusive = 5 tokens; window = i BETWEEN s AND s+3;
+        # short docs (< 4 grams) fall into the single s=1 window
+        "winnow_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            g AS (
+                SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 4)) AS i
+                      FROM toks WHERE len(t) >= 5)
+            ),
+            h AS (SELECT doc_id, i, gram, md5(gram) AS hh FROM g),
+            ng AS (SELECT doc_id, MAX(i) AS n FROM h GROUP BY 1),
+            win AS (
+                SELECT doc_id, unnest(generate_series(1, greatest(n - 3, 1))) AS s
+                FROM ng
+            ),
+            sel AS (
+                SELECT w.doc_id, w.s,
+                       (ARRAY_AGG(h.gram ORDER BY h.hh ASC, h.i DESC))[1] AS gram
+                FROM win w
+                JOIN h ON h.doc_id = w.doc_id AND h.i BETWEEN w.s AND w.s + 3
+                GROUP BY 1, 2
+            )
+            SELECT DISTINCT doc_id, gram FROM sel
         """,
         # per-eval-doc audit over the SAME shingle universe as
         # benchmark_contamination: max containment over ALL co-shingled

@@ -1120,3 +1120,104 @@ def script_ratio_sql(col_sql: str) -> dict[str, str]:
             f"THEN ROUND(CAST({kept} AS DOUBLE) / {base}, 4) END"
         )
     return out
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): per document, the DISTINCT word
+    k-grams selected by taking, in every sliding window of ``w``
+    consecutive k-gram hashes, the minimum hash — rightmost position on
+    ties (the paper's robust-winnowing rule). The guarantee that makes
+    this THE local fingerprinting scheme: any shared substring of at
+    least k + w - 1 tokens between two documents yields at least one
+    IDENTICAL selected fingerprint in both, while storing only
+    ~2/(w+1) of all k-grams — the rolling-hash fingerprint tier above
+    the whole-document md5 (q_doc_fingerprint).
+
+    Hash = md5 hex of the gram STRING, compared lexicographically —
+    deterministic and engine-portable (Spark's md5(encode(utf-8)) and
+    DuckDB's md5() emit identical lowercase hex, so the selection —
+    not just the output format — is reproducible by the SQL oracle).
+
+    Documents with fewer than k tokens emit no fingerprints; documents
+    with fewer than k + w - 1 tokens form one window over all their
+    grams (one fingerprint). Output: (id_col, gram), distinct.
+
+    Plan shape: ONE projection built from nested let_bound bindings
+    (tokens, grams, hashes each bound as a lambda variable — a plain
+    aliased-select chain is NOT safe here: CollapseProject/pushdown
+    re-inline the defining transform into every element_at reference,
+    turning the O(n_grams * w) selection into an exponential
+    re-evaluation; first cut of this function hung for minutes on 50
+    x 50-token docs) + one explode + one distinct. The ONLY exchange
+    is the final distinct; no UDF, no shuffle keyed by gram until the
+    caller joins fingerprints across documents.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+
+    def windows(g: Column, h: Column) -> Column:
+        # argmin hash per window, rightmost tie -> min of struct(hash
+        # asc, NEGATED position asc == position desc, gram); short docs
+        # (n_grams < w) collapse to one window whose out-of-range
+        # lookups clamp to the last gram (duplicate candidates never
+        # change an argmin)
+        n_win = F.greatest(F.size(g) - (w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda s: F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(w - 1)),
+                        lambda j: F.struct(
+                            F.element_at(h, F.least(s + j, F.size(h))).alias(
+                                "h"
+                            ),
+                            (-F.least(s + j, F.size(h))).alias("np"),
+                            F.element_at(g, F.least(s + j, F.size(g))).alias(
+                                "g"
+                            ),
+                        ),
+                    )
+                )["g"],
+            )
+        )
+
+    def selected(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(j)) for j in range(k)]
+            ),
+        )
+        return let_bound(
+            grams,
+            lambda g: let_bound(
+                F.transform(g, lambda x: F.md5(F.encode(x, "UTF-8"))),
+                lambda h: windows(g, h),
+            ),
+        )
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = (
+        docs.where(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= k)
+    )
+    return (
+        staged.select(
+            id_col,
+            F.explode(let_bound(F.col("__t"), selected)).alias("gram"),
+        )
+        .distinct()
+    )
