@@ -107,6 +107,8 @@ EXCHANGE_CEILINGS = {
     # histogram aggregate + distinct-value window + total aggregate;
     # the FACT side re-enters via broadcast only
     "quality_prune_per_source": 4,
+    # round 7: the final distinct is the operator's only exchange
+    "winnow_fingerprints": 1,
     # round 7: the pairs tier's shuffle plan (registry form runs
     # broadcast_eval=False: both shingle sides + the n_eval join
     # shuffle) + the per-eval aggregate and the left join back to the
@@ -327,6 +329,9 @@ def main() -> None:
         # pairs form plus one benchmark-sized aggregate; the left
         # join-back to the eval universe must not shuffle the fact side
         "contamination_report",
+        # round 7: winnowing selection is one nested-let_bound
+        # projection — only the final distinct may exchange
+        "winnow_fingerprints",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

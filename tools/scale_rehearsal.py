@@ -89,6 +89,9 @@ TIER = [
     "paragraph_dedup",
     "tfidf_top_terms",
     "sentence_budget_chunks",
+    # round-7 additions (first curve rows land with the round-8 regen)
+    "contamination_report",
+    "winnow_fingerprints",
 ]
 
 # super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
