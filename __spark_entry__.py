@@ -2202,20 +2202,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     char_bigram_perplexity (displaced families stay pinned in-window —
     see the inline comments at each swap site).
 
-    Rotation plan (round 8): the five remaining round-6 tail entries
-    rotate in, each over a double-green row, in this order:
-    paragraph_dedup over span_dedup (dedup family stays pinned by
-    exact_dedup_docs + minhash_lsh_candidates + simhash),
-    tfidf_top_terms over knn_label_vote (similarity family stays pinned
-    by similarity_multiquery_rerank + ann_cosine_topk),
-    contamination_bloom over length_curriculum (curriculum/sampling
-    family stays pinned by training_shuffle + stratified/weighted
-    samples; bloom shares the exact contamination tier's oracle),
-    quality_prune_per_source over source_quality_profile (quality
-    family stays pinned by token_quality + gopher_repetition),
-    neardup_keep_best over embedding_neardup_pairs (near-dup pair
-    family stays pinned by minhash_lsh_candidates + simhash).
-    html_to_text and script_profile queue behind them for round 9."""
+    Round-8 rotation EXECUTED as documented last round: the five
+    remaining round-6 tail entries rotated in, each displacing a
+    double-green row (hash-green in TWO OR MORE past CORRECTNESS
+    rounds — the eligibility rule, re-verified against the r01-r07
+    artifacts at swap time): paragraph_dedup over span_dedup
+    (r04-r07), tfidf_top_terms over knn_label_vote (r02-r07),
+    contamination_bloom over length_curriculum (r03-r07),
+    quality_prune_per_source over source_quality_profile (r03-r07),
+    neardup_keep_best over embedding_neardup_pairs (r01-r07).
+    Displaced families stay pinned in-window — see the inline comments
+    at each swap site.
+
+    Rotation plan (round 9): the four never-driver-scored entries
+    rotate in, registry order, each over a double-green row:
+    html_to_text, script_profile, contamination_report,
+    winnow_fingerprints."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -2224,7 +2226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
         "net_exposure": q_net_exposure,
         "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
-        "knn_label_vote": q_knn_label_vote,
+        # round-8 rotation (slot 2): tfidf_top_terms takes
+        # knn_label_vote's slot (double-green r02-r07; the similarity
+        # family stays pinned in-window by similarity_multiquery_rerank
+        # + ann_cosine_topk).
+        "tfidf_top_terms": q_tfidf_top_terms,
         "first_last_per_group": q_first_last_per_group,
         "keyword_context_window": q_keyword_context_window,
         "token_pack_buckets": q_token_pack_buckets,
@@ -2244,10 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "stratified_sample_orders": q_stratified_sample_orders,
         "weighted_sample_orders": q_weighted_sample_orders,
-        # round-4 rotation (slot 3): span_dedup over price_percentiles
-        # (double-green r02+r03; the robust-stats family stays pinned
-        # in-window by iqr_outliers).
-        "span_dedup": q_span_dedup,
+        # round-8 rotation (slot 1): paragraph_dedup takes span_dedup's
+        # slot (double-green r04-r07; the dedup family stays pinned
+        # in-window by exact_dedup_docs + minhash_lsh_candidates +
+        # simhash + line_dedup).
+        "paragraph_dedup": q_paragraph_dedup,
         # round-4 rotation: the two new training-data-tier queries take
         # scored-window slots from two DOUBLE-green entries (r02+r03
         # hash rows on record: rolling_hour_avg, rollup_order_volumes —
@@ -2283,7 +2290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with domain_mix_sample).
         "domain_mix_temperature": q_domain_mix_temperature,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "length_curriculum": q_length_curriculum,
+        # round-8 rotation (slot 3): contamination_bloom takes
+        # length_curriculum's slot (double-green r03-r07; the
+        # curriculum/sampling family stays pinned in-window by
+        # training_shuffle + stratified/weighted samples; bloom shares
+        # the exact contamination tier's oracle bit-identically).
+        "contamination_bloom": q_contamination_bloom,
         # (topk_parts_per_brand -> tail on its r01+r02 green rows; the W
         # family stays pinned by argmax_day_per_priority + sector_rank)
         # round-7 rotation (slot 4): shard_pack_documents takes
@@ -2296,13 +2308,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         # (argmax_day_per_priority -> tail on its r01+r02 green rows; the
         # W family stays pinned in-window by calendar_densify_daily)
-        "source_quality_profile": q_source_quality_profile,
+        # round-8 rotation (slot 4): quality_prune_per_source takes
+        # source_quality_profile's slot (double-green r03-r07; the
+        # quality family stays pinned in-window by token_quality +
+        # gopher_repetition + compression_ratio).
+        "quality_prune_per_source": q_quality_prune_per_source,
         "token_quality": q_token_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "comention_parts": q_comention_parts,
         "simhash": q_simhash,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        # round-8 rotation (slot 5): neardup_keep_best takes
+        # embedding_neardup_pairs's slot (double-green r01-r07; the
+        # near-dup pair family stays pinned in-window by
+        # minhash_lsh_candidates + simhash + ngram_jaccard_capped).
+        "neardup_keep_best": q_neardup_keep_best,
         "lang_id": q_lang_id,
         "bm25_topk": q_bm25_topk,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -2388,21 +2408,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "char_bigram_perplexity": q_char_bigram_perplexity,
         "pii_redaction": q_pii_redaction,
-        # new round 6, still outside the scored window — next in the
-        # round-8 rotation queue, registry order
-        "paragraph_dedup": q_paragraph_dedup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        # new round 6 (second wave) — outside the scored window per the
-        # rotation discipline; contamination_bloom shares the exact
-        # tier's oracle (bit-identical by construction)
-        "contamination_bloom": q_contamination_bloom,
-        "quality_prune_per_source": q_quality_prune_per_source,
-        "neardup_keep_best": q_neardup_keep_best,
+        # round-8 rotation: the five displaced double-green rows land
+        # here in the tail (knn_label_vote r02-r07, span_dedup r04-r07,
+        # length_curriculum r03-r07, source_quality_profile r03-r07,
+        # embedding_neardup_pairs r01-r07) — all stay continuously
+        # checked by tools/verify_local.py.
+        "knn_label_vote": q_knn_label_vote,
+        "span_dedup": q_span_dedup,
+        "length_curriculum": q_length_curriculum,
+        "source_quality_profile": q_source_quality_profile,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        # still outside the scored window — the round-9 rotation queue,
+        # registry order: html_to_text, script_profile,
+        # contamination_report, winnow_fingerprints
         "html_to_text": q_html_to_text,
         "script_profile": q_script_profile,
-        # new round 7 — enters OUTSIDE the scored window per the
-        # rotation discipline; queues for round 9+ behind the round-6
-        # tail entries
         "contamination_report": q_contamination_report,
         "winnow_fingerprints": q_winnow_fingerprints,
     }
