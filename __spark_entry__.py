@@ -31,7 +31,7 @@ from bigdata_cookbook_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
-from bigdata_cookbook_spark.sources.testdata import load_table
+from bigdata_cookbook_spark.sources.testdata import load_table, spread_for_cpu_bound
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -319,10 +319,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: token count, char count, stopword count /
-    ratio per document — all JVM-side built-ins, no UDF. Repartitioned:
-    regex scoring is CPU-bound and the source is one parquet row group."""
+    ratio per document — all JVM-side built-ins, no UDF. CPU-bound
+    battery, so spread_for_cpu_bound (no-op on a wide scan)."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     trimmed = F.trim(F.col("text"))
     n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
@@ -505,10 +505,10 @@ def q_events_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (training-data tier): CJK detection + marker
     stopword scoring, plus agreement flag vs the labeled lang column.
-    Repartitions first: the regex battery is CPU-bound and the source is
-    one parquet row group — spread it across cores."""
+    CPU-bound regex battery, so spread_for_cpu_bound (no-op on a wide
+    scan — the scale rule lives in sources/testdata.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     pred = lang_id_expr(F.col("text"))
     return docs.select(
         "doc_id",
@@ -520,10 +520,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring feature set (training-data tier): token/char counts,
-    stopword and punctuation ratios. Repartitioned for the same reason as
-    q_lang_id (CPU-bound regexes, single-row-group source)."""
+    stopword and punctuation ratios. CPU-bound regexes, so
+    spread_for_cpu_bound as in q_lang_id."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     feats = quality_exprs(F.col("text"))
     return docs.select("doc_id", *[expr.alias(name) for name, expr in feats.items()])
 
@@ -662,7 +662,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     toksed = docs.select("doc_id", "text", tokens_expr(F.col("text")).alias("toks"))
     m = gopher_quality_exprs(F.col("toks"), F.col("text"))
     return toksed.select(
@@ -687,7 +687,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     d = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -713,7 +713,7 @@ def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.corpus import token_window_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     return token_window_chunks(docs, window=32, stride=16)
 
 
@@ -729,7 +729,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.corpus import token_window_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     chunks = token_window_chunks(docs, window=32, stride=16).withColumn(
         "stream", (F.col("doc_id") % 8).cast("int")
     )
@@ -2020,7 +2020,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     toksed = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).where(F.size("toks") >= 10)
@@ -2057,7 +2057,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.corpus import span_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     planted = docs.select(
         "doc_id",
         F.when(
@@ -2103,7 +2103,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.functions.text import dedup_lines_exprs
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     syn = F.concat(
         F.substring(F.col("text"), 1, 40),
         F.lit("\n"),
@@ -2138,7 +2138,7 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.corpus import compression_ratio
 
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_for_cpu_bound(docs)
     cr = compression_ratio(docs.select("doc_id", "text"))
     raw = F.octet_length("text")
     ok = F.when(

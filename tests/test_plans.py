@@ -184,3 +184,46 @@ def test_gopher_quality_is_scan_only(plans):
     # the only exchange is the explicit RoundRobin repartition for CPU
     # spreading; no hash/range (data-dependent) exchanges
     assert len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", p)) == 0, p
+
+
+def test_spread_for_cpu_bound_noop_on_wide_scan(spark, sf_dir, tmp_path):
+    """spread_for_cpu_bound must be the IDENTITY when the scan is already
+    at least as wide as the core count — the declared 100-TB plan ships
+    no unconditional raw-text exchange (round-7 verdict item #2). On the
+    single-row-group local fixture it still spreads."""
+    from bigdata_cookbook_spark.sources.testdata import (
+        load_table,
+        spread_for_cpu_bound,
+    )
+
+    # wide source: many files, with file bin-packing disabled so each
+    # file is its own input split (openCostInBytes would otherwise pack
+    # tiny test files into one split — at 100 TB the splits are real)
+    wide_dir = str(tmp_path / "wide")
+    load_table(spark, sf_dir, "documents").limit(64).repartition(
+        spark.sparkContext.defaultParallelism + 1
+    ).write.parquet(wide_dir)
+    saved = {
+        "spark.sql.files.openCostInBytes": spark.conf.get(
+            "spark.sql.files.openCostInBytes"
+        ),
+        "spark.sql.files.maxPartitionBytes": spark.conf.get(
+            "spark.sql.files.maxPartitionBytes"
+        ),
+    }
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        wide = spark.read.parquet(wide_dir)
+        assert spread_for_cpu_bound(wide) is wide  # identity, not equal-plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # narrow source: the fixture's single row group -> spread kicks in
+    narrow = load_table(spark, sf_dir, "documents")
+    spread = spread_for_cpu_bound(narrow)
+    p = explain_str(spread, "formatted")
+    assert "RoundRobinPartitioning" in p, p
+    # memoized: the probe runs once per scan object
+    assert spread_for_cpu_bound(narrow) is spread
