@@ -84,8 +84,18 @@ def llm_label_stage(
                     )
             yield pd.DataFrame(results)
 
-    out_schema = ", ".join(
-        [f"{k} string" for k in keys] + ["label string", "motivation string"]
+    # Key columns keep their INPUT types in the mapInPandas output so the
+    # join-back is a same-type equi-join: coercing keys to string (the
+    # round-7 shape) made Spark compare long-vs-string through an implicit
+    # cast, which blocks co-partitioned/bucketed join reuse at scale.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [unique.schema[k] for k in keys]
+        + [
+            StructField("label", StringType()),
+            StructField("motivation", StringType()),
+        ]
     )
     labels = unique.mapInPandas(run, schema=out_schema)
     joined = df.join(labels, on=keys, how="left")

@@ -128,6 +128,33 @@ def test_llm_stage_dedup_and_joinback(spark, corpus):
     assert bad.count() == 0
 
 
+def test_llm_stage_preserves_key_types(spark):
+    """Round-8 fix: non-string key columns keep their input dtype through
+    the mapInPandas stage, so the join-back is a same-type equi-join —
+    no implicit long-vs-string cast that would block co-partitioned /
+    bucketed join reuse at scale."""
+    rows = [
+        (i % 5, f"text body number {i % 3}", f"masked body number {i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, text string, masked_text string"
+    )
+    labeled = llm_label_stage(
+        df, stub_backend, key_cols=("entity_id", "text"),
+        text_col="masked_text", guardrail=False,
+    )
+    assert dict(labeled.dtypes)["entity_id"] == "bigint"
+    assert labeled.count() == 12
+    assert labeled.filter(F.col("label").isNull()).count() == 0
+    # plan-asserted: the equi-join compares entity_id without a cast
+    plan = labeled._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all(
+        "cast(entity_id" not in ln for ln in join_lines
+    ), plan
+
+
 def test_pack_token_budget(spark):
     rows = [("g", f"id{i:03d}", "x" * 400) for i in range(20)]
     df = spark.createDataFrame(rows, "grp string, id string, text string")
