@@ -36,11 +36,21 @@ def read_webdataset(
     ``key``/``ext`` split the member name at the FIRST dot — the
     WebDataset convention (the sample key is everything before the
     first dot, so compound extensions like ``seg.png`` or ``json.gz``
-    stay whole in ``ext``). The sink enforces dot-free keys, so its own
-    tars split identically under either rule; foreign WebDataset tars
-    with compound extensions now split per the published convention.
-    Members with no dot at all keep the whole name as ``key`` with an
-    empty ``ext``.
+    stay whole in ``ext``). The sink enforces dot-free keys (since
+    round 7), so its own tars split identically under either rule;
+    foreign WebDataset tars with compound extensions split per the
+    published convention. Members with no dot at all keep the whole
+    name as ``key`` with an empty ``ext``.
+
+    COMPATIBILITY NOTE (round-7 rule change): tars written by the
+    PRE-round-7 sink, which did not reject dotted keys, split
+    differently under the first-dot rule — a legacy member
+    ``a.b.txt`` that was written as key ``a.b`` + ext ``txt`` now
+    reads as key ``a`` + ext ``b.txt``, silently. There is no general
+    way to distinguish a dotted key from a compound extension, so no
+    runtime guard is possible; if such legacy tars exist, re-pack them
+    through the current sink (which fails loud on dotted keys) before
+    reading.
 
     MEMORY BOUND (enforced): binaryFile reads each tar WHOLE into one
     row, so a shard must fit in executor memory — shard size
@@ -102,7 +112,11 @@ def webdataset_samples(
     otherwise hand-roll. One member column per extension; extensions in
     ``text_exts`` decode utf-8 to string, the rest stay binary; a
     sample missing a member gets NULL (WebDataset tolerates ragged
-    samples).
+    samples). A dot-free member (empty ``ext``) lands in column
+    ``_noext``; two members with the SAME ext in one (shard, key)
+    sample fail loud with a contract message (a wide pivot has nowhere
+    to put the second copy) instead of map_from_entries' cryptic
+    duplicate-key error.
 
     ``exts=None`` infers the extension set from the data with one tiny
     distinct-collect — bounded by MEMBER-TYPE cardinality (a handful:
@@ -120,15 +134,39 @@ def webdataset_samples(
             r["ext"] for r in members.select("ext").distinct().collect()
         )
     grouped = members.groupBy("shard", "key").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("ext", "content")))
-        ).alias("__m")
+        F.array_sort(F.collect_list(F.struct("ext", "content"))).alias("__e")
+    )
+    # contract guard BEFORE map construction: duplicate exts within one
+    # sample would make map_from_entries throw a cryptic DUPLICATED_MAP_KEY
+    # — fail with the actual (shard, key) and a re-pack instruction
+    # instead. assert_true is NULL when the condition holds, so the
+    # when() wrapper evaluates it on every row without changing the map.
+    ext_arr = F.transform(F.col("__e"), lambda s: s["ext"])
+    no_dup = F.size(F.array_distinct(ext_arr)) == F.size(ext_arr)
+    guard = F.assert_true(
+        no_dup,
+        F.concat(
+            F.lit("webdataset_samples: duplicate extension within sample ("),
+            F.col("shard"),
+            F.lit(", "),
+            F.col("key"),
+            F.lit(
+                ") — a wide sample row carries at most one member per ext; "
+                "re-pack the tar or consume the long member rows directly."
+            ),
+        ),
+    )
+    grouped = grouped.select(
+        "shard",
+        "key",
+        F.when(guard.isNull(), F.map_from_entries(F.col("__e"))).alias("__m"),
     )
     cols = []
     for ext in exts:
         c = F.element_at(F.col("__m"), F.lit(ext))
         if ext in text_exts:
             c = c.cast("string")
-        # a dot would collide with DataFrame column-path syntax
-        cols.append(c.alias(ext.replace(".", "_")))
+        # a dot would collide with DataFrame column-path syntax; a
+        # dot-free member has ext '' which is not a legal column name
+        cols.append(c.alias(ext.replace(".", "_") or "_noext"))
     return grouped.select("shard", "key", *cols)

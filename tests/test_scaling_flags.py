@@ -33,19 +33,28 @@ def test_linear_rows_not_flagged():
 
 
 def test_superlinear_above_floor_is_flagged():
-    table = [_row("q", **{"r_0.1_1": 14.0})]
-    results = {"q": {"0.1": 0.5, "1": 7.0}}
+    table = [_row("q", **{"r_0.1_1": 20.0})]
+    results = {"q": {"0.1": 0.5, "1": 10.0}}
     flagged, exempt, floor = compute_flags(table, results, STEPS)
     assert [f["query"] for f in flagged] == ["q"]
-    assert flagged[0]["step"] == "0.1->1" and flagged[0]["ratio"] == 14.0
+    assert flagged[0]["step"] == "0.1->1" and flagged[0]["ratio"] == 20.0
     assert exempt == [] and floor == []
+
+
+def test_at_the_line_ratio_sits_in_noise_headroom():
+    """Round-8 ADVICE: exactly-linear-plus-jitter (10-15x on a 10x step)
+    must NOT flag — min-of-3 noise on a just-above-floor base otherwise
+    breaks the publishable-curve invariant. 15x is the cutoff."""
+    table = [_row("q", **{"r_0.1_1": 14.0})]
+    results = {"q": {"0.1": 0.5, "1": 7.0}}
+    assert compute_flags(table, results, STEPS) == ([], [], [])
 
 
 def test_floor_deflated_base_is_separated_not_flagged():
     """The r6 bpe_token_count shape: ratio > 10 but the base time sits
     under the fixed job floor — recorded for visibility, not flagged."""
-    table = [_row("bpe", **{"r_0.1_1": 14.75})]
-    results = {"bpe": {"0.1": 0.111, "1": 1.637}}
+    table = [_row("bpe", **{"r_0.1_1": 18.0})]
+    results = {"bpe": {"0.1": 0.111, "1": 1.998}}
     flagged, exempt, floor = compute_flags(table, results, STEPS)
     assert flagged == [] and exempt == []
     assert [f["query"] for f in floor] == ["bpe"]

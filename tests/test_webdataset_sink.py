@@ -199,3 +199,46 @@ def test_webdataset_samples_pivot(spark, tmp_path):
     # explicit exts keeps the plan collect-free and selects a subset
     only_txt = webdataset_samples(read_webdataset(spark, out), exts=["txt"])
     assert set(only_txt.columns) == {"shard", "key", "txt"}
+
+
+def test_webdataset_samples_noext_and_duplicate_ext(spark, tmp_path):
+    """Round-8 ADVICE hardening: a dot-free member pivots into the
+    '_noext' column (an empty-string alias is not a legal column name),
+    and two members sharing an ext within one (shard, key) fail loud
+    with the contract message naming the sample, not map_from_entries'
+    cryptic duplicate-key error."""
+    import io
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bigdata_cookbook_spark.sources.webdataset import (
+        read_webdataset,
+        webdataset_samples,
+    )
+
+    d = tmp_path / "foreign2"
+    d.mkdir()
+    with tarfile.open(d / "shard-000000.tar", "w") as t:
+        for name, payload in [
+            ("k1.txt", b"hello"),
+            ("k1", b"rawbytes"),  # no dot -> ext ''
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            t.addfile(info, io.BytesIO(payload))
+    wide = webdataset_samples(read_webdataset(spark, str(d)))
+    assert set(wide.columns) == {"shard", "key", "_noext", "txt"}
+    row = wide.collect()[0]
+    assert row.key == "k1" and row.txt == "hello"
+    assert bytes(row._noext) == b"rawbytes"
+
+    d2 = tmp_path / "dup"
+    d2.mkdir()
+    with tarfile.open(d2 / "shard-000000.tar", "w") as t:
+        for name, payload in [("k1.txt", b"one"), ("k1.txt", b"two")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            t.addfile(info, io.BytesIO(payload))
+    with pytest.raises(SparkRuntimeException, match="duplicate extension"):
+        webdataset_samples(read_webdataset(spark, str(d2)), exts=["txt"]).collect()

@@ -120,7 +120,15 @@ EXEMPT_KNOWN_SUPERLINEAR = {
 #: is below this is recorded separately (floor-deflated base), not
 #: flagged — the r6 bpe_token_count lesson
 FLAG_FLOOR_SEC = 0.25
-FLAG_RATIO_PER_10X = 10.0
+#: 15.0 = linear growth (10x) + 50% noise headroom. At exactly 10.0 the
+#: flag fires on min-of-3 timing noise for any operator just above the
+#: floor (round-7 ADVICE): a flag should mean "super-linear beyond what
+#: host jitter explains", and genuinely quadratic operators blow far
+#: past 15 on a 10x step (ngram_jaccard ~26x, dense semantic_dedup
+#: ~30x), so the headroom costs no detection power. At-the-line cases
+#: (~10-15x, e.g. the r7 html_to_text 11.06 first pass) remain visible
+#: as table rows and are bracketed-re-measured per protocol.
+FLAG_RATIO_PER_10X = 15.0
 
 def _sf_dirs() -> list[tuple[str, str]]:
     """Default curve 0.01/0.1/1; override with SPARK_GRAFT_SCALE_SFS
@@ -247,6 +255,10 @@ def main() -> None:
 
             results.setdefault("webdataset_write", {})
             results.setdefault("webdataset_read", {})
+            # phase tracks which row an error belongs to: a failure
+            # during the READ pass must land on webdataset_read, not
+            # misattribute to the write row (round-7 ADVICE)
+            phase = "webdataset_write"
             try:
                 docs = load_table(spark, sf_dir, "documents").select(
                     "doc_id", "text", F.octet_length("text").alias("nb")
@@ -255,6 +267,7 @@ def main() -> None:
                 for _ in range(3):
                     run_dir = tempfile.mkdtemp(prefix="wds_rehearsal_")
                     try:
+                        phase = "webdataset_write"
                         packed = pack_shards(
                             docs, ["doc_id"], "nb", shard_bytes=4 << 20
                         )
@@ -262,6 +275,7 @@ def main() -> None:
                         t0 = time.perf_counter()
                         sink.write.format("noop").mode("overwrite").save()
                         wtimes.append(time.perf_counter() - t0)
+                        phase = "webdataset_read"
                         back = read_webdataset(spark, run_dir)
                         t0 = time.perf_counter()
                         back.write.format("noop").mode("overwrite").save()
@@ -278,11 +292,11 @@ def main() -> None:
                     flush=True,
                 )
             except Exception as exc:  # noqa: BLE001
-                results["webdataset_write"][f"err_{sf}"] = (
+                results[phase][f"err_{sf}"] = (
                     f"{type(exc).__name__}: {exc}"[:300]
                 )
                 print(
-                    f"sf{sf} webdataset: FAILED {type(exc).__name__}",
+                    f"sf{sf} webdataset ({phase}): FAILED {type(exc).__name__}",
                     file=sys.stderr,
                     flush=True,
                 )
