@@ -30,3 +30,28 @@ def stub_backend(rows: list[dict]) -> list[dict]:
             }
         )
     return out
+
+
+def make_choice_backend(choices: list[str], salt: str = "") -> "callable":
+    """Deterministic labeler over a CALLER-SUPPLIED label set — the stub
+    tier for ScreenerLabeler-style taxonomy labeling (leaf labels +
+    'Not Applicable') and for tag classifiers (L8 driver tags). Lives in
+    the package (not in example scripts) so cloudpickle serializes it by
+    reference and executors can import it under any entry point."""
+    opts = list(choices)
+
+    def backend(rows: list[dict]) -> list[dict]:
+        out = []
+        for r in rows:
+            h = hash_str(f"{salt}|{r['entity_id']}|{r['text']}")
+            pick = opts[h % len(opts)]
+            out.append(
+                {
+                    "id": r["id"],
+                    "label": pick,
+                    "motivation": f"stub {salt or 'choice'} {h % len(opts)}",
+                }
+            )
+        return out
+
+    return backend

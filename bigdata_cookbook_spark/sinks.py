@@ -45,11 +45,14 @@ def html_report(
     title: str,
     body_cols: Sequence[str],
     heading_col: str | None = None,
+    intro: str | None = None,
 ) -> str:
     """S7: one <section> per distinct ``group_col`` value, each row
     rendered as a block of the requested body columns. Deterministic
     ordering (group, then row order by the body columns) so the output is
-    byte-stable for golden tests."""
+    byte-stable for golden tests. ``intro`` renders as a leading
+    paragraph under the <h1> (the reference's intro-section slot,
+    Tracking_Inflation_Drivers/src/summarize.py:222-285)."""
     rows = _collect_small(df)
     groups: dict[str, list[dict]] = {}
     for r in rows:
@@ -61,6 +64,8 @@ def html_report(
         f"<title>{html.escape(title)}</title></head><body>",
         f"<h1>{html.escape(title)}</h1>",
     ]
+    if intro is not None:
+        out.append(f"<p class='intro'>{html.escape(intro)}</p>")
     for g in sorted(groups):
         out.append("<section>")
         out.append(f"<h2>{html.escape(g)}</h2>")

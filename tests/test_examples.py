@@ -134,3 +134,38 @@ def test_election_network_monitor_example_runs_and_is_byte_stable(spark, tmp_pat
 
     dot = open(p1["dot"], encoding="utf-8").read()
     assert dot.startswith("graph g {") and " -- " in dot
+
+
+def test_inflation_drivers_example_runs_and_is_byte_stable(spark, tmp_path):
+    """SURVEY §3.3 Tracking_Inflation_Drivers end-to-end: taxonomy ->
+    search -> leaf-label -> per-(theme, topic) map-reduce summarize ->
+    driver-tag -> intro reduce -> HTML report + 3-sheet xlsx, structure
+    per reference summarize.py:222-285."""
+    import inflation_drivers_report as iex
+
+    p1 = iex.main(spark, str(tmp_path / "run1"))
+    p2 = iex.main(spark, str(tmp_path / "run2"))
+
+    for key in ("html", "xlsx", "dashboard", "chart"):
+        assert os.path.getsize(p1[key]) > 0
+        assert _digest(p1[key]) == _digest(p2[key]), key
+
+    html = open(p1["html"], encoding="utf-8").read()
+    # reference create_html_report structure: h1 theme report, intro
+    # paragraph, one h2 per driver-tag group, per-topic summary blocks
+    assert "<h1>United States Inflation Report</h1>" in html
+    assert "<p class='intro'>Report from 2024-01-01 to 2024-12-31." in html
+    assert html.count("<section>") >= 2  # >=2 driver tags got topics
+    assert "<b>topic_summary:</b>" in html and "<b>n_documents:</b>" in html
+    # every taxonomy leaf that survived labeling is summarized exactly once
+    assert html.count("<div class='item'>") == 6
+
+    # xlsx: real zip, three sheets
+    import zipfile
+
+    with zipfile.ZipFile(p1["xlsx"]) as z:
+        sheets = [n for n in z.namelist() if n.startswith("xl/worksheets/")]
+        assert len(sheets) == 3
+
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    assert "vegaEmbed" in dash and "<ul class='tree'>" in dash
