@@ -1905,6 +1905,180 @@ def _html_to_text_sql() -> str:
     )
 
 
+def _planted_url_expr() -> "Column":
+    """Deterministic messy URL per document (identical CASE expression in
+    the oracle, _PLANTED_URL_SQL): mixed-case scheme/host, a default :80
+    port on the http subset, tracking params in first/middle position,
+    and fragments — every canonicalization rule fires on some subset."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://"))
+    host = (
+        F.when(d % 5 == 0, F.lit("WWW.News-Site.COM"))
+        .when(d % 5 == 1, F.lit("media.Example.co.uk"))
+        .when(d % 5 == 2, F.lit("blog.example.com"))
+        .when(d % 5 == 3, F.lit("93.184.216.34"))
+        .otherwise(F.lit("Shop.Example.COM"))
+    )
+    port = F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/a/"), d.cast("string"))
+    query = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="), d.cast("string"), F.lit("&utm_medium=y")
+            ),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("?id="), d.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 7 == 0, F.concat(F.lit("#Sec"), d.cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, host, port, path, query, frag)
+
+
+_PLANTED_URL_SQL = """
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.News-Site.COM'
+                 WHEN doc_id % 5 = 1 THEN 'media.Example.co.uk'
+                 WHEN doc_id % 5 = 2 THEN 'blog.example.com'
+                 WHEN doc_id % 5 = 3 THEN '93.184.216.34'
+                 ELSE 'Shop.Example.COM' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+        || '/a/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=y'
+                 WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain extraction (functions/url.py) — the
+    web-ingest stage beside html_to_text: lowercase scheme/authority,
+    fragment + tracking-param strip (with first-separator repair),
+    default-port strip, host extraction, approximate eTLD+1 registered
+    domain (multi-part public-suffix shortlist, IPv4 passthrough). The
+    synthetic corpus has no URL column, so one is PLANTED per doc_id
+    (identical expression in the oracle — the canonicalization itself is
+    what's under test). Spark expression, DuckDB twin and the Python
+    reference all compile from ONE step table (URL_CANON_STEPS); zero
+    UDFs, zero shuffles — a free map stage fused into the scan at any
+    scale."""
+    from bigdata_cookbook_spark.functions.url import (
+        canonicalize_url_expr,
+        registered_domain_expr,
+        url_host_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _planted_url_expr().alias("url"))
+    c = raw.withColumn("url_canonical", canonicalize_url_expr(F.col("url")))
+    h = c.withColumn("host", url_host_expr(F.col("url_canonical")))
+    return h.withColumn("domain", registered_domain_expr(F.col("host")))
+
+
+def _url_canonicalize_sql() -> str:
+    """Oracle compiled from the SAME URL_CANON_STEPS table the engine
+    uses, so pattern drift between engine and oracle is impossible."""
+    from bigdata_cookbook_spark.functions.url import (
+        canonicalize_url_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, {_PLANTED_URL_SQL} AS url FROM documents
+        ),
+        c AS (
+            SELECT doc_id, url,
+                   {canonicalize_url_sql('url')} AS url_canonical
+            FROM raw
+        ),
+        h AS (
+            SELECT *, {url_host_sql('url_canonical')} AS host FROM c
+        )
+        SELECT doc_id, url, url_canonical, host,
+               {registered_domain_sql('host')} AS domain
+        FROM h
+    """
+
+
+def q_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap + blocklist — the crawl-selection pass
+    after URL canonicalization (C4/RefinedWeb drop blocklisted domains
+    and cap any single domain's share of the corpus). Keep the first
+    CAP=40 docs per registered domain by doc_id, drop blocklisted
+    domains entirely.
+
+    Scale shape: the exact per-domain rank is computed in TWO phases —
+    a local rank within (domain, doc_id%16 bucket) prefilters to rank
+    <= CAP, so the final per-domain window sees at most 16*CAP rows per
+    domain regardless of how skewed a giant domain is (the top-CAP by
+    doc_id each rank <= CAP inside their own bucket, so the prefilter
+    is lossless). The one-window form would put an entire 100-TB
+    domain's rows through a single task; this form bounds it."""
+    from bigdata_cookbook_spark.functions.url import (
+        canonicalize_url_expr,
+        registered_domain_expr,
+        url_host_expr,
+    )
+
+    cap = 40
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        registered_domain_expr(
+            url_host_expr(canonicalize_url_expr(_planted_url_expr()))
+        ).alias("domain"),
+    ).withColumn("blocked", F.col("domain") == F.lit("news-site.com"))
+    bucket = (F.col("doc_id") % 16).cast("int")
+    local = F.row_number().over(
+        Window.partitionBy("domain", bucket).orderBy("doc_id")
+    )
+    pre = d.withColumn("lrank", local).filter(F.col("lrank") <= cap)
+    rank = F.row_number().over(Window.partitionBy("domain").orderBy("doc_id"))
+    ranked = pre.withColumn("rank", rank)
+    kept = d.join(
+        ranked.filter(F.col("rank") <= cap).select("doc_id", F.lit(True).alias("__k")),
+        "doc_id",
+        "left",
+    )
+    return kept.select(
+        "doc_id",
+        "domain",
+        "blocked",
+        (~F.col("blocked") & F.coalesce("__k", F.lit(False))).alias("kept"),
+    )
+
+
+def _domain_blocklist_cap_sql() -> str:
+    from bigdata_cookbook_spark.functions.url import (
+        canonicalize_url_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    canon = canonicalize_url_sql(f"({_PLANTED_URL_SQL})")
+    host = url_host_sql(f"({canon})")
+    dom = registered_domain_sql(f"({host})")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {dom} AS domain FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rnk
+            FROM d
+        )
+        SELECT doc_id, domain,
+               (domain = 'news-site.com') AS blocked,
+               (domain <> 'news-site.com' AND rnk <= 40) AS kept
+        FROM ranked
+    """
+
+
 _SCRIPT_SUFFIX = " 深度学习 Привет نص 42"  # plants CJK/Cyrillic/Arabic/digits
 
 
@@ -2420,11 +2594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         # still outside the scored window — the round-9 rotation queue,
         # registry order: html_to_text, script_profile,
-        # contamination_report, winnow_fingerprints
+        # contamination_report, winnow_fingerprints, then the round-8
+        # URL tier below
         "html_to_text": q_html_to_text,
         "script_profile": q_script_profile,
         "contamination_report": q_contamination_report,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # new round 8 — enters OUTSIDE the scored window per the
+        # rotation discipline; queues behind the round-7 tail entries
+        "url_canonicalize": q_url_canonicalize,
+        "domain_blocklist_cap": q_domain_blocklist_cap,
     }
 
 
@@ -4407,4 +4586,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN thr USING (source)
         WHERE d.n_chars >= cut
     """
+    # round-8 URL tier: both oracles compiled from the SAME
+    # URL_CANON_STEPS table the engine uses (functions/url.py)
+    sql["url_canonicalize"] = _url_canonicalize_sql()
+    sql["domain_blocklist_cap"] = _domain_blocklist_cap_sql()
     return sql

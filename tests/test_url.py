@@ -1,0 +1,151 @@
+"""URL canonicalization + domain extraction (functions/url.py): the
+three implementations (Spark Column chain, DuckDB SQL, Python
+reference) are compiled from ONE step table — these tests pin their
+agreement on edge cases and the documented semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_cookbook_spark.functions.url import (
+    canonicalize_url_expr,
+    canonicalize_url_py,
+    canonicalize_url_sql,
+    registered_domain_expr,
+    registered_domain_py,
+    registered_domain_sql,
+    url_host_expr,
+    url_host_py,
+    url_host_sql,
+)
+
+CASES = [
+    # scheme+host lowercase, default port strip, utm strip, fragment strip
+    "HTTP://WWW.Example.COM:80/A/b?utm_source=x&id=7&utm_medium=y#frag",
+    "https://Media.Example.CO.UK:443/path?id=1",
+    # first-param repair: removed '?utm' leaves '&' that must become '?'
+    "http://example.com/p?utm_source=a&keep=1",
+    # query that empties entirely -> no trailing '?'
+    "http://example.com?utm_source=only",
+    "https://news.bbc.co.uk/Story?fbclid=abc",
+    # NON-default port kept; IPv4 host passes through registered-domain
+    "http://93.184.216.34:8080/x?utm_campaign=z",
+    # trailing slash preserved (documented non-goal)
+    "https://shop.example.com/p/?utm_source=a",
+    # middle tracking param
+    "http://example.com/path?gclid=1&keep=2&mc_eid=3",
+    # no scheme: canonicalization is a no-op prefix, host/domain empty
+    "no-scheme/relative?utm_source=x&a=1",
+    # userinfo skipped in host, multi-part ccTLD
+    "https://user:pw@Sub.Host.ORG:443/q?x=1#top",
+    # single-label host falls back to itself
+    "http://localhost/x",
+    # non-http scheme: lowercase only, ports untouched
+    "ftp://Files.Example.NET:21/dir",
+    "https://a.b.co.jp/page?yclid=9",
+    # path case PRESERVED; '?' inside fragment goes with the fragment
+    "HTTPS://HOST.com/CaseSensitivePath#frag?notaquery=1",
+    # empty string and bare host
+    "",
+    "http://example.com",
+]
+
+
+def test_three_way_agreement(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "url string")
+    rows = (
+        df.select("url", canonicalize_url_expr(F.col("url")).alias("canon"))
+        .withColumn("host", url_host_expr(F.col("canon")))
+        .withColumn("domain", registered_domain_expr(F.col("host")))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in rows:
+        py_c = canonicalize_url_py(r.url)
+        py_h = url_host_py(py_c)
+        py_d = registered_domain_py(py_h)
+        lit = "'" + r.url.replace("'", "''") + "'"
+        c_sql = canonicalize_url_sql(lit)
+        h_sql = url_host_sql(f"({c_sql})")
+        d_sql = registered_domain_sql(f"({h_sql})")
+        dk = con.execute(f"SELECT {c_sql}, {h_sql}, {d_sql}").fetchone()
+        assert r.canon == py_c == dk[0], r.url
+        assert r.host == py_h == dk[1], r.url
+        assert r.domain == py_d == dk[2], r.url
+
+
+@pytest.mark.parametrize(
+    ("url", "canon", "host", "domain"),
+    [
+        (
+            "HTTP://WWW.Example.COM:80/A/b?utm_source=x&id=7&utm_medium=y#f",
+            "http://www.example.com/A/b?id=7",
+            "www.example.com",
+            "example.com",
+        ),
+        (
+            "http://example.com/p?utm_source=a&keep=1",
+            "http://example.com/p?keep=1",  # '&keep' repaired to '?keep'
+            "example.com",
+            "example.com",
+        ),
+        (
+            "http://example.com?utm_source=only",
+            "http://example.com",  # no orphan trailing '?'
+            "example.com",
+            "example.com",
+        ),
+        (
+            "http://93.184.216.34:8080/x",
+            "http://93.184.216.34:8080/x",  # non-default port kept
+            "93.184.216.34",
+            "93.184.216.34",  # IPv4 passes through whole
+        ),
+        (
+            "https://news.bbc.co.uk/s",
+            "https://news.bbc.co.uk/s",
+            "news.bbc.co.uk",
+            "bbc.co.uk",  # multi-part public suffix takes 3 labels
+        ),
+        ("http://localhost/x", "http://localhost/x", "localhost", "localhost"),
+    ],
+)
+def test_pinned_semantics(url, canon, host, domain):
+    c = canonicalize_url_py(url)
+    assert c == canon
+    h = url_host_py(c)
+    assert h == host
+    assert registered_domain_py(h) == domain
+
+
+def test_generated_grid_agreement(spark):
+    """A doc_id-style generated grid (the entry query's planting shape):
+    every (scheme x host x port x query x fragment) combination agrees
+    across the three implementations."""
+    urls = []
+    hosts = [
+        "WWW.News-Site.COM",
+        "media.Example.co.uk",
+        "blog.example.com",
+        "93.184.216.34",
+    ]
+    for i in range(64):
+        scheme = "HTTP://" if i % 2 == 0 else "https://"
+        host = hosts[i % 4]
+        port = ":80" if i % 8 == 0 else (":8443" if i % 8 == 1 else "")
+        query = (
+            f"?utm_source=x&id={i}&utm_medium=y"
+            if i % 3 == 0
+            else (f"?id={i}" if i % 3 == 1 else "")
+        )
+        frag = f"#Sec{i}" if i % 7 == 0 else ""
+        urls.append(f"{scheme}{host}{port}/a/{i}{query}{frag}")
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url", canonicalize_url_expr(F.col("url")).alias("canon")
+    ).collect()
+    for r in rows:
+        assert r.canon == canonicalize_url_py(r.url), r.url

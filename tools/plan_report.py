@@ -117,6 +117,13 @@ EXCHANGE_CEILINGS = {
     # pure scan -> regexp_replace chain projection
     "html_to_text": 0,
     "script_profile": 0,
+    # round 8: URL canonicalization is a scan-fused regexp projection
+    "url_canonicalize": 0,
+    # round 8: two-phase per-domain cap — bucketed prefilter window
+    # exchange + per-domain window exchange (the prefilter bounds the
+    # second to <=16*CAP rows per domain); the kept-flag join-back
+    # broadcasts the pruned ranked side, no third fact exchange
+    "domain_blocklist_cap": 2,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -332,6 +339,12 @@ def main() -> None:
         # round 7: winnowing selection is one nested-let_bound
         # projection — only the final distinct may exchange
         "winnow_fingerprints",
+        # round 8: URL canonicalization is a zero-exchange regexp
+        # projection; the domain cap's two-phase rank must show the
+        # bucketed prefilter window BEFORE the per-domain window (the
+        # skew bound the operator exists for)
+        "url_canonicalize",
+        "domain_blocklist_cap",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

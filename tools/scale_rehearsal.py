@@ -89,9 +89,12 @@ TIER = [
     "paragraph_dedup",
     "tfidf_top_terms",
     "sentence_budget_chunks",
-    # round-7 additions (first curve rows land with the round-8 regen)
+    # round-7 additions (first curve rows landed with the round-8 regen)
     "contamination_report",
     "winnow_fingerprints",
+    # round-8 additions (first curve rows land with the round-9 regen)
+    "url_canonicalize",
+    "domain_blocklist_cap",
 ]
 
 # super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
