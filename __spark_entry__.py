@@ -1953,6 +1953,58 @@ _PLANTED_URL_SQL = """
 """
 
 
+def q_line_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise correction filtering
+    (functions/text.line_filter_exprs, Penedo et al. 2023 §3.2): drop
+    navigation/counter/boilerplate/numeric/tiny lines inside each
+    document, report per-rule counts and the doc-level keep rule (kept
+    text >= half the original's characters). The synthetic corpus has
+    no newlines, so a lined structure is PLANTED per doc_id (identical
+    expression in the oracle) with every rule firing on some subset:
+    an ALL-CAPS menu line, a numeric date line, a social counter, a
+    boilerplate footer, then the real body. Zero-shuffle higher-order
+    expressions — one scan, no UDF; the engine filter and the DuckDB
+    twin compile from ONE rule table (LINE_FILTER_RULES)."""
+    from bigdata_cookbook_spark.functions.text import line_filter_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    syn = F.concat_ws(
+        "\n",
+        F.when(d % 2 == 0, F.lit("MENU HOME NEWS")),
+        F.when(d % 3 == 0, F.concat(F.lit("2024 12 "), (d % 28).cast("string"))),
+        F.when(d % 5 == 0, F.concat((d % 100).cast("string"), F.lit(" likes"))),
+        F.when(d % 7 == 0, F.lit("All rights reserved. Sign In to comment.")),
+        F.col("text"),
+    )
+    exprs = line_filter_exprs(syn)
+    return docs.select("doc_id", *[c.alias(k) for k, c in exprs.items()])
+
+
+def _line_filter_clean_sql() -> str:
+    """Oracle compiled from the SAME LINE_FILTER_RULES table."""
+    from bigdata_cookbook_spark.functions.text import line_filter_sql
+
+    frags = line_filter_sql("syn")
+    sel = ",\n               ".join(f"{v} AS {k}" for k, v in frags.items())
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       CASE WHEN doc_id % 2 = 0 THEN 'MENU HOME NEWS' END,
+                       CASE WHEN doc_id % 3 = 0 THEN '2024 12 ' || CAST(doc_id % 28 AS VARCHAR) END,
+                       CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 100 AS VARCHAR) || ' likes' END,
+                       CASE WHEN doc_id % 7 = 0 THEN 'All rights reserved. Sign In to comment.' END,
+                       text
+                   ) AS syn
+            FROM documents
+        )
+        SELECT doc_id,
+               {sel}
+        FROM s
+    """
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + domain extraction (functions/url.py) — the
     web-ingest stage beside html_to_text: lowercase scheme/authority,
@@ -2604,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation discipline; queues behind the round-7 tail entries
         "url_canonicalize": q_url_canonicalize,
         "domain_blocklist_cap": q_domain_blocklist_cap,
+        "line_filter_clean": q_line_filter_clean,
     }
 
 
@@ -4590,4 +4643,7 @@ def oracle_sql() -> dict[str, str]:
     # URL_CANON_STEPS table the engine uses (functions/url.py)
     sql["url_canonicalize"] = _url_canonicalize_sql()
     sql["domain_blocklist_cap"] = _domain_blocklist_cap_sql()
+    # round-8 line-wise corrections: oracle compiled from the SAME
+    # LINE_FILTER_RULES table (functions/text.py)
+    sql["line_filter_clean"] = _line_filter_clean_sql()
     return sql

@@ -1221,3 +1221,89 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style line-wise correction filtering (Penedo et al. 2023 §3.2:
+# drop boilerplate/navigation/counter lines inside a document BEFORE the
+# dedup stages; the within-doc duplicate-line rule is dedup_lines_exprs).
+# ---------------------------------------------------------------------------
+
+#: (rule_name, regex) — a line is DROPPED if it matches ANY rule. One
+#: table compiles the Spark higher-order filter AND the DuckDB twin
+#: (line_filter_sql); patterns stay in the Java/RE2 shared subset
+#: (scoped (?i:...) groups, no lookaround). A line matching several
+#: rules counts under EACH (documented; the kept set is unaffected).
+LINE_FILTER_RULES: tuple[tuple[str, str], ...] = (
+    # digits + numeric punctuation only (dates, scores, phone fragments)
+    ("numeric_only", r"^[0-9 .,%/:+-]*[0-9][0-9 .,%/:+-]*$"),
+    # shouting header / navigation: >=3 uppercase letters, no lowercase
+    ("all_caps", r"^[^a-z]*[A-Z][^a-z]*[A-Z][^a-z]*[A-Z][^a-z]*$"),
+    # social counters ("17 likes", "3 comments")
+    ("counter", r"^[0-9]+ (?i:likes?|views?|comments?|shares?|retweets?)$"),
+    # boilerplate phrases (cookie banners, footers, login walls)
+    (
+        "boilerplate",
+        r"(?i:click here|all rights reserved|terms of (?:use|service)"
+        r"|cookie polic|sign in|log in to|subscribe to our)",
+    ),
+    # empty / single-character lines
+    ("tiny", r"^\s*\S?\s*$"),
+)
+
+_LINE_DROP_COMBINED = "|".join(f"(?:{pat})" for _, pat in LINE_FILTER_RULES)
+
+
+def line_filter_exprs(text: Column, sep: str = "\n") -> dict[str, Column]:
+    """Line-wise correction pass as pure zero-shuffle expressions:
+    split on ``sep``, drop lines matching any LINE_FILTER_RULES entry
+    (higher-order F.filter — codegen'd, no UDF), re-join, and report
+    per-rule counts plus the RefinedWeb doc-level rule ``doc_keep`` =
+    the kept text is at least half the original's characters (a doc
+    that was mostly boilerplate should drop whole, not survive as a
+    stub). Runs inside a quality scan at zero extra plan cost; at
+    100 TB this is a free map stage."""
+    lines = F.split(text, re.escape(sep))
+    out: dict[str, Column] = {}
+
+    # arity-1 lambda factory: F.filter treats a TWO-parameter lambda as
+    # (element, index), so a `p=pat` default would receive the index
+    def matches(pat: str):
+        return lambda x: x.rlike(pat)
+
+    for name, pat in LINE_FILTER_RULES:
+        out[f"n_{name}"] = F.size(F.filter(lines, matches(pat)))
+    kept = F.filter(lines, lambda x: ~x.rlike(_LINE_DROP_COMBINED))
+    clean = F.array_join(kept, sep)
+    out["text_clean"] = clean
+    out["n_lines_total"] = F.size(lines)
+    out["n_lines_kept"] = F.size(kept)
+    out["doc_keep"] = F.length(clean) * 2 >= F.length(text)
+    return out
+
+
+def line_filter_sql(col_sql: str, sep_chr: str = "chr(10)") -> dict[str, str]:
+    """DuckDB twin compiled from the same rule table. Returns SQL
+    fragments keyed like line_filter_exprs; ``col_sql`` must be a
+    side-effect-free expression (it is inlined several times)."""
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    lines = f"string_split({col_sql}, {sep_chr})"
+    out: dict[str, str] = {}
+    for name, pat in LINE_FILTER_RULES:
+        out[f"n_{name}"] = (
+            f"CAST(len(list_filter({lines}, "
+            f"x -> regexp_matches(x, '{q(pat)}'))) AS INT)"
+        )
+    kept = (
+        f"list_filter({lines}, x -> NOT regexp_matches(x, "
+        f"'{q(_LINE_DROP_COMBINED)}'))"
+    )
+    clean = f"array_to_string({kept}, {sep_chr})"
+    out["text_clean"] = clean
+    out["n_lines_total"] = f"CAST(len({lines}) AS INT)"
+    out["n_lines_kept"] = f"CAST(len({kept}) AS INT)"
+    out["doc_keep"] = f"(length({clean}) * 2 >= length({col_sql}))"
+    return out

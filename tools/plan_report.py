@@ -119,6 +119,8 @@ EXCHANGE_CEILINGS = {
     "script_profile": 0,
     # round 8: URL canonicalization is a scan-fused regexp projection
     "url_canonicalize": 0,
+    # round 8: line-wise corrections — scan-fused higher-order filter
+    "line_filter_clean": 0,
     # round 8: two-phase per-domain cap — bucketed prefilter window
     # exchange + per-domain window exchange (the prefilter bounds the
     # second to <=16*CAP rows per domain); the kept-flag join-back
@@ -345,6 +347,9 @@ def main() -> None:
         # skew bound the operator exists for)
         "url_canonicalize",
         "domain_blocklist_cap",
+        # round 8: line-wise corrections are a zero-exchange
+        # higher-order-filter projection
+        "line_filter_clean",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

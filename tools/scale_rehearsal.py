@@ -95,6 +95,7 @@ TIER = [
     # round-8 additions (first curve rows land with the round-9 regen)
     "url_canonicalize",
     "domain_blocklist_cap",
+    "line_filter_clean",
 ]
 
 # super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
