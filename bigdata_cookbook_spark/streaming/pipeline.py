@@ -204,6 +204,7 @@ def incremental_corpus_clean(
     semantic_n_planes: int = 8,
     eval_bloom=None,
     prune_thresholds: DataFrame | None = None,
+    line_filter: bool = False,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -274,6 +275,28 @@ def incremental_corpus_clean(
     """
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
+
+    dropped_line = None
+    if line_filter:
+        from bigdata_cookbook_spark.functions.text import line_filter_exprs
+
+        # Stateless RefinedWeb line-wise corrections, FIRST (the batch
+        # capstone's order: right after HTML extraction, before every
+        # dedup stage) — kept docs carry the line-cleaned text, docs
+        # whose kept text falls under half the original drop whole,
+        # booked as dropped_line_filter. No state, no delta.
+        lf = line_filter_exprs(F.col("text"))
+        staged = batch_docs.select(
+            "doc_id",
+            lf["text_clean"].alias("__clean"),
+            lf["doc_keep"].alias("__keep"),
+            "lang",
+            "source",
+        )
+        dropped_line = staged.filter(~F.col("__keep")).select("doc_id")
+        batch_docs = staged.filter(F.col("__keep")).select(
+            "doc_id", F.col("__clean").alias("text"), "lang", "source"
+        )
 
     new_paras = None
     if paragraph_sep is not None:
@@ -434,6 +457,8 @@ def incremental_corpus_clean(
         "new_hashes": new_hashes,
         "new_shingles": new_shingles,
     }
+    if dropped_line is not None:
+        out["dropped_line_filter"] = dropped_line
     if new_paras is not None:
         out["new_paras"] = new_paras
     if new_spans is not None:
@@ -684,6 +709,7 @@ def streaming_corpus_clean(
             # replay-safe like every other delta
             log = None
             for stage in (
+                "dropped_line_filter",
                 "dropped_quality",
                 "dropped_exact",
                 "dropped_neardup",

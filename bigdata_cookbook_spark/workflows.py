@@ -281,11 +281,13 @@ def pretraining_pipeline(
     quality_prune_frac: float | None = None,
     bloom_decontaminate: bool = False,
     html_input: bool = False,
+    line_filter: bool = False,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
-        [HTML -> text ->] [paragraph dedup ->] [span dedup ->]
+        [HTML -> text ->] [line-wise corrections ->]
+        [paragraph dedup ->] [span dedup ->]
         quality filter [+ repetition rules]
         -> exact dedup -> near-dup removal
         [-> decontaminate vs eval_df] [-> per-domain quality prune]
@@ -299,6 +301,11 @@ def pretraining_pipeline(
     BEFORE everything else: structural boilerplate is the coarsest
     duplication, so removing it first keeps the span/token stages from
     re-discovering the same footers window by window;
+    ``line_filter`` runs the RefinedWeb line-wise corrections
+    (functions/text.line_filter_exprs) right after HTML extraction and
+    BEFORE the dedup stages: kept docs carry the line-cleaned text,
+    docs whose kept text falls under half the original drop whole,
+    booked as ``dropped_line_filter``;
     ``span_dedup_tokens`` rewrites document text
     next with C4-style duplicate-span removal (corpus.span_dedup) —
     C4's order, so later token counts see the deduped text;
@@ -368,6 +375,32 @@ def pretraining_pipeline(
         # closers become newlines — exactly what the paragraph stage
         # keys on). A rewrite, not a drop: nothing to book.
         docs = docs.withColumn("text", html_to_text_expr(F.col("text")))
+
+    dropped_line = None
+    if line_filter:
+        from bigdata_cookbook_spark.functions.text import line_filter_exprs
+
+        # RefinedWeb order: line-wise corrections run on the extracted
+        # text BEFORE the dedup stages, so boilerplate lines never seed
+        # paragraph/span/near-dup matches. Both a rewrite (kept docs
+        # carry the cleaned text) and a drop (a doc whose kept text is
+        # under half the original goes whole, booked as
+        # dropped_line_filter).
+        lf = line_filter_exprs(F.col("text"))
+        staged = docs.select(
+            "doc_id",
+            lf["text_clean"].alias("__clean"),
+            lf["doc_keep"].alias("__keep"),
+            "lang",
+            "source",
+        )
+        if with_accounting:
+            staged = staged.persist()
+            temp_caches.append(staged)
+        dropped_line = staged.filter(~F.col("__keep")).select("doc_id")
+        docs = staged.filter(F.col("__keep")).select(
+            "doc_id", F.col("__clean").alias("text"), "lang", "source"
+        )
 
     if paragraph_dedup_sep is not None:
         from bigdata_cookbook_spark.operators.corpus import paragraph_dedup
@@ -548,6 +581,8 @@ def pretraining_pipeline(
             ("dropped_exact", stages["dropped_exact"]),
             ("dropped_neardup", stages["dropped_neardup"]),
         ]
+        if dropped_line is not None:
+            acc_rows.insert(0, ("dropped_line_filter", dropped_line))
         if dropped_prune is not None:
             acc_rows.append(("dropped_quality_prune", dropped_prune))
         if dropped_semantic is not None:

@@ -97,3 +97,46 @@ def test_single_line_rule_matrix(line, expected_rules):
 
     hit = {name for name, pat in LINE_FILTER_RULES if re.search(pat, line)}
     assert hit == expected_rules, line
+
+
+def test_pipeline_line_filter_stage(spark):
+    """Capstone integration: line_filter=True rewrites kept docs to the
+    line-cleaned text, drops mostly-boilerplate docs whole (booked as
+    dropped_line_filter), and the accounting still sums exactly."""
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant: every doc gets one boilerplate line on top of its body;
+    # doc_id % 11 == 0 docs become MOSTLY boilerplate (drop whole)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(
+                "\n",
+                F.lit("MENU HOME NEWS"),
+                F.lit("All rights reserved. Sign in."),
+                F.lit("17 likes"),
+                F.substring(F.col("text"), 1, 10),
+            ),
+        ).otherwise(F.concat_ws("\n", F.lit("MENU HOME NEWS"), F.col("text"))),
+    )
+    out = pretraining_pipeline(planted, line_filter=True)
+    acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
+    assert "dropped_line_filter" in acc and acc["dropped_line_filter"] > 0
+    n_docs = planted.count()
+    ts = out["training_set"].collect()
+    assert n_docs - sum(acc.values()) == len(ts)
+    # every mostly-boilerplate doc is gone from the training set
+    ts_ids = {r.doc_id for r in ts}
+    assert all(i % 11 != 0 for i in ts_ids)
+    # surviving docs saw the REWRITTEN text: the boilerplate line must
+    # not influence token counts (compare against the unplanted run)
+    base = pretraining_pipeline(docs)
+    base_tokens = {r.doc_id: r.n_tokens for r in base["clean"].collect()}
+    got_tokens = {r.doc_id: r.n_tokens for r in out["clean"].collect()}
+    shared = set(base_tokens) & set(got_tokens)
+    assert shared and all(got_tokens[i] == base_tokens[i] for i in shared)
+    out["clean"].unpersist()
+    base["clean"].unpersist()

@@ -686,3 +686,50 @@ def test_incremental_pinned_prune_thresholds(spark, docs):
     r = incremental_corpus_clean(b1, prune_thresholds=partial_thr)
     assert all(s != "src0" for s in {x.source for x in r["kept"].collect()})
     thr.unpersist()
+
+
+def test_incremental_line_filter_stage(spark, docs):
+    """Round-8 line-wise corrections in the streaming tier: stateless
+    stage, FIRST in the chain — mostly-boilerplate docs drop whole into
+    dropped_line_filter, survivors' token counts reflect the CLEANED
+    text, and the batch split is invisible (two batches == one)."""
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(
+                "\n",
+                F.lit("MENU HOME NEWS"),
+                F.lit("All rights reserved. Sign in."),
+                F.substring(F.col("text"), 1, 8),
+            ),
+        ).otherwise(F.concat_ws("\n", F.lit("MENU HOME NEWS"), F.col("text"))),
+    )
+    mid = planted.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = planted.filter(F.col("doc_id") <= mid)
+    b2 = planted.filter(F.col("doc_id") > mid)
+
+    r1 = incremental_corpus_clean(b1, line_filter=True)
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        line_filter=True,
+    )
+    line_dropped = _ids(r1["dropped_line_filter"]) | _ids(r2["dropped_line_filter"])
+    assert line_dropped and all(i % 11 == 0 for i in line_dropped)
+
+    # one-batch run sees the identical stage outcome (stateless stage)
+    r_all = incremental_corpus_clean(planted, line_filter=True)
+    assert _ids(r_all["dropped_line_filter"]) == line_dropped
+    assert _ids(r_all["kept"]) == _ids(r1["kept"]) | _ids(r2["kept"])
+
+    # survivors scored on the CLEANED text: token counts equal the
+    # unplanted corpus's for the shared survivor ids
+    base = incremental_corpus_clean(docs)
+    base_tok = {
+        r.doc_id: r.n_tokens for r in base["kept"].collect()
+    }
+    got_tok = {r.doc_id: r.n_tokens for r in r_all["kept"].collect()}
+    shared = set(base_tok) & set(got_tok)
+    assert shared and all(got_tok[i] == base_tok[i] for i in shared)
