@@ -92,7 +92,7 @@ TIER = [
     # round-7 additions (first curve rows landed with the round-8 regen)
     "contamination_report",
     "winnow_fingerprints",
-    # round-8 additions (first curve rows land with the round-9 regen)
+    # round-8 additions (first curve rows in the round-8 second regen)
     "url_canonicalize",
     "domain_blocklist_cap",
     "line_filter_clean",
