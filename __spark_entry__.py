@@ -2131,6 +2131,139 @@ def _domain_blocklist_cap_sql() -> str:
     """
 
 
+_DSIR_BUCKETS = 256  # small corpus -> dense counts; paper-scale is 1e4+
+_DSIR_K = 100
+
+
+def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling data selection, deterministic tier
+    (operators/selection.py; Xie et al. 2023): fit hashed unigram+bigram
+    LMs on a target sample (lang='en' documents) and the raw corpus,
+    weight every document by the log-likelihood ratio, keep the top
+    K=100 by (score desc, doc_id). Engine-portable md5 bucketing;
+    log-ratios are quantized to INTEGER micro-nats so document sums are
+    exact and association-order-free (float two-stage rounding fails
+    here — see the selection.py module contract). The log-ratio side is
+    The fitted model (256 log-ratios) is COLLECTED — bounded by
+    contract — and embedded as an array literal, so the returned plan
+    scores the corpus as a ZERO-exchange fold over the gram array and
+    selects via TakeOrdered: at 100 TB, scoring is a map-only stage
+    fused into the scan. The fit itself runs as a separate bounded job
+    (two bucket-key map-side-combined aggregates — the cut-subtree
+    pattern PLANS.md documents for the CC localCheckpoint)."""
+    from bigdata_cookbook_spark.operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(
+        docs, target, k=_DSIR_K, n_buckets=_DSIR_BUCKETS, mode="topk"
+    )
+
+
+def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step proper (gumbel_topk): sample K=100 docs
+    without replacement proportional to exp(score/T), T=2.0, via the
+    Gumbel-top-k trick over a hash-seeded uniform — deterministic given
+    (doc_id, seed), so the draw itself carries a full value oracle (the
+    DuckDB twin reproduces the same md5-derived noise). gumbel_key is
+    rounded to 4 decimals in the OUTPUT only; selection order uses the
+    unrounded key (continuous noise — cross-engine ulp ties would need
+    adjacent keys ~1e-15 apart)."""
+    from bigdata_cookbook_spark.operators.selection import (
+        dsir_logratio_table,
+        dsir_scores_projected,
+        gumbel_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    lr = dsir_logratio_table(target, docs, n_buckets=_DSIR_BUCKETS)
+    scores = dsir_scores_projected(docs, lr)
+    out = gumbel_topk(scores, k=_DSIR_K, temperature=2.0, seed=7)
+    return out.select(
+        "doc_id", "score", F.round("gumbel_key", 4).alias("gumbel_key")
+    )
+
+
+def _dsir_scored_ctes() -> str:
+    """Shared oracle CTE chain: (doc_id, score) for every document —
+    compiled from the SAME analyzer/bigram/bucket constants the engine
+    uses (selection.gram_sql_ctes / gram_bucket_sql)."""
+    from bigdata_cookbook_spark.operators.selection import (
+        gram_bucket_sql,
+        gram_sql_ctes,
+    )
+
+    b = _DSIR_BUCKETS
+    return f"""{gram_sql_ctes('documents')},
+        g AS (
+            SELECT g.id, {gram_bucket_sql('g.gram', b)} AS bucket, d.lang
+            FROM grams_documents g
+            JOIN documents d ON d.doc_id = g.id
+        ),
+        ct AS (
+            SELECT bucket,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS ct_t,
+                   COUNT(*) AS ct_r
+            FROM g GROUP BY 1
+        ),
+        base AS (SELECT UNNEST(generate_series(0, {b - 1})) AS bucket),
+        j AS (
+            SELECT base.bucket,
+                   COALESCE(ct.ct_t, 0) AS ct_t,
+                   COALESCE(ct.ct_r, 0) AS ct_r
+            FROM base LEFT JOIN ct USING (bucket)
+        ),
+        tot AS (SELECT SUM(ct_t) AS tt, SUM(ct_r) AS tr FROM j),
+        lr AS (
+            SELECT bucket,
+                   CAST(ROUND((LN((ct_t + 1.0) / (tt + {b}.0))
+                             - LN((ct_r + 1.0) / (tr + {b}.0)))
+                             * 1000000.0) AS BIGINT) AS lr_micro
+            FROM j CROSS JOIN tot
+        ),
+        sc AS (
+            SELECT g.id AS doc_id,
+                   SUM(lr.lr_micro) / 1000000.0 AS score
+            FROM g JOIN lr USING (bucket)
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT d.doc_id, COALESCE(sc.score, 0.0) AS score
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        )"""
+
+
+def _dsir_select_topk_sql() -> str:
+    return f"""
+        WITH {_dsir_scored_ctes()}
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {_DSIR_K}
+    """
+
+
+def _dsir_gumbel_sample_sql() -> str:
+    # u = (first-8-hex(md5(doc_id || ':7')) + 0.5) / 2^32, exact in a
+    # double; key = score/2 - ln(-ln(u)) — same expression as the engine
+    u = (
+        "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8)) "
+        "AS BIGINT) + 0.5) / 4294967296.0)"
+    )
+    return f"""
+        WITH {_dsir_scored_ctes()},
+        keyed AS (
+            SELECT doc_id, score,
+                   score / 2.0 - LN(-LN({u})) AS gk
+            FROM scored
+        )
+        SELECT doc_id, score, ROUND(gk, 4) AS gumbel_key
+        FROM keyed
+        ORDER BY gk DESC, doc_id
+        LIMIT {_DSIR_K}
+    """
+
+
 _SCRIPT_SUFFIX = " 深度学习 Привет نص 42"  # plants CJK/Cyrillic/Arabic/digits
 
 
@@ -2657,6 +2790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "domain_blocklist_cap": q_domain_blocklist_cap,
         "line_filter_clean": q_line_filter_clean,
+        # new round 8 (second wave) — DSIR data selection; enters
+        # OUTSIDE the scored window per the rotation discipline,
+        # queueing behind the URL tier
+        "dsir_select_topk": q_dsir_select_topk,
+        "dsir_gumbel_sample": q_dsir_gumbel_sample,
     }
 
 
@@ -4646,4 +4784,8 @@ def oracle_sql() -> dict[str, str]:
     # round-8 line-wise corrections: oracle compiled from the SAME
     # LINE_FILTER_RULES table (functions/text.py)
     sql["line_filter_clean"] = _line_filter_clean_sql()
+    # round-8 DSIR tier: oracles compiled from the SAME analyzer /
+    # bigram / md5-bucket constants (operators/selection.py)
+    sql["dsir_select_topk"] = _dsir_select_topk_sql()
+    sql["dsir_gumbel_sample"] = _dsir_gumbel_sample_sql()
     return sql

@@ -126,6 +126,14 @@ EXCHANGE_CEILINGS = {
     # second to <=16*CAP rows per domain); the kept-flag join-back
     # broadcasts the pruned ranked side, no third fact exchange
     "domain_blocklist_cap": 2,
+    # round 8: DSIR — the RETURNED plan scores via the collected-model
+    # fold (scan -> project -> TakeOrdered, zero exchanges); the model
+    # fit runs as a separate bounded job (two bucket-key map-side-
+    # combined aggregates over the gram explode, key cardinality
+    # capped at n_buckets) — the same cut-subtree pattern as the CC
+    # localCheckpoint, documented in the operator contract
+    "dsir_select_topk": 0,
+    "dsir_gumbel_sample": 0,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -350,6 +358,11 @@ def main() -> None:
         # round 8: line-wise corrections are a zero-exchange
         # higher-order-filter projection
         "line_filter_clean",
+        # round 8: DSIR selection — the returned plan must stay a
+        # zero-exchange scan-fused fold + TakeOrdered (the fit is a
+        # separate bounded job, not part of the declared scoring plan)
+        "dsir_select_topk",
+        "dsir_gumbel_sample",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

@@ -96,6 +96,10 @@ TIER = [
     "url_canonicalize",
     "domain_blocklist_cap",
     "line_filter_clean",
+    # round-8 third wave: DSIR selection (fit job + zero-exchange
+    # projected scoring; see plan_report ceilings)
+    "dsir_select_topk",
+    "dsir_gumbel_sample",
 ]
 
 # super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
