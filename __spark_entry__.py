@@ -2264,6 +2264,66 @@ def _dsir_gumbel_sample_sql() -> str:
     """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration's statistics (operators/bpe.py;
+    Sennrich et al. 2016): corpus -> word histogram (one map-side-
+    combined exchange — the combiner absorbs Zipf skew) -> adjacent
+    symbol-pair counts weighted by word frequency (symbols = chars +
+    the </w> end marker) -> top 150 by (cnt desc, pair asc) via
+    TakeOrdered. This is the distributed aggregate a histogram-free
+    trainer iterates; train_bpe's driver loop over the PRUNED histogram
+    (the SentencePiece/HF contract) is pinned by tests/test_bpe.py."""
+    from bigdata_cookbook_spark.operators.bpe import (
+        pair_counts,
+        word_freq_table,
+        word_symbols_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_freq_table(docs)
+    syms = wf.select("freq", word_symbols_expr(F.col("word")).alias("symbols"))
+    return (
+        pair_counts(syms)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(150)
+    )
+
+
+def _bpe_pair_counts_sql() -> str:
+    """Oracle: same analyzer split, same substr-based symbol rule, same
+    </w> marker (DuckDB lists/strings are 1-based like the engine's
+    sequence/substr form)."""
+    from bigdata_cookbook_spark.functions.text import ANALYZER_SEP_RE
+
+    return f"""
+        WITH toks AS (
+            SELECT LIST_FILTER(
+                       STRING_SPLIT_REGEX(LOWER(text), '{ANALYZER_SEP_RE}'),
+                       x -> x <> ''
+                   ) AS toks
+            FROM documents
+        ),
+        w AS (SELECT UNNEST(toks) AS word FROM toks),
+        wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        pairs AS (
+            SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+            FROM (
+                SELECT word, freq,
+                       UNNEST(generate_series(1, LENGTH(word) - 1)) AS i
+                FROM wf
+            )
+            UNION ALL
+            SELECT substr(word, LENGTH(word), 1) AS a, '</w>' AS b, freq
+            FROM wf
+        )
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, a, b
+        LIMIT 150
+    """
+
+
 _SCRIPT_SUFFIX = " 深度学习 Привет نص 42"  # plants CJK/Cyrillic/Arabic/digits
 
 
@@ -2795,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queueing behind the URL tier
         "dsir_select_topk": q_dsir_select_topk,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -4788,4 +4849,7 @@ def oracle_sql() -> dict[str, str]:
     # bigram / md5-bucket constants (operators/selection.py)
     sql["dsir_select_topk"] = _dsir_select_topk_sql()
     sql["dsir_gumbel_sample"] = _dsir_gumbel_sample_sql()
+    # round-8 BPE tier: oracle shares the analyzer split + substr
+    # symbol rule (operators/bpe.py)
+    sql["bpe_pair_counts"] = _bpe_pair_counts_sql()
     return sql

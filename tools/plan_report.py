@@ -134,6 +134,9 @@ EXCHANGE_CEILINGS = {
     # localCheckpoint, documented in the operator contract
     "dsir_select_topk": 0,
     "dsir_gumbel_sample": 0,
+    # round 8: BPE pair statistics — word-histogram aggregate (map-side
+    # combine absorbs Zipf skew) + pair aggregate; top-k is TakeOrdered
+    "bpe_pair_counts": 2,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
@@ -363,6 +366,9 @@ def main() -> None:
         # separate bounded job, not part of the declared scoring plan)
         "dsir_select_topk",
         "dsir_gumbel_sample",
+        # round 8: BPE first-iteration pair statistics — two bounded-key
+        # aggregates, no join anywhere
+        "bpe_pair_counts",
     ]
     rows = []
     for name in benchmod.HEADLINE + [e for e in extra if e in qs]:

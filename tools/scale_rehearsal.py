@@ -97,9 +97,10 @@ TIER = [
     "domain_blocklist_cap",
     "line_filter_clean",
     # round-8 third wave: DSIR selection (fit job + zero-exchange
-    # projected scoring; see plan_report ceilings)
+    # projected scoring; see plan_report ceilings) and BPE pair stats
     "dsir_select_topk",
     "dsir_gumbel_sample",
+    "bpe_pair_counts",
 ]
 
 # super-linear step ratios that are DOCUMENTED-BY-DESIGN (each has a
