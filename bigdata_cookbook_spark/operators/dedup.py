@@ -1144,3 +1144,53 @@ def srp_bucket_sql_dynamic(
             f" THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def url_dedup_keep_best(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL exact dedup, keeping the best capture per URL —
+    RefinedWeb's first pipeline stage (Penedo et al. 2023 §3.1: a crawl
+    revisits the same page across snapshots; keep one record per URL
+    before any text work). "Best" = longest extracted text, tie-broken
+    by lowest id — deterministic on any engine.
+
+    URLs are canonicalized first (functions/url.py: case, fragments,
+    tracking params, default ports), so utm-decorated revisits collapse
+    onto their clean form.
+
+    Output: the keeper's full row per distinct canonical URL, plus
+    ``n_url_dups`` (captures seen for that URL — the audit column).
+
+    Scale shape: ONE aggregate keyed by canonical URL, the keeper row
+    carried in a min-struct — map-side combine keeps one candidate per
+    (mapper, URL), so a hot URL recrawled millions of times collapses
+    to one row per mapper before the exchange; shuffle volume is
+    ~distinct URLs. No join, no window, no second pass over the fact
+    table.
+    """
+    from bigdata_cookbook_spark.functions.url import canonicalize_url_expr
+
+    cols = df.columns
+    best = F.struct(
+        (-F.length(F.col(text_col))).alias("__neg_len"),
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(c) for c in cols],
+    )
+    agg = (
+        df.select(
+            canonicalize_url_expr(F.col(url_col)).alias("__canon"),
+            best.alias("__b"),
+        )
+        .groupBy("__canon")
+        .agg(
+            F.min("__b").alias("__best"),
+            F.count(F.lit(1)).alias("n_url_dups"),
+        )
+    )
+    return agg.select(
+        *[F.col(f"__best.{c}").alias(c) for c in cols], "n_url_dups"
+    )

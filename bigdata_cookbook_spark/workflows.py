@@ -282,10 +282,13 @@ def pretraining_pipeline(
     bloom_decontaminate: bool = False,
     html_input: bool = False,
     line_filter: bool = False,
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
 
+        [domain blocklist -> URL dedup ->]
         [HTML -> text ->] [line-wise corrections ->]
         [paragraph dedup ->] [span dedup ->]
         quality filter [+ repetition rules]
@@ -295,7 +298,14 @@ def pretraining_pipeline(
         -> deterministic shuffle key + length-curriculum bucket
 
     Optional stages (all off by default, preserving the oracled
-    baseline shape): ``paragraph_dedup_sep`` (e.g. ``"\\n"``) rewrites
+    baseline shape): ``url_col`` names a crawl-record URL column and
+    turns on RefinedWeb's first stage, BEFORE any text work — docs
+    whose registered domain is in ``domain_blocklist`` drop (booked as
+    ``dropped_domain_blocklist``), then canonical-URL exact dedup keeps
+    the best capture per URL (dedup.url_dedup_keep_best: longest text,
+    tie lowest id; booked as ``dropped_url_dedup``); the URL column is
+    consumed by the stage and not carried further;
+    ``paragraph_dedup_sep`` (e.g. ``"\\n"``) rewrites
     document text with corpus-wide paragraph dedup
     (corpus.paragraph_dedup — the Dolma/CCNet boilerplate-footer pass)
     BEFORE everything else: structural boilerplate is the coarsest
@@ -366,6 +376,44 @@ def pretraining_pipeline(
     # re-run once per counted stage. Released before returning —
     # only ``clean``'s cache is handed to the caller.
     temp_caches = []
+
+    dropped_blocklist = None
+    dropped_url = None
+    if domain_blocklist and url_col is None:
+        raise ValueError("domain_blocklist requires url_col")
+    if url_col is not None:
+        from bigdata_cookbook_spark.functions.url import (
+            canonicalize_url_expr,
+            registered_domain_expr,
+            url_host_expr,
+        )
+        from bigdata_cookbook_spark.operators.dedup import url_dedup_keep_best
+
+        # RefinedWeb order: URL-level work precedes every text stage —
+        # a blocklisted or duplicate crawl record must never pay HTML
+        # extraction, line filtering, or dedup shingling.
+        if domain_blocklist:
+            dom = registered_domain_expr(
+                url_host_expr(canonicalize_url_expr(F.col(url_col)))
+            )
+            staged = docs.withColumn("__dom", dom)
+            if with_accounting:
+                staged = staged.persist()
+                temp_caches.append(staged)
+            blocked = F.col("__dom").isin(list(domain_blocklist))
+            dropped_blocklist = staged.filter(blocked).select("doc_id")
+            docs = staged.filter(~blocked).drop("__dom")
+        pre_url = docs
+        if with_accounting:
+            # the anti-join below re-executes the (possibly blocklist-
+            # filtered) lineage once per count without this
+            pre_url = pre_url.persist()
+            temp_caches.append(pre_url)
+        kept_url = url_dedup_keep_best(pre_url, url_col=url_col)
+        dropped_url = pre_url.join(
+            kept_url.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+        docs = kept_url.drop("n_url_dups", url_col)
 
     if html_input:
         from bigdata_cookbook_spark.functions.text import html_to_text_expr
@@ -583,6 +631,10 @@ def pretraining_pipeline(
         ]
         if dropped_line is not None:
             acc_rows.insert(0, ("dropped_line_filter", dropped_line))
+        if dropped_url is not None:
+            acc_rows.insert(0, ("dropped_url_dedup", dropped_url))
+        if dropped_blocklist is not None:
+            acc_rows.insert(0, ("dropped_domain_blocklist", dropped_blocklist))
         if dropped_prune is not None:
             acc_rows.append(("dropped_quality_prune", dropped_prune))
         if dropped_semantic is not None:

@@ -149,3 +149,103 @@ def test_generated_grid_agreement(spark):
     ).collect()
     for r in rows:
         assert r.canon == canonicalize_url_py(r.url), r.url
+
+
+def test_url_dedup_keep_best(spark):
+    from bigdata_cookbook_spark.operators.dedup import url_dedup_keep_best
+
+    rows = [
+        # three captures of one page: utm decoration + fragment collapse
+        # onto the same canonical; keeper = longest text
+        (1, "http://example.com/a?utm_source=x", "short"),
+        (2, "HTTP://Example.COM/a", "the longest capture of all"),
+        (3, "http://example.com/a#frag", "mid length"),
+        # tie on length -> lowest id wins
+        (4, "http://example.com/b", "same"),
+        (5, "http://example.com/b", "same"),
+        # unique page passes through
+        (6, "https://other.org/c", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {
+        r.doc_id: r.n_url_dups for r in url_dedup_keep_best(df).collect()
+    }
+    assert got == {2: 3, 4: 2, 6: 1}
+
+
+def test_url_dedup_keep_best_plan_single_exchange(spark):
+    import re
+
+    from bigdata_cookbook_spark.operators.dedup import url_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "http://a/x", "t")], "doc_id long, url string, text string"
+    )
+    plan = url_dedup_keep_best(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    nodes = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+    assert sum(1 for n in nodes if n == "Exchange") == 1
+    assert not any("Join" in n for n in nodes)
+    # map-side combine: a partial_min/partial aggregate precedes the exchange
+    assert "partial" in plan
+
+
+def test_pipeline_url_stage(spark):
+    """Capstone integration: url_col turns on blocklist + URL dedup as
+    the FIRST stages, both booked, accounting still sums exactly."""
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant: doc_id % 7 == 0 -> blocklisted domain; URL path doc_id % 10
+    # on a shared host -> duplicate URLs (keeper = longest text)
+    planted = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("http://spam.example/p/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://ok.org/p/"), (F.col("doc_id") % 10))
+        ),
+    )
+    out = pretraining_pipeline(
+        planted, url_col="url", domain_blocklist=["spam.example"]
+    )
+    acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
+    n_blocked = planted.filter(F.col("doc_id") % 7 == 0).count()
+    assert acc["dropped_domain_blocklist"] == n_blocked
+    # survivors collapse onto 10 distinct URLs
+    n_rest = planted.count() - n_blocked
+    assert acc["dropped_url_dedup"] == n_rest - 10
+    assert planted.count() - sum(acc.values()) == out["training_set"].count()
+    # keeper contract: each surviving doc is the longest-text capture
+    # (tie lowest id) of its URL group among non-blocked docs
+    import collections
+
+    best = {}
+    for r in planted.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "url", F.length("text").alias("n")
+    ).collect():
+        key = r.url
+        cand = (-r.n, r.doc_id)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    want_ids = {v[1] for v in best.values()}
+    got_ids = {r.doc_id for r in out["clean"].collect()}
+    # clean may drop further docs (quality/dedup stages), but every
+    # survivor must be a URL-stage keeper
+    assert got_ids <= want_ids
+    out["clean"].unpersist()
+
+
+def test_pipeline_blocklist_requires_url_col(spark):
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    df = spark.createDataFrame([(1, "t", "en", "s")], "doc_id long, text string, lang string, source string")
+    with _pytest.raises(ValueError, match="url_col"):
+        pretraining_pipeline(df, domain_blocklist=["x.com"])
