@@ -284,6 +284,9 @@ def pretraining_pipeline(
     line_filter: bool = False,
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep_k: int | None = None,
+    dsir_n_buckets: int = 1024,
 ) -> dict[str, DataFrame]:
     """Capstone composition of the training-data tier — the full corpus
     -> training-set flow, each stage an individually-oracled operator:
@@ -333,7 +336,19 @@ def pretraining_pipeline(
     ``dropped_quality_prune``; ``bloom_decontaminate`` passes through
     to corpus_clean — the decontamination drop set is bit-identical,
     only the plan changes (map-side Bloom prefilter instead of the
-    full shingle join).
+    full shingle join); ``dsir_target`` (a DataFrame with a ``text``
+    column) turns on DSIR importance resampling
+    (operators/selection.py) as the LAST drop stage — after dedup /
+    decontamination / semantic so the selector only ranks docs allowed
+    to train at all, before mixing so target shares apply to the
+    targeted pool: hashed-gram LMs fit on the target sample vs the
+    surviving pool, keep the ``dsir_keep_k`` (required with
+    ``dsir_target``) highest-weight docs, booked as ``dropped_dsir``.
+    Selection is TakeOrdered over a slim (doc_id, score) projection —
+    fine to ~1e6-1e7 k; beyond that the declared alternative is a
+    sampled score threshold + filter (same scores, no driver merge).
+    The ``dsir_n_buckets``-row model is COLLECTED during pipeline
+    construction (bounded by contract — selection.py module notes).
 
     Returns {clean, mixed, training_set, accounting}: ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
@@ -591,6 +606,39 @@ def pretraining_pipeline(
         ).select("doc_id")
         clean = clean.join(dropped_semantic, "doc_id", "left_anti")
 
+    dropped_dsir = None
+    if dsir_target is not None:
+        if dsir_keep_k is None:
+            raise ValueError("dsir_target requires dsir_keep_k")
+        from bigdata_cookbook_spark.operators.selection import (
+            dsir_logratio_table,
+            dsir_scores_projected,
+            dsir_topk,
+        )
+
+        # score the SURVIVING pool's current text (docs carries the
+        # line-filtered / span-rewritten form when those stages are on)
+        pool = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+        if with_accounting:
+            # the fit collects two aggregates over pool and the scoring
+            # pass reads it again — cache it for the construction-time
+            # jobs plus the accounting counts
+            pool = pool.persist()
+            temp_caches.append(pool)
+        lr = dsir_logratio_table(
+            dsir_target, pool, text_col="text", n_buckets=dsir_n_buckets
+        )
+        kept_ids = dsir_topk(
+            dsir_scores_projected(pool, lr), dsir_keep_k
+        ).select("doc_id")
+        if with_accounting:
+            kept_ids = kept_ids.persist()
+            temp_caches.append(kept_ids)
+        dropped_dsir = clean.join(kept_ids, "doc_id", "left_anti").select(
+            "doc_id"
+        )
+        clean = clean.join(kept_ids, "doc_id", "left_semi")
+
     clean = clean.persist()
 
     mixed = (
@@ -639,6 +687,8 @@ def pretraining_pipeline(
             acc_rows.append(("dropped_quality_prune", dropped_prune))
         if dropped_semantic is not None:
             acc_rows.append(("dropped_semantic", dropped_semantic))
+        if dropped_dsir is not None:
+            acc_rows.append(("dropped_dsir", dropped_dsir))
         if eval_df is not None:
             acc_rows.append(("dropped_contaminated", stages["dropped_contaminated"]))
         accounting = spark.createDataFrame(

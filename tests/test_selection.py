@@ -194,3 +194,63 @@ def test_dsir_select_end_to_end_and_mode_contract(spark):
     assert ids == [5, 6]  # the target docs themselves win
     with pytest.raises(ValueError, match="mode"):
         dsir_select(docs, target, k=2, n_buckets=32, mode="nope")
+
+
+def test_pipeline_dsir_stage(spark):
+    """Capstone integration: dsir_target keeps exactly dsir_keep_k
+    survivors, spiked target-like docs win, accounting sums exactly."""
+    from pyspark.sql import functions as SF
+
+    from bigdata_cookbook_spark.sources.testdata import load_table
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # spike doc_id % 9 == 0 docs with distinctive grams, interleaving a
+    # per-doc token so spiked docs do NOT become near-duplicates of each
+    # other (an identical long suffix would be deduped away upstream),
+    # and repeated enough to dominate the per-gram penalty the doc body
+    # pays under the target LM (unnormalized DSIR weights scale with
+    # length)
+    planted = docs.withColumn(
+        "text",
+        SF.when(
+            SF.col("doc_id") % 9 == 0,
+            SF.concat(
+                SF.col("text"),
+                SF.expr(
+                    "repeat(concat(' alignment safety evals u', "
+                    "cast(doc_id as string)), 12)"
+                ),
+            ),
+        ).otherwise(SF.col("text")),
+    )
+    # target = the spiked distribution itself: common corpus grams stay
+    # ~neutral in the log-ratio, the spike grams carry the weight
+    target = planted.filter(SF.col("doc_id") % 9 == 0).select("text")
+    # 50 docs at sf0.001 -> ~6 spiked; keep k BELOW the spiked-survivor
+    # count so "all kept are spiked" is the strongest assertable claim
+    k = 4
+    out = pretraining_pipeline(
+        planted, dsir_target=target, dsir_keep_k=k, dsir_n_buckets=256
+    )
+    acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
+    assert "dropped_dsir" in acc
+    kept = out["clean"].collect()
+    assert len(kept) == k
+    assert planted.count() - sum(acc.values()) == out["training_set"].count()
+    # every selected doc is a spiked one (spiked docs dominate the LR)
+    assert all(r.doc_id % 9 == 0 for r in kept)
+    out["clean"].unpersist()
+
+
+def test_pipeline_dsir_requires_k(spark):
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.workflows import pretraining_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "t", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(ValueError, match="dsir_keep_k"):
+        pretraining_pipeline(df, dsir_target=df.select("text"))
