@@ -2633,10 +2633,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Displaced families stay pinned in-window — see the inline comments
     at each swap site.
 
-    Rotation plan (round 9): the four never-driver-scored entries
-    rotate in, registry order, each over a double-green row:
-    html_to_text, script_profile, contamination_report,
-    winnow_fingerprints."""
+    Rotation plan (round 9): the never-driver-scored entries rotate in,
+    REGISTRY ORDER, each over a row that is double-green per the
+    r01-r08 artifacts at swap time: html_to_text, script_profile,
+    contamination_report, winnow_fingerprints first; then, for as many
+    additional double-green displacement slots as r08 confirms, the
+    round-8 queue in order: url_canonicalize, domain_blocklist_cap,
+    line_filter_clean, dsir_select_topk, dsir_gumbel_sample,
+    bpe_pair_counts (whatever does not fit queues for round 10; all
+    stay continuously checked by tools/verify_local.py meanwhile)."""
     return {
         # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
         "collect_list_ordered": q_collect_list_ordered,
@@ -2850,9 +2855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "domain_blocklist_cap": q_domain_blocklist_cap,
         "line_filter_clean": q_line_filter_clean,
-        # new round 8 (second wave) — DSIR data selection; enters
-        # OUTSIDE the scored window per the rotation discipline,
-        # queueing behind the URL tier
+        # new round 8 (second/third wave) — DSIR data selection + BPE
+        # pair statistics; enter OUTSIDE the scored window per the
+        # rotation discipline, queueing behind the URL tier (round-9
+        # rotation plan in the docstring above)
         "dsir_select_topk": q_dsir_select_topk,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
