@@ -275,14 +275,51 @@ def dsir_scores_projected(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "",
+    normalize: bool = False,
 ) -> DataFrame:
     """The scale-default scoring path (module contract): collect the
     n_buckets-row model, score as a pure projection. Returns
-    (id_col, score) for every input row."""
+    (id_col, score) for every input row.
+
+    ``normalize=True`` divides by the gram count (mean per-gram
+    log-ratio instead of the paper's raw sum): the raw weight of a
+    document scales with its length, so under a narrow target LM a
+    short off-target document can outrank a long on-target one — the
+    known length bias of unnormalized importance weights. Normalized
+    scores rank by *how target-like the text is*, not how much of it
+    there is; gram-free documents still score 0.0."""
     lr = collect_logratio(logratio)
-    return docs.select(
-        id_col,
-        dsir_score_expr(F.col(text_col), lr, salt).alias("score"),
+    score = dsir_score_expr(F.col(text_col), lr, salt)
+    if normalize:
+        n = F.size(gram_array_expr(F.col(text_col)))
+        score = F.when(n > 0, score / n).otherwise(F.lit(0.0))
+    return docs.select(id_col, score.alias("score"))
+
+
+def dsir_gate(
+    docs: DataFrame,
+    logratio: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    salt: str = "",
+    normalize: bool = False,
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """Threshold form of the selection: keep rows whose (optionally
+    normalized) importance weight reaches ``threshold``. Stateless and
+    shuffle-free — the streaming-safe variant (top-k needs a global
+    view; a gate scores each row alone, so the same expression runs
+    unchanged in a readStream pipeline and is batch-split invariant),
+    and the declared batch alternative to TakeOrdered when k is too
+    large for a driver merge (pick the threshold from a sampled
+    quantile of the scores)."""
+    lr = collect_logratio(logratio)
+    score = dsir_score_expr(F.col(text_col), lr, salt)
+    if normalize:
+        n = F.size(gram_array_expr(F.col(text_col)))
+        score = F.when(n > 0, score / n).otherwise(F.lit(0.0))
+    return docs.withColumn(score_col, score).filter(
+        F.col(score_col) >= threshold
     )
 
 

@@ -205,6 +205,9 @@ def incremental_corpus_clean(
     eval_bloom=None,
     prune_thresholds: DataFrame | None = None,
     line_filter: bool = False,
+    dsir_lr: list[int] | None = None,
+    dsir_threshold: float = 0.0,
+    dsir_normalize: bool = True,
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -272,6 +275,14 @@ def incremental_corpus_clean(
       pass through (the batch rule). Emits ``dropped_semantic`` and a
       ``new_embeddings`` delta. ``semantic_n_planes`` is pinned for
       the state's lifetime — bucket ids must be stable across batches.
+    - ``dsir_lr`` (round 8) turns on a stateless DSIR gate right after
+      the line corrections: the model is fit OFFLINE on a reference
+      snapshot (selection.dsir_logratio_table -> collect_logratio — a
+      stream cannot see the full raw distribution) and passed in as
+      the collected lr_micro-by-bucket list; rows whose (normalized,
+      by default — ``dsir_normalize``) importance weight falls below
+      ``dsir_threshold`` drop, booked as ``dropped_dsir_gate``. A pure
+      per-row predicate: batch-split invariant, no state, no delta.
     """
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
@@ -297,6 +308,33 @@ def incremental_corpus_clean(
         batch_docs = staged.filter(F.col("__keep")).select(
             "doc_id", F.col("__clean").alias("text"), "lang", "source"
         )
+
+    dropped_dsir = None
+    if dsir_lr is not None:
+        from bigdata_cookbook_spark.operators.selection import (
+            dsir_score_expr,
+            gram_array_expr,
+        )
+
+        # Stateless DSIR gate on the (line-cleaned) text: the model is
+        # FIT OFFLINE on a reference snapshot (a stream cannot see the
+        # full raw distribution) and passed in as the collected
+        # lr_micro-by-bucket list — selection.collect_logratio's shape.
+        # A pure per-row predicate: batch-split invariant, no state,
+        # no delta; booked as dropped_dsir_gate. Normalized by default
+        # (a stream gate must not prefer short docs per se — the
+        # length bias of raw weights; selection.py docstring).
+        score = dsir_score_expr(F.col("text"), dsir_lr)
+        if dsir_normalize:
+            n = F.size(gram_array_expr(F.col("text")))
+            score = F.when(n > 0, score / n).otherwise(F.lit(0.0))
+        staged = batch_docs.withColumn("__dsir", score)
+        dropped_dsir = staged.filter(
+            F.col("__dsir") < dsir_threshold
+        ).select("doc_id")
+        batch_docs = staged.filter(
+            F.col("__dsir") >= dsir_threshold
+        ).drop("__dsir")
 
     new_paras = None
     if paragraph_sep is not None:
@@ -459,6 +497,8 @@ def incremental_corpus_clean(
     }
     if dropped_line is not None:
         out["dropped_line_filter"] = dropped_line
+    if dropped_dsir is not None:
+        out["dropped_dsir_gate"] = dropped_dsir
     if new_paras is not None:
         out["new_paras"] = new_paras
     if new_spans is not None:
@@ -710,6 +750,7 @@ def streaming_corpus_clean(
             log = None
             for stage in (
                 "dropped_line_filter",
+                "dropped_dsir_gate",
                 "dropped_quality",
                 "dropped_exact",
                 "dropped_neardup",

@@ -254,3 +254,66 @@ def test_pipeline_dsir_requires_k(spark):
     )
     with _pytest.raises(ValueError, match="dsir_keep_k"):
         pretraining_pipeline(df, dsir_target=df.select("text"))
+
+
+def test_normalized_scores_remove_length_bias(spark):
+    """Raw DSIR weights scale with length; the normalized form ranks a
+    short on-target doc above a long off-target one."""
+    from bigdata_cookbook_spark.operators.selection import (
+        dsir_scores_projected as proj,
+    )
+
+    texts = [
+        "alignment safety evals",  # short, pure target
+        ("spark table join merge window sort " * 30).strip(),  # long, off-target
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [("alignment safety evals alignment safety evals",)], "text string"
+    )
+    lr = dsir_logratio_table(target, docs, n_buckets=64)
+    norm = {r.doc_id: r.score for r in proj(docs, lr, normalize=True).collect()}
+    assert norm[0] > norm[1]
+    # normalized score of the pure-target doc is its mean per-gram lr:
+    # strictly positive; the off-target doc's is negative
+    assert norm[0] > 0 > norm[1]
+
+
+def test_dsir_gate_stateless_and_batch_split_invariant(spark):
+    """The gate is a pure per-row predicate: running it on two halves
+    of the corpus yields exactly the rows of one whole-corpus run, and
+    the same expression attaches to a streaming DataFrame."""
+    from bigdata_cookbook_spark.operators.selection import dsir_gate
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") >= 5)
+    lr = dsir_logratio_table(target, docs, n_buckets=32)
+    whole = {r.doc_id for r in dsir_gate(docs, lr, threshold=0.0).collect()}
+    a = dsir_gate(docs.filter(F.col("doc_id") % 2 == 0), lr, 0.0)
+    b = dsir_gate(docs.filter(F.col("doc_id") % 2 == 1), lr, 0.0)
+    halves = {r.doc_id for r in a.collect()} | {r.doc_id for r in b.collect()}
+    assert halves == whole and whole  # non-empty, split-invariant
+    # streaming composability: the gate attaches to a readStream frame
+    # without touching unsupported operations (no sort, no limit)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dsir_stream_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    gated = dsir_gate(stream, lr, threshold=0.0)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("dsir_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM dsir_gate_t").collect()
+    }
+    assert got == whole

@@ -733,3 +733,55 @@ def test_incremental_line_filter_stage(spark, docs):
     got_tok = {r.doc_id: r.n_tokens for r in r_all["kept"].collect()}
     shared = set(base_tok) & set(got_tok)
     assert shared and all(got_tok[i] == base_tok[i] for i in shared)
+
+
+def test_incremental_dsir_gate_stage(spark, docs):
+    """Round-8 DSIR gate in the streaming tier: the model is fit
+    OFFLINE (collected lr list) and the gate is a stateless per-row
+    predicate — spiked on-target docs pass, others drop into
+    dropped_dsir_gate, and the batch split is invisible."""
+    from bigdata_cookbook_spark.operators.selection import (
+        collect_logratio,
+        dsir_logratio_table,
+    )
+
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    "repeat(concat(' alignment safety evals v', "
+                    "cast(doc_id as string)), 10)"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    # offline fit: target = the spiked snapshot subset, raw = snapshot
+    target = planted.filter(F.col("doc_id") % 7 == 0).select("text")
+    lr = collect_logratio(
+        dsir_logratio_table(target, planted, n_buckets=128)
+    )
+
+    mid = planted.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = planted.filter(F.col("doc_id") <= mid)
+    b2 = planted.filter(F.col("doc_id") > mid)
+
+    r1 = incremental_corpus_clean(b1, dsir_lr=lr, dsir_threshold=0.0)
+    r2 = incremental_corpus_clean(
+        b2,
+        seen_hashes=r1["new_hashes"],
+        shingle_state=r1["new_shingles"],
+        dsir_lr=lr,
+        dsir_threshold=0.0,
+    )
+    gated = _ids(r1["dropped_dsir_gate"]) | _ids(r2["dropped_dsir_gate"])
+    assert gated and all(i % 7 != 0 for i in gated)
+    kept = _ids(r1["kept"]) | _ids(r2["kept"])
+    assert kept and all(i % 7 == 0 for i in kept)
+
+    # stateless: one-batch run sees the identical gate outcome
+    r_all = incremental_corpus_clean(planted, dsir_lr=lr, dsir_threshold=0.0)
+    assert _ids(r_all["dropped_dsir_gate"]) == gated
+    assert _ids(r_all["kept"]) == kept
