@@ -8,10 +8,12 @@ end-to-end run of each capstone at the largest local tier
 
 1. **Batch capstone** — workflows.pretraining_pipeline with every
    optional stage on (the examples/pretraining_data_pipeline.py
-   configuration: paragraph dedup, span dedup, Gopher repetition,
-   Bloom decontamination, per-domain prune, semantic dedup, shards),
-   training_set written to scratch parquet. Records wall time and the
-   full per-stage drop accounting.
+   configuration plus the round-8 stages: domain blocklist + URL
+   dedup on a planted crawl-URL column, RefinedWeb line corrections,
+   paragraph dedup, span dedup, Gopher repetition, Bloom
+   decontamination, per-domain prune, semantic dedup, DSIR targeting
+   at k=120k, shards), training_set written to scratch parquet.
+   Records wall time and the full per-stage drop accounting.
 
 2. **Streaming capstone** — streaming_corpus_clean over >= 3
    micro-batches (spool-file source, LSH near-dup tier — the
@@ -72,13 +74,41 @@ def run_batch_capstone(spark, scratch: str) -> dict:
         "text",
         F.concat(F.lit("BOILERPLATE-"), F.col("source"), F.lit("\n"), F.col("text")),
     )
+    # round-8 stages need URL-shaped input: plant a crawl URL per doc —
+    # doc_id % 101 == 7 on a blocklisted domain (~1% drop),
+    # doc_id % 19 == 3 collapsing onto 2000 shared dup URLs (~24k
+    # dropped_url_dedup), the rest unique
+    docs = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 101 == 7,
+            F.concat(F.lit("http://spam.example/p/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 19 == 3,
+            F.concat(F.lit("https://dup.example.org/d/"), F.col("doc_id") % 2000),
+        )
+        .otherwise(
+            F.concat(F.lit("https://ok.example.org/p/"), F.col("doc_id"))
+        ),
+    )
     emb = load_table(spark, SF10_DIR, "embeddings")
     eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    # round-8 DSIR targeting: a deterministic English reference sample
+    # (doc_id stride, ~20k docs — NOT limit(), which picks arbitrary
+    # partitions); k below the prior run's survivor count (162k) so
+    # the stage does real work
+    dsir_target = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 5 == 1)
+    ).select("text")
 
     t0 = time.perf_counter()
     out = pretraining_pipeline(
         docs,
         eval_df=eval_df,
+        url_col="url",
+        domain_blocklist=["spam.example"],
+        line_filter=True,
         paragraph_dedup_sep="\n",
         span_dedup_tokens=5,
         repetition_filter=True,
@@ -86,6 +116,8 @@ def run_batch_capstone(spark, scratch: str) -> dict:
         semantic_threshold=0.4,
         bloom_decontaminate=True,
         quality_prune_frac=0.9,
+        dsir_target=dsir_target,
+        dsir_keep_k=120_000,
         shard_bytes=32 << 20,
         # the df-capped near-dup tier — REQUIRED at corpus scale per the
         # pretraining_pipeline docstring: the exact all-pairs form is
