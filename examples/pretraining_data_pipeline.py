@@ -4,12 +4,16 @@ optional stage on — the training-data tier's capstone
 sf0.001 testdata, writing the artifacts a data-engineering run hands
 off:
 
-    paragraph dedup -> span dedup
+    domain blocklist -> canonical-URL dedup (keep-best)
+    -> RefinedWeb line-wise corrections
+    -> paragraph dedup -> span dedup
     -> quality (+ Gopher repetition rules) -> exact dedup
     -> near-dup removal
     -> decontamination vs a held-out eval set (Bloom-prefiltered)
     -> per-domain quality prune (keep top 90% of each source)
-    -> semantic dedup over embeddings -> domain-mix resample
+    -> semantic dedup over embeddings
+    -> DSIR importance-resampling targeting (keep-k)
+    -> domain-mix resample
     -> deterministic shuffle key + length-curriculum bucket
 
 Outputs under <out_dir>:
@@ -54,15 +58,41 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
             F.col("text"),
         ),
     )
+    # round-8 web-ingest shaping: a crawl URL per doc — ~1% on a
+    # blocklisted domain, doc_id % 19 == 3 collapsing onto shared dup
+    # URLs, the rest unique (the synthetic corpus has no URL column)
+    docs = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 101 == 7,
+            F.concat(F.lit("http://spam.example/p/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 19 == 3,
+            F.concat(F.lit("https://dup.example.org/d/"), F.col("doc_id") % 5),
+        )
+        .otherwise(
+            F.concat(F.lit("https://ok.example.org/p/"), F.col("doc_id"))
+        ),
+    )
     emb = load_table(spark, sf_dir, "embeddings")
 
     # held-out eval benchmark: a deterministic corpus slice stands in
     # for the eval sets a real run decontaminates against
     eval_df = docs.filter(F.col("doc_id") % 13 == 0)
 
+    # DSIR reference sample: a deterministic English slice — the
+    # distribution the selection stage targets
+    dsir_target = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 5 == 1)
+    ).select("text")
+
     out = pretraining_pipeline(
         docs,
         eval_df=eval_df,
+        url_col="url",
+        domain_blocklist=["spam.example"],
+        line_filter=True,
         paragraph_dedup_sep="\n",
         span_dedup_tokens=5,
         repetition_filter=True,
@@ -73,6 +103,10 @@ def main(spark: SparkSession, out_dir: str, sf_dir: str = "/root/testdata/sf0.00
         # keep the top 90% of each source by n_tokens after cleaning
         bloom_decontaminate=True,
         quality_prune_frac=0.9,
+        # round-8 stage: DSIR targeting as the last drop before mixing
+        dsir_target=dsir_target,
+        dsir_keep_k=60,
+        dsir_n_buckets=256,
     )
 
     ts_path = os.path.join(out_dir, "training_set")

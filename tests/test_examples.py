@@ -60,10 +60,15 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     stages = dict(a1["stages"])
     # every optional stage reported, totals reconcile
     assert {
-        "dropped_quality", "dropped_exact", "dropped_neardup",
-        "dropped_quality_prune", "dropped_semantic",
-        "dropped_contaminated", "dropped_mixing",
+        "dropped_domain_blocklist", "dropped_url_dedup",
+        "dropped_line_filter", "dropped_quality", "dropped_exact",
+        "dropped_neardup", "dropped_quality_prune", "dropped_semantic",
+        "dropped_contaminated", "dropped_dsir", "dropped_mixing",
     } == set(stages)
+    # the round-8 web-ingest stages do real work on the planted URLs
+    assert stages["dropped_domain_blocklist"] > 0
+    assert stages["dropped_url_dedup"] > 0
+    assert stages["dropped_dsir"] > 0
     assert a1["kept"] > 0
     assert a1["kept"] + sum(stages.values()) == 500  # sf0.001 corpus
 
