@@ -61,7 +61,7 @@ Plan shape / 100 TB judgment:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_cookbook_spark.functions.text import (
