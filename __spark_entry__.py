@@ -2633,18 +2633,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Displaced families stay pinned in-window — see the inline comments
     at each swap site.
 
-    Rotation plan (round 9): the never-driver-scored entries rotate in,
-    REGISTRY ORDER, each over a row that is double-green per the
-    r01-r08 artifacts at swap time: html_to_text, script_profile,
-    contamination_report, winnow_fingerprints first; then, for as many
-    additional double-green displacement slots as r08 confirms, the
-    round-8 queue in order: url_canonicalize, domain_blocklist_cap,
-    line_filter_clean, dsir_select_topk, dsir_gumbel_sample,
-    bpe_pair_counts (whatever does not fit queues for round 10; all
-    stay continuously checked by tools/verify_local.py meanwhile)."""
+    Round-9 rotation EXECUTED as documented last round: ALL TEN
+    never-driver-scored entries rotated in (r08 left 45 of the 50
+    in-window rows double-green, so every queue entry got a slot),
+    registry order — html_to_text, script_profile,
+    contamination_report, winnow_fingerprints, url_canonicalize,
+    domain_blocklist_cap, line_filter_clean, dsir_select_topk,
+    dsir_gumbel_sample, bpe_pair_counts — each displacing a row green
+    in SEVEN consecutive driver rounds (r02-r08, re-verified against
+    the artifacts at swap time): collect_list_ordered,
+    keyword_context_window, llm_cost_estimate, sliding_window_counts,
+    asof_click_before_purchase, hash_split_documents,
+    weighted_sample_orders, continuous_aggregate_daily,
+    profile_orders, hybrid_search_rrf. Displaced families stay pinned
+    in-window (see the inline comments at each swap site); the five
+    single-green round-8 rotations (tfidf_top_terms, paragraph_dedup,
+    contamination_bloom, quality_prune_per_source, neardup_keep_best)
+    keep their slots for a second green row. The never-driver-scored
+    queue is now EMPTY: every one of the 112 registry queries has (or
+    is in-window to get) a driver CORRECTNESS row, and round 9 adds no
+    new registry queries, per the round-8 verdict's queue-burn-down
+    directive."""
     return {
-        # -- tier 1: no green driver row yet (round-1 unscored / repaired) --
-        "collect_list_ordered": q_collect_list_ordered,
+        # -- tier 1: newest rotations first (round-9 swaps + round-8 1G) --
+        # round-9 rotation (slot 1): html_to_text takes
+        # collect_list_ordered's slot (double-green r02-r08; the
+        # ordered-collect agg family stays pinned in-window by
+        # first_last_per_group + pricing_summary).
+        "html_to_text": q_html_to_text,
         "screening_normalize": q_screening_normalize,
         "dual_role_workflow": q_dual_role_workflow,
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
@@ -2656,11 +2672,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + ann_cosine_topk).
         "tfidf_top_terms": q_tfidf_top_terms,
         "first_last_per_group": q_first_last_per_group,
-        "keyword_context_window": q_keyword_context_window,
+        # round-9 rotation (slot 2): script_profile takes
+        # keyword_context_window's slot (double-green r02-r08; the
+        # text-window family stays pinned in-window by token_quality +
+        # sentence_budget_chunks).
+        "script_profile": q_script_profile,
         "token_pack_buckets": q_token_pack_buckets,
-        "llm_cost_estimate": q_llm_cost_estimate,
+        # round-9 rotation (slot 3): contamination_report takes
+        # llm_cost_estimate's slot (double-green r02-r08; the LLM
+        # family stays pinned in-window by dual_role_workflow +
+        # token_pack_buckets).
+        "contamination_report": q_contamination_report,
         "sessionize": q_sessionize,
-        "sliding_window_counts": q_sliding_window_counts,
+        # round-9 rotation (slot 4): winnow_fingerprints takes
+        # sliding_window_counts's slot (double-green r02-r08; the
+        # streaming-window family stays pinned in-window by sessionize
+        # + corpus_clean).
+        "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_clean": q_corpus_clean,
         "skew_salted_distinct_users": q_skew_salted_distinct_users,
         # round-5 rotation: ngram_jaccard_capped (the linear df-capped
@@ -2669,11 +2697,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail; the robust-stats family stays pinned in-window by
         # profile_orders' quantile profile).
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "asof_click_before_purchase": q_asof_click_before_purchase,
+        # round-9 rotation (slot 5): url_canonicalize takes
+        # asof_click_before_purchase's slot (double-green r02-r08; the
+        # temporal-join family stays pinned in-window by
+        # range_count_events_after_purchase).
+        "url_canonicalize": q_url_canonicalize,
         "range_count_events_after_purchase": q_range_count_events_after_purchase,
-        "hash_split_documents": q_hash_split_documents,
+        # round-9 rotation (slot 6): domain_blocklist_cap takes
+        # hash_split_documents's slot (double-green r02-r08; the
+        # split/sampling family stays pinned in-window by
+        # stratified_sample_orders + cluster_safe_split_docs +
+        # training_shuffle).
+        "domain_blocklist_cap": q_domain_blocklist_cap,
         "stratified_sample_orders": q_stratified_sample_orders,
-        "weighted_sample_orders": q_weighted_sample_orders,
+        # round-9 rotation (slot 7): line_filter_clean takes
+        # weighted_sample_orders's slot (double-green r02-r08; the
+        # sampling family stays pinned in-window by
+        # stratified_sample_orders + domain_mix_sample).
+        "line_filter_clean": q_line_filter_clean,
         # round-8 rotation (slot 1): paragraph_dedup takes span_dedup's
         # slot (double-green r04-r07; the dedup family stays pinned
         # in-window by exact_dedup_docs + minhash_lsh_candidates +
@@ -2692,8 +2733,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin semantic_dedup (double-green r04+r05, moved to the tail;
         # the family stays pinned in-window by the same kernel).
         "semantic_dedup_auto": q_semantic_dedup_auto,
-        "continuous_aggregate_daily": q_continuous_aggregate_daily,
-        "profile_orders": q_profile_orders,
+        # round-9 rotation (slot 8): dsir_select_topk takes
+        # continuous_aggregate_daily's slot (double-green r02-r08; the
+        # rollup family stays pinned in-window by calendar_densify_daily
+        # + hit_count_monthly_topk).
+        "dsir_select_topk": q_dsir_select_topk,
+        # round-9 rotation (slot 9): dsir_gumbel_sample takes
+        # profile_orders's slot (double-green r02-r08; the stats family
+        # stays pinned in-window by pricing_summary; the robust-stats
+        # quantile profile stays continuously checked in the tail).
+        "dsir_gumbel_sample": q_dsir_gumbel_sample,
         # -- tier 2: family representatives incl. the bench HEADLINE set --
         "pricing_summary": q_pricing_summary,
         "hit_count_monthly_topk": q_hit_count_monthly_topk,
@@ -2749,7 +2798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "lang_id": q_lang_id,
         "bm25_topk": q_bm25_topk,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
+        # round-9 rotation (slot 10): bpe_pair_counts takes
+        # hybrid_search_rrf's slot (double-green r02-r08; the retrieval
+        # family stays pinned in-window by bm25_topk + tfidf_top_terms).
+        "bpe_pair_counts": q_bpe_pair_counts,
         # round-6 rotation (slot 3): compression_ratio — check upgraded
         # from rows-only to the strongest achievable partial-value
         # oracle (raw_bytes + zlib-bound ratio_ok assertion) — takes
@@ -2842,26 +2894,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_curriculum": q_length_curriculum,
         "source_quality_profile": q_source_quality_profile,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
-        # still outside the scored window — the round-9 rotation queue,
-        # registry order: html_to_text, script_profile,
-        # contamination_report, winnow_fingerprints, then the round-8
-        # URL tier below
-        "html_to_text": q_html_to_text,
-        "script_profile": q_script_profile,
-        "contamination_report": q_contamination_report,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        # new round 8 — enters OUTSIDE the scored window per the
-        # rotation discipline; queues behind the round-7 tail entries
-        "url_canonicalize": q_url_canonicalize,
-        "domain_blocklist_cap": q_domain_blocklist_cap,
-        "line_filter_clean": q_line_filter_clean,
-        # new round 8 (second/third wave) — DSIR data selection + BPE
-        # pair statistics; enter OUTSIDE the scored window per the
-        # rotation discipline, queueing behind the URL tier (round-9
-        # rotation plan in the docstring above)
-        "dsir_select_topk": q_dsir_select_topk,
-        "dsir_gumbel_sample": q_dsir_gumbel_sample,
-        "bpe_pair_counts": q_bpe_pair_counts,
+        # round-9 rotation: the ten displaced rows land here in the
+        # tail (each green r02-r08, seven consecutive driver rounds) —
+        # all stay continuously checked by tools/verify_local.py. With
+        # this swap the never-driver-scored queue is EMPTY.
+        "collect_list_ordered": q_collect_list_ordered,
+        "keyword_context_window": q_keyword_context_window,
+        "llm_cost_estimate": q_llm_cost_estimate,
+        "sliding_window_counts": q_sliding_window_counts,
+        "asof_click_before_purchase": q_asof_click_before_purchase,
+        "hash_split_documents": q_hash_split_documents,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "continuous_aggregate_daily": q_continuous_aggregate_daily,
+        "profile_orders": q_profile_orders,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
     }
 
 
