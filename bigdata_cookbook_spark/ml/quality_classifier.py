@@ -51,29 +51,45 @@ def gram_count_vectors(
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt: str = "",
     out_col: str = "features",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, features) — per-document hashed-gram count SparseVectors.
-    One explode + one aggregate keyed by (doc, bucket) folded into a
-    map_from_entries per doc; the vector assembly is a narrow
-    projection over the aggregated pairs."""
+    """(id, [carry_cols...,] features) — per-document hashed-gram count
+    SparseVectors. One explode + one aggregate keyed by (doc, bucket)
+    folded into a map_from_entries per doc; the vector assembly is a
+    narrow projection over the aggregated pairs.
+
+    Gram-free documents (empty / punctuation-only text) are KEPT and
+    featurize as the all-zero vector: explode_outer emits one NULL-gram
+    row for an empty gram array, bucketed to the sentinel -1 which the
+    dense fold never reads.
+
+    ``carry_cols`` travel through both groupBys alongside the id —
+    exactly-one value per doc (e.g. a training label), so downstream
+    never needs a join back to the input (which would be fragile under
+    nondeterministic row ids: the two join sides could recompute with
+    diverging ids on task retry)."""
     from pyspark.ml.functions import array_to_vector
 
+    carry = [F.col(c) for c in carry_cols]
     grams = docs.select(
         F.col(id_col),
-        F.explode(gram_array_expr(F.col(text_col))).alias("gram"),
+        *carry,
+        F.explode_outer(gram_array_expr(F.col(text_col))).alias("gram"),
     ).select(
         id_col,
-        gram_bucket_expr(F.col("gram"), n_buckets, salt)
-        .cast("int")
-        .alias("bucket"),
+        *carry,
+        F.coalesce(
+            gram_bucket_expr(F.col("gram"), n_buckets, salt).cast("int"),
+            F.lit(-1),
+        ).alias("bucket"),
     )
-    counts = grams.groupBy(id_col, "bucket").agg(
+    counts = grams.groupBy(id_col, *carry_cols, "bucket").agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
     # dense array (n_buckets doubles) per doc via an aggregate fold —
     # fine for classifier-width feature spaces (1e3-1e4); converted to
     # an ML vector for the estimator
-    per_doc = counts.groupBy(id_col).agg(
+    per_doc = counts.groupBy(id_col, *carry_cols).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
         ).alias("__m")
@@ -85,7 +101,7 @@ def gram_count_vectors(
         ),
     )
     return per_doc.select(
-        id_col, array_to_vector(dense).alias(out_col)
+        id_col, *carry_cols, array_to_vector(dense).alias(out_col)
     )
 
 
@@ -110,9 +126,16 @@ def train_quality_classifier(
     both = pos.unionByName(neg).withColumn(
         "__row_id", F.monotonically_increasing_id()
     )
+    # The label rides THROUGH the featurization groupBys (carry_cols)
+    # instead of joining back on __row_id: monotonically_increasing_id
+    # is nondeterministic under recomputation, so a feats<->labels
+    # self-join could silently misalign labels if the two sides replay
+    # with different partitioning (task retry, AQE). Carried together,
+    # (row_id, label) always come from the same physical row. Gram-free
+    # examples stay in the training set as zero vectors.
     feats = gram_count_vectors(
-        both, text_col, "__row_id", n_buckets, salt
-    ).join(both.select("__row_id", "label"), "__row_id")
+        both, text_col, "__row_id", n_buckets, salt, carry_cols=("label",)
+    )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",

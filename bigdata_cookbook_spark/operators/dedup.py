@@ -1175,8 +1175,12 @@ def url_dedup_keep_best(
     from bigdata_cookbook_spark.functions.url import canonicalize_url_expr
 
     cols = df.columns
+    # NULL text must LOSE to any non-empty capture, but NULL sorts
+    # first in Spark struct ordering — coalesce the sort key so a
+    # text-less crawl record (len -> -1, key -> +1) ranks below even
+    # an empty-string capture (len 0, key 0).
     best = F.struct(
-        (-F.length(F.col(text_col))).alias("__neg_len"),
+        (-F.coalesce(F.length(F.col(text_col)), F.lit(-1))).alias("__neg_len"),
         F.col(id_col).alias("__id"),
         *[F.col(c).alias(c) for c in cols],
     )

@@ -208,6 +208,7 @@ def incremental_corpus_clean(
     dsir_lr: list[int] | None = None,
     dsir_threshold: float = 0.0,
     dsir_normalize: bool = True,
+    dsir_salt: str = "",
 ) -> dict[str, DataFrame]:
     """One ingest batch through quality -> exact dedup (vs hash state)
     -> near-dup removal (within batch + vs state) -> decontamination.
@@ -283,6 +284,8 @@ def incremental_corpus_clean(
       by default — ``dsir_normalize``) importance weight falls below
       ``dsir_threshold`` drop, booked as ``dropped_dsir_gate``. A pure
       per-row predicate: batch-split invariant, no state, no delta.
+      ``dsir_salt`` must equal the salt the offline fit used — the
+      gate buckets grams with the same salted hash as the model.
     """
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
@@ -324,7 +327,11 @@ def incremental_corpus_clean(
         # no delta; booked as dropped_dsir_gate. Normalized by default
         # (a stream gate must not prefer short docs per se — the
         # length bias of raw weights; selection.py docstring).
-        score = dsir_score_expr(F.col("text"), dsir_lr)
+        # dsir_salt MUST match the salt the offline fit used
+        # (dsir_logratio_table/collect_logratio) — a salt mismatch
+        # scores against differently-bucketed grams, a meaningless
+        # gate with no error to catch it.
+        score = dsir_score_expr(F.col("text"), dsir_lr, salt=dsir_salt)
         if dsir_normalize:
             n = F.size(gram_array_expr(F.col("text")))
             score = F.when(n > 0, score / n).otherwise(F.lit(0.0))

@@ -117,3 +117,57 @@ def test_training_is_deterministic(spark):
     w2, b2 = _fit(spark)
     assert b1 == b2
     assert np.allclose(w1, w2, rtol=0, atol=0)
+
+
+def test_gram_free_docs_featurize_as_zero_vectors(spark):
+    """Empty / punctuation-only documents must NOT vanish from the
+    featurization (the explode would drop them): they come back as
+    all-zero vectors, so training class balance is preserved."""
+    docs = spark.createDataFrame(
+        [(1, "real text here"), (2, ""), (3, "!!! ..."), (4, None)],
+        "doc_id long, text string",
+    )
+    vecs = {
+        r.doc_id: r.features.toArray()
+        for r in gram_count_vectors(docs, n_buckets=64).collect()
+    }
+    assert set(vecs) == {1, 2, 3, 4}
+    assert vecs[1].sum() > 0
+    for i in (2, 3, 4):
+        assert vecs[i].sum() == 0.0, i
+
+
+def test_carry_cols_ride_through_featurization(spark):
+    """carry_cols (the training label) must come through the groupBys
+    attached to the right row — no join back, no misalignment."""
+    docs = spark.createDataFrame(
+        [(1, "good text", 1.0), (2, "spam spam", 0.0), (3, "", 0.0)],
+        "doc_id long, text string, label double",
+    )
+    out = gram_count_vectors(docs, carry_cols=("label",), n_buckets=64)
+    assert out.columns == ["doc_id", "label", "features"]
+    got = {r.doc_id: r.label for r in out.collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: 0.0}
+
+
+def test_training_plan_has_no_self_join(spark):
+    """The feats+labels DataFrame handed to MLlib must contain no join:
+    the label is carried through the aggregates, immune to
+    monotonically_increasing_id recomputation divergence."""
+    from bigdata_cookbook_spark.ml.quality_classifier import (
+        gram_count_vectors as gcv,
+    )
+
+    pos = spark.createDataFrame([(t,) for t in REF], "text string")
+    neg = spark.createDataFrame([(t,) for t in CRAWL], "text string")
+    both = pos.select(F.lit(1.0).alias("label"), "text").unionByName(
+        neg.select(F.lit(0.0).alias("label"), "text")
+    ).withColumn("__row_id", F.monotonically_increasing_id())
+    feats = gcv(both, "text", "__row_id", 64, carry_cols=("label",))
+    plan = feats._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    nodes = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+    assert not any("Join" in n for n in nodes)

@@ -785,3 +785,51 @@ def test_incremental_dsir_gate_stage(spark, docs):
     r_all = incremental_corpus_clean(planted, dsir_lr=lr, dsir_threshold=0.0)
     assert _ids(r_all["dropped_dsir_gate"]) == gated
     assert _ids(r_all["kept"]) == kept
+
+
+def test_incremental_dsir_gate_respects_salt(spark, docs):
+    """A model fit with a non-default bucket salt must be scored with
+    the SAME salt: dsir_salt passes through to dsir_score_expr, so a
+    salted offline fit + salted gate reproduces the unsalted outcome
+    exactly (the salt only permutes buckets), while scoring a salted
+    model WITHOUT the salt buckets grams differently."""
+    from bigdata_cookbook_spark.operators.selection import (
+        collect_logratio,
+        dsir_logratio_table,
+    )
+
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    "repeat(concat(' alignment safety evals v', "
+                    "cast(doc_id as string)), 10)"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    target = planted.filter(F.col("doc_id") % 7 == 0).select("text")
+    lr_plain = collect_logratio(
+        dsir_logratio_table(target, planted, n_buckets=128)
+    )
+    lr_salted = collect_logratio(
+        dsir_logratio_table(target, planted, n_buckets=128, salt="s1")
+    )
+
+    r_plain = incremental_corpus_clean(
+        planted, dsir_lr=lr_plain, dsir_threshold=0.0
+    )
+    r_salted = incremental_corpus_clean(
+        planted, dsir_lr=lr_salted, dsir_threshold=0.0, dsir_salt="s1"
+    )
+    # salt permutes buckets but not gram->score assignment: identical gate
+    assert _ids(r_salted["dropped_dsir_gate"]) == _ids(
+        r_plain["dropped_dsir_gate"]
+    )
+    assert _ids(r_salted["kept"]) == _ids(r_plain["kept"])
+    assert _ids(r_plain["kept"]) and all(
+        i % 7 == 0 for i in _ids(r_plain["kept"])
+    )

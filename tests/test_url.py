@@ -173,6 +173,25 @@ def test_url_dedup_keep_best(spark):
     assert got == {2: 3, 4: 2, 6: 1}
 
 
+def test_url_dedup_keep_best_null_text_loses(spark):
+    """A capture with NULL text must never displace a real capture
+    (NULL sorts first in Spark struct ordering; the sort key is
+    null-guarded so text-less crawl records rank last)."""
+    from bigdata_cookbook_spark.operators.dedup import url_dedup_keep_best
+
+    rows = [
+        (1, "http://example.com/a", None),
+        (2, "http://example.com/a", "long long text here"),
+        (3, "http://example.com/a", ""),
+        # all-NULL group: keeper = lowest id among the NULLs
+        (4, "http://example.com/b", None),
+        (5, "http://example.com/b", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r.doc_id: r.n_url_dups for r in url_dedup_keep_best(df).collect()}
+    assert got == {2: 3, 4: 2}
+
+
 def test_url_dedup_keep_best_plan_single_exchange(spark):
     import re
 
