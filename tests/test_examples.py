@@ -174,3 +174,99 @@ def test_inflation_drivers_example_runs_and_is_byte_stable(spark, tmp_path):
 
     dash = open(p1["dashboard"], encoding="utf-8").read()
     assert "vegaEmbed" in dash and "<ul class='tree'>" in dash
+
+
+def test_regulatory_issues_example_runs_and_is_byte_stable(spark, tmp_path):
+    """SURVEY §3 Report_Generator family end-to-end: two-source label ->
+    per-(entity, topic) summarize + risk/uncertainty assessment (A13
+    ints per reference summary.py:425-429) -> mitigation extraction
+    with the filings->news fallback coalesce (J10) -> criterion-box
+    HTML report (reference html_report.py structure) + risk scatter +
+    3-sheet xlsx."""
+    import regulatory_issues_report as rex
+
+    p1 = rex.main(spark, str(tmp_path / "run1"))
+    p2 = rex.main(spark, str(tmp_path / "run2"))
+
+    for key in ("html", "dashboard", "xlsx"):
+        assert os.path.getsize(p1[key]) > 0
+        assert _digest(p1[key]) == _digest(p2[key]), key
+
+    html = open(p1["html"], encoding="utf-8").read()
+    # reference generate_html_report structure: title, report date, the
+    # two sections, theme boxes, per-entity criterion boxes, responses
+    assert "<h1>Regulatory Issues in Technology Report</h1>" in html
+    assert "<h2>Sector-Wide Issues</h2>" in html
+    assert "<h2>Company-Specific Issues</h2>" in html
+    assert html.count("report-theme-box") == 3  # stub taxonomy: 3 themes
+    n_entities = html.count("<div class='report-entity'>")
+    assert n_entities > 0
+    # exactly the three prepare_data_report_0 criteria per entity
+    assert html.count("1. Most Reported Issue") == n_entities
+    assert html.count("2. Biggest Risk") == n_entities
+    assert html.count("3. Most Uncertain Issue") == n_entities
+    assert "Company's Response:" in html
+
+    # the J10 fallback must be a real branch: some companies answer from
+    # filings/transcripts, the rest fall back to news summaries
+    import zipfile
+
+    with zipfile.ZipFile(p1["xlsx"]) as z:
+        sheets = [n for n in z.namelist() if n.startswith("xl/worksheets/")]
+        assert len(sheets) == 3
+        company_sheet = z.read("xl/worksheets/sheet2.xml").decode()
+    assert "risk_score" in company_sheet and "uncertainty_score" in company_sheet
+
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    assert "vegaEmbed" in dash
+
+
+def test_regulatory_issues_fallback_coalesce_takes_both_branches(spark):
+    """The mitigation join must exercise BOTH sides of the coalesce on
+    the committed fixtures: filings-backed responses where filings or
+    transcripts were labeled with the topic, news fallback elsewhere."""
+    import regulatory_issues_report as rex
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.llm.stage import llm_label_stage
+    from bigdata_cookbook_spark.llm.stub import make_choice_backend
+    from bigdata_cookbook_spark.llm.taxonomy import (
+        generate_theme_tree,
+        leaf_labels,
+    )
+    from bigdata_cookbook_spark.operators.normalize import normalize_screening
+    from bigdata_cookbook_spark.sources.fixtures import fixture_tables
+
+    entities, documents, chunks = fixture_tables(spark)
+    topics = leaf_labels(generate_theme_tree(rex.THEME))
+    screening = normalize_screening(documents, chunks, entities, mode="discovery")
+    labeler = make_choice_backend([*topics, "unassigned"], salt="reg-topic")
+    news = (
+        llm_label_stage(
+            screening.filter(F.col("document_type") == "news"),
+            labeler,
+            guardrail=False,
+        )
+        .filter(~F.col("label").isin("", "unassigned", "unclear"))
+        .withColumnRenamed("label", "topic")
+    )
+    ft = (
+        llm_label_stage(
+            screening.filter(
+                F.col("document_type").isin("filings", "transcripts")
+            ),
+            labeler,
+            guardrail=False,
+        )
+        .filter(~F.col("label").isin("", "unassigned", "unclear"))
+        .withColumnRenamed("label", "topic")
+    )
+    news_keys = news.select("entity_name", "topic").distinct()
+    ft_keys = ft.select("entity_name", "topic").distinct()
+    n_filings_backed = news_keys.join(
+        ft_keys, ["entity_name", "topic"], "left_semi"
+    ).count()
+    n_fallback = news_keys.join(
+        ft_keys, ["entity_name", "topic"], "left_anti"
+    ).count()
+    assert n_filings_backed > 0 and n_fallback > 0
