@@ -354,6 +354,8 @@ def domain_mix_temperature(
     id_col: str,
     alpha: float = 0.5,
     salt: str = ":mix",
+    max_domains: int = 10_000,
+    relational: bool = False,
 ) -> DataFrame:
     """Temperature-based domain mixing: target share of domain d is
     proportional to count_d^alpha (the multilingual/multi-domain
@@ -373,16 +375,84 @@ def domain_mix_temperature(
 
     Same snapshot contract as domain_mix_sample: quota-plus-rank
     selection is not append-stable; pin the corpus snapshot for a
-    frozen training set. Plan: one bounded-cardinality count collect,
-    one window rank per domain, broadcast quota filter — the fact
-    table shuffles once on the domain key.
+    frozen training set.
+
+    Two quota tiers, same selection rule:
+
+    - default (``relational=False``): the per-domain counts are
+      COLLECTED and quotas rebuilt as a broadcast literal table — the
+      right plan for source/language mixing (10s-100s of domains).
+      Guarded by ``max_domains`` (fail loud, never a silent
+      multi-million-row driver pull): keying the mix by
+      ``registered_domain`` (functions/url.py — millions of keys at
+      100 TB) trips the guard and points here.
+    - ``relational=True``: NO collect anywhere — the quota table stays
+      a DataFrame (one aggregate), the min scalar ``min_e n_e^(1-a)``
+      is a broadcast 1-row cross join, and the NULL-domain fail-loud
+      check rides inside the quota expression (raise_error at
+      execution). Quota joins back on the domain key with whatever
+      strategy fits its cardinality (broadcast when small, shuffle
+      when millions). The 100 TB registered-domain tier.
+
+    Both tiers compute quota_d = floor(n_d^alpha * min_e(n_e^(1-alpha)))
+    — for alpha=0.5 both factors are sqrt(), exactly rounded in IEEE
+    754, so the tiers (and any engine) agree bit-for-bit (tested).
+
+    Plan: one count aggregate, one window rank per domain, quota-join
+    filter — the fact table shuffles once on the domain key.
     """
     if not (0.0 <= alpha <= 1.0):
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(
+                F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
+            ),
+            id_col,
+        )
+    )
+
+    counts_df = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    if relational:
+        # no-collect tier: broadcast 1-row min scalar + in-plan guards
+        scal = counts_df.agg(
+            F.min(F.pow("__n", F.lit(1.0 - alpha))).alias("__n_out"),
+            F.max(F.col(domain_col).isNull().cast("int")).alias("__has_null"),
+        )
+        null_msg = (
+            f"{domain_col} contains NULLs; filter or impute the domain "
+            "column before mixing"
+        )
+        qdf = counts_df.crossJoin(F.broadcast(scal)).select(
+            domain_col,
+            # the NULL fail-loud check lives INSIDE the quota expression
+            # so Catalyst cannot prune it away as an unused column
+            F.when(
+                F.col("__has_null") > 0, F.raise_error(F.lit(null_msg))
+            )
+            .otherwise(F.floor(F.pow("__n", F.lit(alpha)) * F.col("__n_out")))
+            .cast("long")
+            .alias("__quota"),
+        )
+        ranked = df.join(qdf, domain_col).withColumn("__rk", rk)
+        return ranked.filter(F.col("__rk") <= F.col("__quota")).drop(
+            "__rk", "__quota"
+        )
+
+    rows = counts_df.limit(max_domains + 1).collect()
+    if len(rows) > max_domains:
+        # fail loud, never a silent multi-million-row driver collect:
+        # registered-domain-keyed mixing belongs on the relational tier
+        raise ValueError(
+            f"{domain_col} has more than {max_domains} distinct values; "
+            "the collected-quota tier is for bounded-cardinality keys "
+            "(source/language). Pass relational=True for the no-collect "
+            "quota plan, or raise max_domains deliberately."
+        )
+    counts = {r[0]: r[1] for r in rows}
     if None in counts:
         # fail loud: a null group would shrink n_out (and with it every
         # quota) while the equi-join below silently drops the null rows
@@ -397,17 +467,6 @@ def domain_mix_temperature(
     quotas = [(d, int((c**alpha) * n_out)) for d, c in counts.items()]
     spark = df.sparkSession
     qdf = spark.createDataFrame(quotas, f"{domain_col} string, __quota long")
-
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(
-        Window.partitionBy(domain_col).orderBy(
-            F.md5(
-                F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
-            ),
-            id_col,
-        )
-    )
     ranked = df.join(F.broadcast(qdf), domain_col).withColumn("__rk", rk)
     return ranked.filter(F.col("__rk") <= F.col("__quota")).drop("__rk", "__quota")
 
@@ -434,18 +493,22 @@ def domain_mix_sample(
     training-set contract, pin the corpus snapshot (or record the kept
     doc_ids) rather than re-running the mix on a grown corpus.
 
-    Plan: one small aggregate for domain counts (collected — domain
-    cardinality is bounded by construction, ~10s-100s at any corpus
-    size), then one window rank per domain and a broadcast-joined quota
-    filter. The heavy table shuffles ONCE on the domain key; at 100 TB a
-    skewed mega-domain would use the salted variant of the same rank
-    (operators/skew.py pattern).
+    Plan: one small aggregate for domain counts — the isin filter on
+    the share keys is pushed into the scan BEFORE the aggregate, so
+    the collect is bounded by len(target_shares) regardless of how
+    many domains the corpus actually has — then one window rank per
+    domain and a broadcast-joined quota filter. The heavy table
+    shuffles ONCE on the domain key; at 100 TB a skewed mega-domain
+    would use the salted variant of the same rank (operators/skew.py
+    pattern).
     """
     shares = {k: v / sum(target_shares.values()) for k, v in target_shares.items()}
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
-        if r[0] in shares
+        for r in df.filter(F.col(domain_col).isin(list(shares)))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     missing = set(shares) - set(counts)
     if missing:

@@ -426,3 +426,108 @@ class TestDomainMixTemperature:
         docs = load_table(spark, sf_dir, "documents")
         with pytest.raises(ValueError):
             domain_mix_temperature(docs, "source", "doc_id", alpha=1.5)
+
+
+class TestDomainMixScaleTiers:
+    """Round-9 hardening: the collected-quota tier is guarded against
+    registered-domain-cardinality keys; the relational tier computes
+    the identical mix with no collect anywhere."""
+
+    def test_cardinality_guard_trips(self, spark):
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("domain-"), F.col("id")).alias("source"),
+        )
+        with pytest.raises(ValueError, match="relational=True"):
+            domain_mix_temperature(
+                df, "source", "doc_id", alpha=0.5, max_domains=100
+            )
+
+    def test_relational_tier_matches_collected_tier(self, spark, sf_dir):
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        collected = domain_mix_temperature(
+            docs, "source", "doc_id", alpha=0.5
+        )
+        rel = domain_mix_temperature(
+            docs, "source", "doc_id", alpha=0.5, relational=True
+        )
+        a = {r.doc_id for r in collected.select("doc_id").collect()}
+        b = {r.doc_id for r in rel.select("doc_id").collect()}
+        assert a == b and a
+
+    def test_relational_tier_handles_high_cardinality(self, spark):
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        # 500 domains of size 4 + one mega-domain of 2000 rows: over the
+        # (tightened) guard, fine relationally; alpha=0.5 quotas =
+        # floor(sqrt(n_d) * min sqrt(n_e)) = floor(2 * sqrt(n_d))
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 2000, F.lit("mega"))
+            .otherwise(F.concat(F.lit("d"), (F.col("id") % 500)))
+            .alias("source"),
+        )
+        out = domain_mix_temperature(
+            df, "source", "doc_id", alpha=0.5, max_domains=100,
+            relational=True,
+        )
+        per = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        import math
+
+        assert per["mega"] == math.floor(2 * math.sqrt(2000))
+        assert all(v == 4 for k, v in per.items() if k != "mega")
+
+    def test_relational_tier_fails_loud_on_null_domains(self, spark):
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+        from pyspark.errors import SparkRuntimeException
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (4, "b")],
+            "doc_id long, source string",
+        )
+        with pytest.raises(Exception) as ei:
+            domain_mix_temperature(
+                df, "source", "doc_id", alpha=0.5, relational=True
+            ).collect()
+        assert "NULL" in str(ei.value) or "null" in str(ei.value)
+
+    def test_collected_tier_collect_is_bounded(self, spark):
+        """domain_mix_sample's count collect must be bounded by the
+        share keys, not the corpus's domain cardinality: mixing two
+        named sources out of 300 distinct domains works without
+        tripping any scale concern (the other 299 never reach the
+        driver)."""
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_sample,
+        )
+
+        df = spark.range(900).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 300, F.lit("keep_a"))
+            .when(F.col("id") < 600, F.lit("keep_b"))
+            .otherwise(F.concat(F.lit("noise"), F.col("id")))
+            .alias("source"),
+        )
+        out = domain_mix_sample(
+            df, "source", "doc_id", {"keep_a": 0.5, "keep_b": 0.5}
+        )
+        per = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per == {"keep_a": 300, "keep_b": 300}
