@@ -234,6 +234,10 @@ def test_pipeline_url_stage(spark):
         planted, url_col="url", domain_blocklist=["spam.example"]
     )
     acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
+    # per-stage wall attribution rides with the accounting counts:
+    # one non-negative seconds entry per accounted stage
+    assert set(out["stage_seconds"]) == set(acc)
+    assert all(v >= 0 for v in out["stage_seconds"].values())
     n_blocked = planted.filter(F.col("doc_id") % 7 == 0).count()
     assert acc["dropped_domain_blocklist"] == n_blocked
     # survivors collapse onto 10 distinct URLs

@@ -207,6 +207,45 @@ def compute_flags(
     return flagged, exempt_hits, floor_hits
 
 
+#: one-time model fits for the non-registry curve rows, pinned on the
+#: sf0.01 tier so every SF scores/encodes with the SAME artifact
+_FIT_CACHE: dict[str, object] = {}
+_FIT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _bpe_merges(spark, load_table) -> list[tuple[str, str]]:
+    if "bpe" not in _FIT_CACHE:
+        from bigdata_cookbook_spark.operators.bpe import train_bpe
+
+        docs = load_table(spark, _FIT_SF_DIR, "documents").select("text")
+        _FIT_CACHE["bpe"] = train_bpe(docs, n_merges=200)
+    return _FIT_CACHE["bpe"]
+
+
+def _quality_model(spark, load_table) -> tuple[list[float], float]:
+    if "quality" not in _FIT_CACHE:
+        from pyspark.sql import functions as F
+
+        from bigdata_cookbook_spark.ml.quality_classifier import (
+            train_quality_classifier,
+        )
+
+        docs = load_table(spark, _FIT_SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        # synthetic reference-vs-crawl split by doc-id hash parity: the
+        # labels are arbitrary — the curve measures the SCORING fold's
+        # cost, which depends only on n_buckets and text length
+        parity = F.crc32(F.col("doc_id").cast("string")) % 2 == 0
+        _FIT_CACHE["quality"] = train_quality_classifier(
+            docs.filter(parity).select("text"),
+            docs.filter(~parity).select("text"),
+            n_buckets=1024,
+            max_iter=20,
+        )
+    return _FIT_CACHE["quality"]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     spark = bench_session()
@@ -306,6 +345,76 @@ def main() -> None:
                 )
                 print(
                     f"sf{sf} webdataset ({phase}): FAILED {type(exc).__name__}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        # BPE encoding + learned quality gate (round-8 VERDICT item 7:
+        # the two operators whose HEAVY path — Arrow-batched encode with
+        # the per-batch word cache; collected-weights codegen fold —
+        # was pytest-pinned but not yet on the measured curve). Neither
+        # is a registry query (no DuckDB oracle applies to learned
+        # artifacts — the ml/lsh.py compromise), so they time here like
+        # the WebDataset round-trip. The MODELS are fit ONCE on the
+        # sf0.01 tier and pinned across SFs, so each curve isolates the
+        # map-only scoring/encoding stage, not fit drift.
+        if "bpe_encode" not in SKIP:
+            results.setdefault("bpe_encode", {})
+            try:
+                from bigdata_cookbook_spark.operators.bpe import bpe_encode
+
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                enc = bpe_encode(docs, _bpe_merges(spark, load_table))
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    enc.write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - t0)
+                results["bpe_encode"][sf] = round(min(times), 3)
+                print(
+                    f"sf{sf} bpe_encode: {results['bpe_encode'][sf]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001
+                results["bpe_encode"][f"err_{sf}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                print(
+                    f"sf{sf} bpe_encode: FAILED {type(exc).__name__}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        if "quality_gate" not in SKIP:
+            results.setdefault("quality_gate", {})
+            try:
+                from bigdata_cookbook_spark.ml.quality_classifier import (
+                    quality_gate,
+                )
+
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                w, b = _quality_model(spark, load_table)
+                gated = quality_gate(docs, w, b, threshold=0.0)
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    gated.write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - t0)
+                results["quality_gate"][sf] = round(min(times), 3)
+                print(
+                    f"sf{sf} quality_gate: {results['quality_gate'][sf]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001
+                results["quality_gate"][f"err_{sf}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                print(
+                    f"sf{sf} quality_gate: FAILED {type(exc).__name__}",
                     file=sys.stderr,
                     flush=True,
                 )
