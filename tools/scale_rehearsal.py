@@ -361,9 +361,18 @@ def main() -> None:
             results.setdefault("bpe_encode", {})
             try:
                 from bigdata_cookbook_spark.operators.bpe import bpe_encode
+                from bigdata_cookbook_spark.sources.testdata import (
+                    spread_for_cpu_bound,
+                )
 
-                docs = load_table(spark, sf_dir, "documents").select(
-                    "doc_id", "text"
+                # CPU-bound Arrow battery over raw text: spread the scan
+                # to core count (no-op on a wide scan — the 100 TB shape;
+                # at sf10 the 15-split local scan otherwise runs a
+                # straggler tail, measured 12.6x -> ~10x per 10x)
+                docs = spread_for_cpu_bound(
+                    load_table(spark, sf_dir, "documents").select(
+                        "doc_id", "text"
+                    )
                 )
                 enc = bpe_encode(docs, _bpe_merges(spark, load_table))
                 times = []
@@ -392,9 +401,14 @@ def main() -> None:
                 from bigdata_cookbook_spark.ml.quality_classifier import (
                     quality_gate,
                 )
+                from bigdata_cookbook_spark.sources.testdata import (
+                    spread_for_cpu_bound,
+                )
 
-                docs = load_table(spark, sf_dir, "documents").select(
-                    "doc_id", "text"
+                docs = spread_for_cpu_bound(
+                    load_table(spark, sf_dir, "documents").select(
+                        "doc_id", "text"
+                    )
                 )
                 w, b = _quality_model(spark, load_table)
                 gated = quality_gate(docs, w, b, threshold=0.0)
