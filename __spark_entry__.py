@@ -2653,7 +2653,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queue is now EMPTY: every one of the 112 registry queries has (or
     is in-window to get) a driver CORRECTNESS row, and round 9 adds no
     new registry queries, per the round-8 verdict's queue-burn-down
-    directive."""
+    directive.
+
+    Round-10 plan: NO rotation needed — the queue is empty, and the 15
+    single-green rows (the ten round-9 swaps plus the five round-8
+    swaps) earn their second green row automatically by holding their
+    in-window slots. Any NEW round-10 query enters at the FRONT of the
+    window over a double-green displacement, same discipline as every
+    round."""
     return {
         # -- tier 1: newest rotations first (round-9 swaps + round-8 1G) --
         # round-9 rotation (slot 1): html_to_text takes

@@ -494,7 +494,6 @@ class TestDomainMixScaleTiers:
         from bigdata_cookbook_spark.operators.sampling import (
             domain_mix_temperature,
         )
-        from pyspark.errors import SparkRuntimeException
 
         df = spark.createDataFrame(
             [(1, "a"), (2, "a"), (3, None), (4, "b")],
