@@ -2701,8 +2701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation: ngram_jaccard_capped (the linear df-capped
         # near-dup tier, locally green at both SFs since round 4) takes
         # the slot of iqr_outliers (double-green r03+r04, moved to the
-        # tail; the robust-stats family stays pinned in-window by
-        # profile_orders' quantile profile).
+        # tail). NOTE round 9 moved profile_orders — this swap's former
+        # in-window robust-stats pin — to the tail too (slot-9 comment
+        # below): the family's driver coverage now rests on its seven
+        # r02-r08 green rows plus verify_local; a future rotation must
+        # not also displace pricing_summary/summary_stats-adjacent
+        # stats rows without restoring an in-window quantile rep.
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         # round-9 rotation (slot 5): url_canonicalize takes
         # asof_click_before_purchase's slot (double-green r02-r08; the

@@ -386,11 +386,14 @@ def domain_mix_temperature(
       multi-million-row driver pull): keying the mix by
       ``registered_domain`` (functions/url.py — millions of keys at
       100 TB) trips the guard and points here.
-    - ``relational=True``: NO collect anywhere — the quota table stays
-      a DataFrame (one aggregate), the min scalar ``min_e n_e^(1-a)``
-      is a broadcast 1-row cross join, and the NULL-domain fail-loud
-      check rides inside the quota expression (raise_error at
-      execution). Quota joins back on the domain key with whatever
+    - ``relational=True``: no count collect anywhere — the quota table
+      stays a DataFrame (one aggregate), the min scalar
+      ``min_e n_e^(1-a)`` is a broadcast 1-row cross join, and the
+      NULL-domain fail-loud check rides inside the quota expression
+      (raise_error at execution). The only construction-time action is
+      a limit-1 emptiness probe, preserving the collected tier's
+      fail-loud-on-empty contract (a lazy empty join cannot raise).
+      Quota joins back on the domain key with whatever
       strategy fits its cardinality (broadcast when small, shuffle
       when millions). The 100 TB registered-domain tier.
 
@@ -417,6 +420,13 @@ def domain_mix_temperature(
 
     counts_df = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
     if relational:
+        # fail loud on empty input like the collected tier: an empty
+        # quota join would otherwise SILENTLY emit an empty mix (the
+        # in-plan raise_error below never evaluates when there are no
+        # quota rows). One limit(1) probe job at construction — cheap
+        # next to the mix itself.
+        if df.select(domain_col).isEmpty():
+            raise ValueError("empty input: no domains to mix")
         # no-collect tier: broadcast 1-row min scalar + in-plan guards
         scal = counts_df.agg(
             F.min(F.pow("__n", F.lit(1.0 - alpha))).alias("__n_out"),

@@ -789,10 +789,16 @@ def test_incremental_dsir_gate_stage(spark, docs):
 
 def test_incremental_dsir_gate_respects_salt(spark, docs):
     """A model fit with a non-default bucket salt must be scored with
-    the SAME salt: dsir_salt passes through to dsir_score_expr, so a
-    salted offline fit + salted gate reproduces the unsalted outcome
-    exactly (the salt only permutes buckets), while scoring a salted
-    model WITHOUT the salt buckets grams differently."""
+    the SAME salt (dsir_salt passes through to dsir_score_expr).
+
+    Note the salt does NOT merely relabel buckets — it changes which
+    grams COLLIDE at a fixed n_buckets, so per-doc scores differ
+    between salted and unsalted fits. The gate outcome still matches
+    here because the planted on-target margin dominates
+    bucket-collision noise; what this test pins is (a) matched
+    fit/gate salts reproduce the planted outcome, and (b) scoring the
+    salted model WITHOUT its salt — the bug the parameter exists to
+    prevent — garbles the gate."""
     from bigdata_cookbook_spark.operators.selection import (
         collect_logratio,
         dsir_logratio_table,
@@ -825,7 +831,8 @@ def test_incremental_dsir_gate_respects_salt(spark, docs):
     r_salted = incremental_corpus_clean(
         planted, dsir_lr=lr_salted, dsir_threshold=0.0, dsir_salt="s1"
     )
-    # salt permutes buckets but not gram->score assignment: identical gate
+    # matched fit/gate salts reproduce the planted outcome (the spiked
+    # margin dominates collision noise on this corpus)
     assert _ids(r_salted["dropped_dsir_gate"]) == _ids(
         r_plain["dropped_dsir_gate"]
     )
@@ -833,3 +840,11 @@ def test_incremental_dsir_gate_respects_salt(spark, docs):
     assert _ids(r_plain["kept"]) and all(
         i % 7 == 0 for i in _ids(r_plain["kept"])
     )
+
+    # the failure mode the parameter prevents: scoring the salted model
+    # WITHOUT its salt buckets grams against the wrong log-ratios — the
+    # gate no longer reproduces the planted outcome
+    r_mismatch = incremental_corpus_clean(
+        planted, dsir_lr=lr_salted, dsir_threshold=0.0
+    )
+    assert _ids(r_mismatch["kept"]) != _ids(r_plain["kept"])

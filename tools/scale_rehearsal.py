@@ -208,16 +208,28 @@ def compute_flags(
 
 
 #: one-time model fits for the non-registry curve rows, pinned on the
-#: sf0.01 tier so every SF scores/encodes with the SAME artifact
+#: sf0.01 tier so every SF scores/encodes with the SAME artifact;
+#: falls back to the smallest MEASURED tier when the driver testdata
+#: dir is absent (e.g. a SPARK_GRAFT_SCALE_SFS=1,10 run on a host with
+#: only the generated .scale tiers)
 _FIT_CACHE: dict[str, object] = {}
-_FIT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _fit_sf_dir() -> str:
+    default = "/root/testdata/sf0.01"
+    if os.path.isdir(default):
+        return default
+    for _, sf_dir in SFS:
+        if os.path.isdir(sf_dir):
+            return sf_dir
+    raise SystemExit("no SF dir available to fit the curve models on")
 
 
 def _bpe_merges(spark, load_table) -> list[tuple[str, str]]:
     if "bpe" not in _FIT_CACHE:
         from bigdata_cookbook_spark.operators.bpe import train_bpe
 
-        docs = load_table(spark, _FIT_SF_DIR, "documents").select("text")
+        docs = load_table(spark, _fit_sf_dir(), "documents").select("text")
         _FIT_CACHE["bpe"] = train_bpe(docs, n_merges=200)
     return _FIT_CACHE["bpe"]
 
@@ -230,7 +242,7 @@ def _quality_model(spark, load_table) -> tuple[list[float], float]:
             train_quality_classifier,
         )
 
-        docs = load_table(spark, _FIT_SF_DIR, "documents").select(
+        docs = load_table(spark, _fit_sf_dir(), "documents").select(
             "doc_id", "text"
         )
         # synthetic reference-vs-crawl split by doc-id hash parity: the
@@ -357,8 +369,14 @@ def main() -> None:
         # the WebDataset round-trip. The MODELS are fit ONCE on the
         # sf0.01 tier and pinned across SFs, so each curve isolates the
         # map-only scoring/encoding stage, not fit drift.
-        if "bpe_encode" not in SKIP:
-            results.setdefault("bpe_encode", {})
+        results.setdefault("bpe_encode", {})
+        results.setdefault("quality_gate", {})
+        if "bpe_encode" in SKIP:
+            # same recorded-not-silently-absent contract as the
+            # registry loop above
+            results["bpe_encode"][f"err_{sf}"] = "skipped (SPARK_GRAFT_SKIP_QUERIES)"
+            print(f"sf{sf} bpe_encode: SKIPPED", file=sys.stderr, flush=True)
+        else:
             try:
                 from bigdata_cookbook_spark.operators.bpe import bpe_encode
                 from bigdata_cookbook_spark.sources.testdata import (
@@ -395,8 +413,10 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
-        if "quality_gate" not in SKIP:
-            results.setdefault("quality_gate", {})
+        if "quality_gate" in SKIP:
+            results["quality_gate"][f"err_{sf}"] = "skipped (SPARK_GRAFT_SKIP_QUERIES)"
+            print(f"sf{sf} quality_gate: SKIPPED", file=sys.stderr, flush=True)
+        else:
             try:
                 from bigdata_cookbook_spark.ml.quality_classifier import (
                     quality_gate,
