@@ -393,16 +393,65 @@ def domain_mix_temperature(
       (raise_error at execution). The only construction-time action is
       a limit-1 emptiness probe, preserving the collected tier's
       fail-loud-on-empty contract (a lazy empty join cannot raise).
-      Quota joins back on the domain key with whatever
-      strategy fits its cardinality (broadcast when small, shuffle
-      when millions). The 100 TB registered-domain tier.
+      The 100 TB registered-domain tier.
 
     Both tiers compute quota_d = floor(n_d^alpha * min_e(n_e^(1-alpha)))
     — for alpha=0.5 both factors are sqrt(), exactly rounded in IEEE
-    754, so the tiers (and any engine) agree bit-for-bit (tested).
+    754, so the tiers (and any engine) agree bit-for-bit (parity
+    tested at alpha=0.5). For other alpha the two factors are pow(),
+    which IEEE 754 does NOT require exactly rounded: Python's ``c **
+    alpha`` and the JVM's ``Math.pow`` may differ in the last ulp, and
+    a quota sitting exactly on an integer boundary can then differ by
+    one, shifting one row at the selection edge. Best-effort agreement
+    (pinned by a non-0.5 parity test on this corpus); for a
+    cross-engine contract at arbitrary alpha, snapshot the quota table.
 
-    Plan: one count aggregate, one window rank per domain, quota-join
-    filter — the fact table shuffles once on the domain key.
+    Plan shape, collected tier: one count aggregate, one window rank
+    per domain, broadcast quota-join filter — the fact table shuffles
+    once on the domain key. Fine at bounded cardinality because no
+    single domain is allowed to dominate the corpus there.
+
+    Plan shape, relational tier: the registered-domain key is BOTH
+    high-cardinality AND maximally skewed (one crawl domain can be ~1%
+    of a 100 TB corpus), so a per-domain ``row_number`` window —
+    whose partition spec puts every row of a domain through ONE task —
+    is a scale-killer precisely on the tier built for that key. The
+    rank is instead realized by the global_rank offsets mechanics
+    composed per-domain, with NO rank window over fact rows anywhere:
+
+      1. one range exchange on (domain, md5key, id) + local sort — a
+         giant domain spreads across as many partitions as its size
+         demands, every task bounded by partition size, never by n_d;
+      2. ``monotonically_increasing_id`` reads each row's position off
+         the sorted stream JVM-side (id = pid<<33 | local_index);
+      3. a map-side-combined aggregate per (pid, domain) of (count,
+         first local index) — tiny output: domains are contiguous in
+         the range order, so it holds ~n_domains + n_partitions rows;
+      4. per-domain cumulative offsets via a running-sum window OVER
+         THAT SMALL TABLE (group size <= n_partitions by construction
+         — a giant domain contributes at most one row per partition);
+      5. rank = offset(pid, domain) + (local_index - first_index) + 1,
+         exact because a domain's rows are contiguous within each
+         sorted partition and monotonic ids are consecutive there;
+      6. quota joins onto the SMALL offsets table (never a second
+         fact-side shuffle on the skewed domain key), and the fact
+         rows join that combined table once on (pid, domain) — a key
+         whose groups are bounded by partition size, so even the join
+         is skew-immune; AQE broadcasts it while it fits.
+
+    Ranks are identical to ``row_number() over (partition by domain
+    order by md5key, id)`` — the order is total, so they do not depend
+    on where the sampled range boundaries land — and the selection is
+    therefore bit-identical to the collected tier's (same caveats as
+    the quota math above). The fact table pays the range exchange, the
+    (pid, domain) aggregate's map-side-combined shuffle of the tiny
+    grouped set, and the join — each balanced regardless of domain
+    skew. The two-phase bucketed-rank alternative (q_domain_blocklist_cap's
+    prefilter) was considered and rejected here: its phase-1 window
+    partitions by (domain, id%B), which still pushes n_d/B rows of a
+    giant domain through one task, and at high alpha (quota_d ~ n_d)
+    its prefilter stops bounding phase 2 at all; the offsets
+    composition has neither failure mode.
     """
     if not (0.0 <= alpha <= 1.0):
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
@@ -447,10 +496,44 @@ def domain_mix_temperature(
             .cast("long")
             .alias("__quota"),
         )
-        ranked = df.join(qdf, domain_col).withColumn("__rk", rk)
-        return ranked.filter(F.col("__rk") <= F.col("__quota")).drop(
-            "__rk", "__quota"
+        # skew-bounded per-domain rank: the global_rank offsets
+        # mechanics composed per-domain (docstring step list). No rank
+        # window ever sees fact rows — the one window below runs over
+        # the (pid, domain) aggregate, whose per-domain group size is
+        # bounded by the partition COUNT, not by any domain's row count.
+        sess = df.sparkSession
+        n_parts = sess.sparkContext.defaultParallelism
+        key = F.md5(
+            F.encode(F.concat(F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
         )
+        parted = (
+            df.withColumn("__k", key)
+            .repartitionByRange(n_parts, F.col(domain_col), F.col("__k"), F.col(id_col))
+            .sortWithinPartitions(domain_col, "__k", id_col)
+        )
+        tagged = parted.withColumn(
+            "__mid", F.monotonically_increasing_id()
+        ).withColumn("__pid", F.shiftright("__mid", 33))
+        local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+        groups = tagged.groupBy("__pid", domain_col).agg(
+            F.count(F.lit(1)).alias("__gn"),
+            F.min(F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))).alias("__first"),
+        )
+        w_dom = Window.partitionBy(domain_col).orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offsets = groups.select(
+            "__pid",
+            domain_col,
+            "__first",
+            (F.sum("__gn").over(w_dom) - F.col("__gn")).alias("__off"),
+        )
+        # quota rides the SMALL table: the fact side never shuffles on
+        # the skewed bare domain key
+        combined = offsets.join(qdf, domain_col)
+        ranked = tagged.join(combined, ["__pid", domain_col])
+        rank_expr = F.col("__off") + (local - F.col("__first")) + F.lit(1)
+        return ranked.filter(rank_expr <= F.col("__quota")).select(*df.columns)
 
     rows = counts_df.limit(max_domains + 1).collect()
     if len(rows) > max_domains:

@@ -490,6 +490,105 @@ class TestDomainMixScaleTiers:
         assert per["mega"] == math.floor(2 * math.sqrt(2000))
         assert all(v == 4 for k, v in per.items() if k != "mega")
 
+    def test_relational_tier_has_no_rank_window_over_fact_rows(self, spark):
+        """Round-10 VERDICT item 2: the relational tier exists FOR the
+        skewed registered-domain key, so its plan must never rank a
+        domain's rows through one task. The rank is the global_rank
+        offsets composition — assert the plan carries NO row_number
+        window at all, and that the only window left (the offsets
+        running sum) partitions over the (pid, domain) AGGREGATE:
+        every windowspecdefinition must reference __pid, whose
+        per-domain group size is bounded by the partition count."""
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("d"), (F.col("id") % 50)).alias("source"),
+        )
+        out = domain_mix_temperature(
+            df, "source", "doc_id", alpha=0.5, relational=True
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "row_number" not in plan.lower()
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        assert specs, "expected the offsets running-sum window"
+        assert all("__pid" in ln for ln in specs)
+        # and the plan_report gate itself: no partitionless ordered
+        # window over a scan (the only SinglePartition exchange left
+        # feeds the 1-row min-scalar aggregate, which the gate allows)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "prmod", "/root/repo/tools/plan_report.py"
+        )
+        pr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pr)
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        assert pr.global_windows_over_scans(executed) == []
+
+    def test_relational_tier_high_alpha_skewed_domain(self, spark):
+        """alpha near 1 is where the bucketed-prefilter alternative
+        stops bounding anything (quota_d ~ n_d): the offsets
+        composition must stay exact there. quota_d = floor(n_d^0.9 *
+        min_e n_e^0.1) on a deliberately skewed distribution."""
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 2500, F.lit("mega"))
+            .otherwise(F.concat(F.lit("d"), (F.col("id") % 10)))
+            .alias("source"),
+        )
+        out = domain_mix_temperature(
+            df, "source", "doc_id", alpha=0.9, relational=True
+        )
+        per = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        import math
+
+        min_f = min(50, 2500) ** 0.1
+        assert per["mega"] == math.floor((2500**0.9) * min_f)
+        assert all(
+            v == math.floor((50**0.9) * min_f)
+            for k, v in per.items()
+            if k != "mega"
+        )
+
+    def test_tier_parity_at_non_half_alpha(self, spark, sf_dir):
+        """ADVICE (round 9): the bit-for-bit tier-parity claim is scoped
+        to alpha=0.5 (IEEE-exact sqrt); at other alpha the Python
+        c**alpha and JVM pow may differ in the last ulp, so agreement
+        is best-effort. This pins that on the real corpus the tiers DO
+        agree at alpha=0.3 — a divergence would show up as a one-row
+        set difference at a quota boundary, which the docstring
+        documents as the failure mode."""
+        from bigdata_cookbook_spark.operators.sampling import (
+            domain_mix_temperature,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {
+            r.doc_id
+            for r in domain_mix_temperature(
+                docs, "source", "doc_id", alpha=0.3
+            ).select("doc_id").collect()
+        }
+        b = {
+            r.doc_id
+            for r in domain_mix_temperature(
+                docs, "source", "doc_id", alpha=0.3, relational=True
+            ).select("doc_id").collect()
+        }
+        assert a == b and a
+
     def test_relational_tier_fails_loud_on_null_domains(self, spark):
         from bigdata_cookbook_spark.operators.sampling import (
             domain_mix_temperature,
