@@ -137,6 +137,25 @@ def test_gram_free_docs_featurize_as_zero_vectors(spark):
         assert vecs[i].sum() == 0.0, i
 
 
+def test_gram_free_docs_keep_training_class_balance(spark):
+    """Round-9 ADVICE regression pin, training-set level: gram-free
+    docs must survive into the SET HANDED TO MLlib (as zero vectors),
+    not merely the featurization. Train with a negative class made
+    ENTIRELY of gram-free docs — on the pre-fix code (a plain explode
+    dropping gram-less rows) this degenerates to single-class training
+    and the intercept runs positive toward the lone class; post-fix the
+    intercept is exactly the empty-doc margin, which must be negative
+    (the empty docs ARE the negative class and separable from the
+    reference texts only through the intercept)."""
+    pos = spark.createDataFrame([(t,) for t in REF], "text string")
+    neg = spark.createDataFrame(
+        [("",), ("!!! ...",), (None,), ("??",), ("...",), ("—",)],
+        "text string",
+    )
+    w, b = train_quality_classifier(pos, neg, n_buckets=64, max_iter=20)
+    assert b < 0
+
+
 def test_carry_cols_ride_through_featurization(spark):
     """carry_cols (the training label) must come through the groupBys
     attached to the right row — no join back, no misalignment."""

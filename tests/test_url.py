@@ -234,9 +234,11 @@ def test_pipeline_url_stage(spark):
         planted, url_col="url", domain_blocklist=["spam.example"]
     )
     acc = {r.stage: r.n_dropped for r in out["accounting"].collect()}
-    # per-stage wall attribution rides with the accounting counts:
-    # one non-negative seconds entry per accounted stage
-    assert set(out["stage_seconds"]) == set(acc)
+    # per-stage wall attribution rides with the accounting counts: one
+    # non-negative seconds entry per accounted stage, plus the one-time
+    # prefix_materialize row (round-10: shared caches are warmed before
+    # the timed loop so stage numbers are order-independent)
+    assert set(out["stage_seconds"]) == set(acc) | {"prefix_materialize"}
     assert all(v >= 0 for v in out["stage_seconds"].values())
     n_blocked = planted.filter(F.col("doc_id") % 7 == 0).count()
     assert acc["dropped_domain_blocklist"] == n_blocked
