@@ -135,6 +135,13 @@ def corpus_clean(
             contamination_pairs,
         )
 
+        # the pre-decontamination survivor set, exposed so accounting
+        # callers (workflows.pretraining_pipeline) can persist it: the
+        # contamination drop count otherwise re-executes the whole
+        # quality -> exact -> near-dup lineage, which at sf10 dwarfed
+        # the contamination work itself ~10x in the per-stage wall
+        # attribution (round-10 capstone finding)
+        out["pre_contamination_kept"] = kept
         _contam = bloom_contamination if bloom_decontaminate else contamination_pairs
         contaminated = (
             _contam(

@@ -352,11 +352,14 @@ def pretraining_pipeline(
 
     Returns {clean, mixed, training_set, accounting, stage_seconds}:
     ``stage_seconds`` (None when ``with_accounting=False``) maps each
-    accounting stage to the wall seconds its drop count took — each
-    count is the first action over that stage's lineage given the
-    persisted prefixes, so it reads as the stage's marginal cost (the
-    capstone artifact's per-stage attribution; they do not sum to the
-    end-to-end wall because stages share cached prefixes);
+    accounting stage to the wall seconds its drop count took, plus a
+    ``prefix_materialize`` row — the persisted shared prefixes (and
+    ``clean`` itself) are counted once, timed, BEFORE the per-stage
+    loop, so each stage's number is its own marginal cost on warmed
+    caches and is independent of acc_rows order (a first-counted stage
+    would otherwise absorb the one-time prefix cost); the numbers do
+    not sum to the end-to-end wall because the prefix row carries the
+    shared work;
     ``training_set``
     carries (doc_id, source, n_tokens, shuffle_key, bucket) — write it
     with sampling.deterministic_shuffle's range partitioning and readers
@@ -532,6 +535,16 @@ def pretraining_pipeline(
         bloom_decontaminate=bloom_decontaminate,
     )
     clean = stages["kept"]
+    if with_accounting and eval_df is not None:
+        # persist the pre-decontamination survivor set: the
+        # decontamination branch (Bloom probe or exact join) and every
+        # consumer of ``clean`` otherwise re-execute the full quality ->
+        # exact -> near-dup lineage per action. At the sf10 capstone the
+        # contamination stage's attributed wall was 298.5 s of which
+        # ~90% was this uncached prefix re-run, not contamination work
+        # (round-10 finding; the Bloom prefilter itself was already on).
+        pre_contam = stages["pre_contamination_kept"].persist()
+        temp_caches.append(pre_contam)
 
     dropped_prune = None
     if quality_prune_frac is not None:
@@ -703,10 +716,22 @@ def pretraining_pipeline(
         # action over that stage's lineage (given the prefix caches),
         # so its wall time IS the stage's incremental cost. Stages
         # share persisted prefixes, so the seconds measure marginal
-        # work and do not sum to the end-to-end wall.
+        # work and do not sum to the end-to-end wall. The shared
+        # prefixes are MATERIALIZED before the timed loop (the
+        # ``prefix_materialize`` row below): without that, whichever
+        # count happened to run first absorbed the one-time prefix
+        # cost, making each stage's number order-dependent (round-9
+        # ADVICE) — with it, re-ordering acc_rows no longer moves any
+        # stage's seconds, and each number is the stage's own marginal
+        # cost on warmed caches.
         import time as _time
 
         stage_seconds = {}
+        t0 = _time.perf_counter()
+        for dfx in temp_caches:
+            dfx.count()
+        clean.count()
+        stage_seconds["prefix_materialize"] = round(_time.perf_counter() - t0, 3)
         acc_counts = []
         for name, dfx in acc_rows:
             t0 = _time.perf_counter()

@@ -149,6 +149,10 @@ def run_batch_capstone(spark, scratch: str) -> dict:
         "input_docs": docs.count(),
         "training_set_rows": n_rows,
         "n_shards": n_shards,
+        # one-time materialization of the persisted shared prefixes
+        # (timed before the per-stage loop): the stage_sec values below
+        # are marginal costs on warmed caches, order-independent
+        "prefix_materialize_sec": stage_seconds.get("prefix_materialize"),
         "accounting": [
             {
                 "stage": s,

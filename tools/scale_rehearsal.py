@@ -258,6 +258,80 @@ def _quality_model(spark, load_table) -> tuple[list[float], float]:
     return _FIT_CACHE["quality"]
 
 
+def _run_deterministic_shuffle_write(spark, load_table, sf_dir: str) -> float:
+    """deterministic_shuffle as it ships training data: the range
+    exchange + local sort MOVING THE CORPUS (doc text rides along),
+    min-of-3 noop-sink runs of a prebuilt plan — the serving write the
+    training_shuffle registry row (slim global_rank projection) does
+    not cover."""
+    from bigdata_cookbook_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = deterministic_shuffle(docs, "doc_id")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def _run_cluster_safe_split_e2e(spark, load_table, sf_dir: str) -> float:
+    """cluster_safe_split END TO END: the connected-components fixpoint
+    (dedup_clusters' label-propagation loop — eager count()s during
+    construction) runs INSIDE the timer, unlike the registry row whose
+    prebuilt DataFrame times only the post-fixpoint assignment join.
+    Min-of-3 full construct+execute repetitions."""
+    from bigdata_cookbook_spark.operators.dedup import minhash_lsh_candidates
+    from bigdata_cookbook_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
+        out = cluster_safe_split(
+            docs.select("doc_id"),
+            pairs,
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def _run_domain_mix_relational_skewed(spark, load_table, sf_dir: str) -> float:
+    """The relational temperature-mix tier on a deliberately skewed
+    registered-domain-like key: one mega-domain holds a third of the
+    corpus, the rest spreads over ~20k long-tail domains — over the
+    collected tier's guard AND maximally skewed. The round-10 offsets
+    composition bounds every task by partition size here; the previous
+    per-domain row_number window would have pushed the mega-domain
+    through one task. Construction (the emptiness probe) is inside the
+    timer on the first repetition only; min-of-3."""
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example"))
+        .otherwise(F.concat(F.lit("d"), (F.col("doc_id") % 20011)))
+        .alias("domain"),
+    )
+    out = domain_mix_temperature(
+        skewed, "domain", "doc_id", alpha=0.5, relational=True
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     spark = bench_session()
@@ -449,6 +523,42 @@ def main() -> None:
                 )
                 print(
                     f"sf{sf} quality_gate: FAILED {type(exc).__name__}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        # round-10 additions (r9 VERDICT items 2+6): the training-serving
+        # paths without curve rows, timed the way they misbehave first at
+        # scale — deterministic_shuffle's RANGE-EXCHANGE WRITE moving the
+        # corpus (training_shuffle's registry row ranks a slim projection
+        # instead), cluster_safe_split END TO END with the components
+        # FIXPOINT inside the timer (the registry row times post-fixpoint
+        # execution only — module docstring caveat), and the relational
+        # domain-mix tier on a deliberately skewed high-cardinality
+        # domain distribution (one mega-domain holding a third of the
+        # corpus over ~20k long-tail domains — the shape the round-10
+        # offsets-composition rank exists for).
+        extras = {
+            "deterministic_shuffle_write": _run_deterministic_shuffle_write,
+            "cluster_safe_split_e2e": _run_cluster_safe_split_e2e,
+            "domain_mix_relational_skewed": _run_domain_mix_relational_skewed,
+        }
+        for ename, fn in extras.items():
+            results.setdefault(ename, {})
+            if ename in SKIP:
+                results[ename][f"err_{sf}"] = "skipped (SPARK_GRAFT_SKIP_QUERIES)"
+                print(f"sf{sf} {ename}: SKIPPED", file=sys.stderr, flush=True)
+                continue
+            try:
+                results[ename][sf] = fn(spark, load_table, sf_dir)
+                print(
+                    f"sf{sf} {ename}: {results[ename][sf]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001
+                results[ename][f"err_{sf}"] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"sf{sf} {ename}: FAILED {type(exc).__name__}",
                     file=sys.stderr,
                     flush=True,
                 )
