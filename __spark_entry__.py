@@ -2655,12 +2655,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new registry queries, per the round-8 verdict's queue-burn-down
     directive.
 
-    Round-10 plan: NO rotation needed — the queue is empty, and the 15
-    single-green rows (the ten round-9 swaps plus the five round-8
-    swaps) earn their second green row automatically by holding their
-    in-window slots. Any NEW round-10 query enters at the FRONT of the
-    window over a double-green displacement, same discipline as every
-    round."""
+    Round-10 plan EXECUTED as documented: NO rotation — the window is
+    byte-identical to round 9 (verified programmatically against
+    CORRECTNESS_r09 at round start), no new registry queries, so the
+    15 single-green rows (the ten round-9 swaps plus the five round-8
+    swaps) earn their second driver row from the round-10 scoring.
+
+    Round-11 plan: once CORRECTNESS_r10 lands green, every in-window
+    row is >= double-green and the full rotation freedom returns. With
+    the queue empty and no new queries planned, the default is to HOLD
+    again (drift-free window = every row re-scored each round); any
+    NEW query enters at the FRONT over a double-green displacement,
+    same discipline as every round."""
     return {
         # -- tier 1: newest rotations first (round-9 swaps + round-8 1G) --
         # round-9 rotation (slot 1): html_to_text takes
