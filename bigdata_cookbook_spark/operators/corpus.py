@@ -39,6 +39,9 @@ def corpus_clean(
     jaccard_df_cap: int | None = None,
     repetition_filter: bool = False,
     bloom_decontaminate: bool = False,
+    near_dup: str = "exact",
+    lsh_num_hashes: int = 12,
+    lsh_band_size: int = 2,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
     (+ dropped_contaminated when ``eval_df`` is given).
@@ -71,6 +74,25 @@ def corpus_clean(
     impossible), but the corpus side streams through a map-side probe
     of a <=2 MiB filter instead of entering the full shingle join; the
     100 TB default when eval_df is benchmark-sized.
+
+    ``near_dup`` picks the near-dup tier (the batch twin of
+    streaming/pipeline's option, closing the one asymmetry between the
+    two pipelines):
+
+    - ``"exact"`` (default, the oracle tier): the full inverted-index
+      Jaccard self-join (dedup.ngram_jaccard_pairs), optionally
+      df-capped — every qualifying pair is found.
+    - ``"lsh"``: the 100 TB funnel — MinHash band buckets generate
+      candidate pairs (dedup.minhash_lsh_candidates at
+      ``lsh_num_hashes``/``lsh_band_size``), exact Jaccard verifies
+      ONLY the candidates (dedup.jaccard_verify_pairs: cost bounded by
+      |candidates| x shingles/doc, never the self-join's sum(df^2)).
+      The drop set is a SUBSET of the exact tier's (banding recall
+      < 1 is the documented trade; verification guarantees no false
+      drops), so accounting comparisons across tiers are one-sided by
+      construction. At the sf10 capstone scale the exact tier's
+      near-dup pass is the single largest marginal stage (105.6 s of
+      587 — BASELINE.md §J); this tier is the production answer.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
@@ -119,9 +141,24 @@ def corpus_clean(
         "doc_id"
     )
 
-    pairs = ngram_jaccard_pairs(
-        exact_kept, threshold=jaccard_threshold, df_cap=jaccard_df_cap
-    )
+    if near_dup not in ("exact", "lsh"):
+        raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
+    if near_dup == "lsh":
+        from bigdata_cookbook_spark.operators.dedup import (
+            jaccard_verify_pairs,
+            minhash_lsh_candidates,
+        )
+
+        cand = minhash_lsh_candidates(
+            exact_kept, num_hashes=lsh_num_hashes, band_size=lsh_band_size
+        )
+        pairs = jaccard_verify_pairs(
+            exact_kept, cand, threshold=jaccard_threshold
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            exact_kept, threshold=jaccard_threshold, df_cap=jaccard_df_cap
+        )
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_kept.join(near_losers, "doc_id", "left_anti")
     out = {

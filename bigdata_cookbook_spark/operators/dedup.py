@@ -604,6 +604,64 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over a CANDIDATE pair list — the verify
+    stage of the 100 TB near-dup funnel (LSH banding generates
+    candidates, this confirms them; the streaming twin is
+    streaming/pipeline._verify_candidates).
+
+    ``candidates``: (doc_a, doc_b) pairs, doc_a < doc_b. Returns the
+    pairs whose exact Jaccard reaches ``threshold``, with the score —
+    same orientation and columns as ngram_jaccard_pairs, so the two are
+    drop-in sources for a keep-first rule.
+
+    Scale shape: every join keys on candidate doc ids, so the cost is
+    bounded by |candidates| x per-doc shingle count — never the
+    inverted-index sum(df^2) the full self-join pays. The per-pair
+    intersection materializes directly through the (doc_b, sh) equi-join
+    (no |sh_a| x |sh_b| cross product); the n_sh window's group size is
+    one document's shingles, bounded by document length, never corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    idx = (
+        doc_shingles(df, text_col, id_col, n)
+        .select(
+            F.col("doc_id"),
+            F.xxhash64("shingle").alias("sh"),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    a = idx.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("n_a")
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("n_b")
+    )
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash over whitespace tokens as a '0'/'1' string.
 

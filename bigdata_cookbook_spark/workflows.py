@@ -280,6 +280,7 @@ def pretraining_pipeline(
     shard_bytes: int | None = None,
     quality_prune_frac: float | None = None,
     bloom_decontaminate: bool = False,
+    near_dup: str = "exact",
     html_input: bool = False,
     line_filter: bool = False,
     url_col: str | None = None,
@@ -336,7 +337,12 @@ def pretraining_pipeline(
     ``dropped_quality_prune``; ``bloom_decontaminate`` passes through
     to corpus_clean — the decontamination drop set is bit-identical,
     only the plan changes (map-side Bloom prefilter instead of the
-    full shingle join); ``dsir_target`` (a DataFrame with a ``text``
+    full shingle join); ``near_dup`` passes through to corpus_clean —
+    ``"lsh"`` swaps the near-dup stage's inverted-index self-join for
+    the MinHash-banding + candidate-verify funnel (the batch twin of
+    the streaming pipeline's production tier; the drop set is a SUBSET
+    of the exact tier's, short only of banding recall — corpus_clean's
+    docstring carries the trade); ``dsir_target`` (a DataFrame with a ``text``
     column) turns on DSIR importance resampling
     (operators/selection.py) as the LAST drop stage — after dedup /
     decontamination / semantic so the selector only ranks docs allowed
@@ -533,6 +539,7 @@ def pretraining_pipeline(
         jaccard_df_cap=jaccard_df_cap,
         repetition_filter=repetition_filter,
         bloom_decontaminate=bloom_decontaminate,
+        near_dup=near_dup,
     )
     clean = stages["kept"]
     if with_accounting and eval_df is not None:

@@ -93,6 +93,77 @@ def test_bisect_on_delimiter():
     assert bisect_on_delimiter("x") == ("x", "")
 
 
+def test_corpus_clean_lsh_near_dup_tier(spark, sf_dir):
+    """Round-10: the batch twin of the streaming pipeline's near_dup
+    option. The LSH funnel (band candidates -> exact verify) must drop
+    a non-empty SUBSET of the exact tier's near-dup losers (banding
+    recall < 1 is the documented trade; verification guarantees no
+    false drops), with every other bucket unchanged and the accounting
+    partition still exact."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = corpus_clean(docs)
+    lsh = corpus_clean(docs, near_dup="lsh")
+
+    def ids(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    exact_losers = ids(exact["dropped_neardup"])
+    lsh_losers = ids(lsh["dropped_neardup"])
+    assert lsh_losers  # the fixture corpus plants near-dup clones
+    assert lsh_losers <= exact_losers
+    # verification at the same threshold: no false drops means the
+    # quality/exact buckets are identical and kept = exact kept plus
+    # exactly the candidates banding missed
+    assert ids(lsh["dropped_quality"]) == ids(exact["dropped_quality"])
+    assert ids(lsh["dropped_exact"]) == ids(exact["dropped_exact"])
+    assert ids(lsh["kept"]) == ids(exact["kept"]) | (exact_losers - lsh_losers)
+    # the accounting partition stays exact in lsh mode too
+    n_total = docs.count()
+    assert (
+        lsh["kept"].count()
+        + lsh["dropped_quality"].count()
+        + lsh["dropped_exact"].count()
+        + lsh["dropped_neardup"].count()
+        == n_total
+    )
+
+
+def test_corpus_clean_rejects_unknown_near_dup_tier(spark, sf_dir):
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="near_dup"):
+        corpus_clean(docs, near_dup="simhash")
+
+
+def test_jaccard_verify_pairs_matches_exact_on_candidates(spark, sf_dir):
+    """The verify kernel scores candidate pairs with the SAME Jaccard
+    as ngram_jaccard_pairs: feeding it the exact tier's own pairs must
+    reproduce their scores bit-for-bit (round-trip through the bounded
+    candidate-keyed join instead of the inverted-index self-join)."""
+    from bigdata_cookbook_spark.operators.corpus import quality_exprs
+    from bigdata_cookbook_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = jaccard_verify_pairs(
+        docs, exact.select("doc_a", "doc_b"), threshold=0.5
+    )
+    e = {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
+    g = {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()}
+    assert e and e == g
+
+
 def test_corpus_clean_accounting(spark, sf_dir):
     from bigdata_cookbook_spark.operators.corpus import corpus_clean
     from bigdata_cookbook_spark.sources.testdata import load_table

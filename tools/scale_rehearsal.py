@@ -332,6 +332,25 @@ def _run_domain_mix_relational_skewed(spark, load_table, sf_dir: str) -> float:
     return round(min(times), 3)
 
 
+def _run_corpus_clean_lsh(spark, load_table, sf_dir: str) -> float:
+    """corpus_clean with near_dup='lsh' (round 10): the production
+    near-dup funnel — MinHash band candidates + exact verify on the
+    candidates only — in place of the inverted-index self-join that
+    makes the plain corpus_clean row exempt-superlinear. The linear
+    counterpart row: candidate generation is bucketed, verification is
+    bounded by |candidates| x shingles/doc."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_clean(docs, near_dup="lsh")["kept"]
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     spark = bench_session()
@@ -541,6 +560,7 @@ def main() -> None:
             "deterministic_shuffle_write": _run_deterministic_shuffle_write,
             "cluster_safe_split_e2e": _run_cluster_safe_split_e2e,
             "domain_mix_relational_skewed": _run_domain_mix_relational_skewed,
+            "corpus_clean_lsh": _run_corpus_clean_lsh,
         }
         for ename, fn in extras.items():
             results.setdefault(ename, {})
