@@ -44,7 +44,10 @@ def corpus_clean(
     lsh_band_size: int = 2,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped_quality, dropped_exact, dropped_neardup}
-    (+ dropped_contaminated when ``eval_df`` is given).
+    (+ dropped_contaminated AND pre_contamination_kept when ``eval_df``
+    is given — the latter is NOT a drop bucket: it is the
+    pre-decontamination survivor set, exposed so accounting callers can
+    persist the shared prefix; see workflows.pretraining_pipeline).
 
     ``repetition_filter=True`` additionally applies the Gopher n-gram
     repetition rules (functions/text.repetition_metrics_exprs) inside
@@ -143,6 +146,18 @@ def corpus_clean(
 
     if near_dup not in ("exact", "lsh"):
         raise ValueError(f"near_dup must be 'exact' or 'lsh', got {near_dup!r}")
+    if near_dup == "lsh" and jaccard_df_cap is not None:
+        # fail loud instead of silently scoring with uncapped shingle
+        # sets: the cap changes WHICH pairs qualify (capped Jaccard
+        # deliberately ignores boilerplate-only overlap), so accepting
+        # both would break the lsh-is-a-subset-of-what-you-ran contract;
+        # the lsh verify is already bounded by |candidates| and needs no
+        # cap
+        raise ValueError(
+            "jaccard_df_cap applies to the exact tier's inverted-index "
+            "self-join only; the lsh tier's candidate verify is already "
+            "bounded. Drop the cap or use near_dup='exact'."
+        )
     if near_dup == "lsh":
         from bigdata_cookbook_spark.operators.dedup import (
             jaccard_verify_pairs,

@@ -632,6 +632,13 @@ def jaccard_verify_pairs(
     """
     from pyspark.sql import Window
 
+    # defensively dedup the pair list: a duplicated (doc_a, doc_b) row
+    # would double its intersection rows through the expand join and
+    # inflate n_common multiplicatively (jaccard could exceed 1 and
+    # false-drop) — minhash_lsh_candidates happens to emit distinct
+    # pairs, but this function's no-false-drops contract must not
+    # depend on the caller's discipline
+    candidates = candidates.select("doc_a", "doc_b").distinct()
     idx = (
         doc_shingles(df, text_col, id_col, n)
         .select(

@@ -501,6 +501,13 @@ def domain_mix_temperature(
         # window ever sees fact rows — the one window below runs over
         # the (pid, domain) aggregate, whose per-domain group size is
         # bounded by the partition COUNT, not by any domain's row count.
+        # Deliberately a third instance of the offsets pattern next to
+        # global_rank and pack_shards (same file) rather than a shared
+        # grouped_rank helper: those two are frozen operators with
+        # pinned plan ceilings (PLANS.md) and long driver-green oracle
+        # histories, and this variant differs in both grouping (per
+        # domain) and what it joins back (quota) — the 30 shared lines
+        # are not worth destabilizing two frozen plans for.
         sess = df.sparkSession
         n_parts = sess.sparkContext.defaultParallelism
         key = F.md5(
@@ -533,7 +540,11 @@ def domain_mix_temperature(
         combined = offsets.join(qdf, domain_col)
         ranked = tagged.join(combined, ["__pid", domain_col])
         rank_expr = F.col("__off") + (local - F.col("__first")) + F.lit(1)
-        return ranked.filter(rank_expr <= F.col("__quota")).select(*df.columns)
+        # domain-first output, matching the collected tier's column
+        # order (its equi-join puts the join key first) so the tiers
+        # stay positionally interchangeable
+        out_cols = [domain_col] + [c for c in df.columns if c != domain_col]
+        return ranked.filter(rank_expr <= F.col("__quota")).select(*out_cols)
 
     rows = counts_df.limit(max_domains + 1).collect()
     if len(rows) > max_domains:

@@ -131,6 +131,42 @@ def test_corpus_clean_lsh_near_dup_tier(spark, sf_dir):
     )
 
 
+def test_jaccard_verify_pairs_immune_to_duplicate_candidates(spark):
+    """Round-10 self-review pin: a duplicated candidate pair must not
+    inflate n_common through the expand join (jaccard could exceed 1
+    and false-drop) — the function dedups the pair list itself instead
+    of relying on caller discipline."""
+    from bigdata_cookbook_spark.operators.dedup import jaccard_verify_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    once = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    thrice = once.unionByName(once).unionByName(once)
+    r1 = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_verify_pairs(docs, once, threshold=0.0).collect()}
+    r3 = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_verify_pairs(docs, thrice, threshold=0.0).collect()}
+    assert r1 == r3
+    assert all(0.0 <= v <= 1.0 for v in r1.values())
+
+
+def test_corpus_clean_rejects_df_cap_with_lsh(spark, sf_dir):
+    """jaccard_df_cap shapes WHICH pairs qualify on the exact tier;
+    silently ignoring it under near_dup='lsh' would break the
+    subset-of-what-you-ran contract — the combination fails loud."""
+    import pytest as _pytest
+
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="jaccard_df_cap"):
+        corpus_clean(docs, near_dup="lsh", jaccard_df_cap=20)
+
+
 def test_corpus_clean_rejects_unknown_near_dup_tier(spark, sf_dir):
     import pytest as _pytest
 

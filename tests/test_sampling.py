@@ -462,6 +462,10 @@ class TestDomainMixScaleTiers:
         a = {r.doc_id for r in collected.select("doc_id").collect()}
         b = {r.doc_id for r in rel.select("doc_id").collect()}
         assert a == b and a
+        # the tiers are positionally interchangeable: same column order
+        # (round-10 self-review pin — the relational rewrite must keep
+        # the collected tier's domain-first layout)
+        assert collected.columns == rel.columns
 
     def test_relational_tier_handles_high_cardinality(self, spark):
         from bigdata_cookbook_spark.operators.sampling import (

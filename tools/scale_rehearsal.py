@@ -308,8 +308,10 @@ def _run_domain_mix_relational_skewed(spark, load_table, sf_dir: str) -> float:
     collected tier's guard AND maximally skewed. The round-10 offsets
     composition bounds every task by partition size here; the previous
     per-domain row_number window would have pushed the mega-domain
-    through one task. Construction (the emptiness probe) is inside the
-    timer on the first repetition only; min-of-3."""
+    through one task. Construction — including the one-job emptiness
+    probe — runs OUTSIDE the timer: the min-of-3 repetitions time
+    prepared-plan execution only, the same position as the registry
+    rows."""
     from pyspark.sql import functions as F
 
     from bigdata_cookbook_spark.operators.sampling import domain_mix_temperature
