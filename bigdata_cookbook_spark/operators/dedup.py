@@ -622,13 +622,15 @@ def jaccard_verify_pairs(
     same orientation and columns as ngram_jaccard_pairs, so the two are
     drop-in sources for a keep-first rule.
 
-    Scale shape: every join keys on candidate doc ids, so the cost is
-    bounded by |candidates| x per-doc shingle count — never the
-    inverted-index sum(df^2) the full self-join pays. The per-pair
-    intersection materializes directly through the (doc_b, sh) equi-join
-    (no |sh_a| x |sh_b| cross product); the n_sh window's group size is
-    one document's shingles, bounded by document length, never corpus
-    size.
+    Scale shape: the shingle index is built only for documents that
+    appear in ``candidates`` (left-semi prune before the explode), so
+    the WHOLE stage — index build, n_sh window, and the joins — is
+    bounded by |candidate docs| x per-doc shingle count, never the
+    corpus-wide explode and never the inverted-index sum(df^2) the full
+    self-join pays. The per-pair intersection materializes directly
+    through the (doc_b, sh) equi-join (no |sh_a| x |sh_b| cross
+    product); the n_sh window's group size is one document's shingles,
+    bounded by document length, never corpus size.
     """
     from pyspark.sql import Window
 
@@ -639,8 +641,16 @@ def jaccard_verify_pairs(
     # pairs, but this function's no-false-drops contract must not
     # depend on the caller's discipline
     candidates = candidates.select("doc_a", "doc_b").distinct()
+    # prune the corpus to candidate docs BEFORE shingling: when the
+    # banding stage emits few candidates (the normal case), the explode
+    # + n_sh window must not pay a corpus-wide pass
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     idx = (
-        doc_shingles(df, text_col, id_col, n)
+        doc_shingles(df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n)
         .select(
             F.col("doc_id"),
             F.xxhash64("shingle").alias("sh"),

@@ -13,6 +13,13 @@ from bigdata_cookbook_spark.operators.sampling import (
 )
 from bigdata_cookbook_spark.sources.testdata import load_table
 
+# tools/ lives next to the package, derived from this file so the suite
+# runs from any checkout location (ADVICE round 10)
+from pathlib import Path
+
+PLAN_REPORT_PY = str(Path(__file__).resolve().parents[1] / "tools" / "plan_report.py")
+
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
@@ -205,7 +212,7 @@ def test_global_rank_plan_has_no_single_partition_fact_exchange(spark, sf_dir):
 
     from bigdata_cookbook_spark.operators.sampling import global_rank
 
-    spec = importlib.util.spec_from_file_location("prmod", "/root/repo/tools/plan_report.py")
+    spec = importlib.util.spec_from_file_location("prmod", PLAN_REPORT_PY)
     pr = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pr)
 
@@ -226,7 +233,7 @@ def test_plan_gate_flags_planted_global_window_over_scan(spark, sf_dir):
 
     from pyspark.sql import Window as W
 
-    spec = importlib.util.spec_from_file_location("prmod", "/root/repo/tools/plan_report.py")
+    spec = importlib.util.spec_from_file_location("prmod", PLAN_REPORT_PY)
     pr = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pr)
 
@@ -527,7 +534,7 @@ class TestDomainMixScaleTiers:
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
-            "prmod", "/root/repo/tools/plan_report.py"
+            "prmod", PLAN_REPORT_PY
         )
         pr = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(pr)
@@ -560,11 +567,15 @@ class TestDomainMixScaleTiers:
 
         min_f = min(50, 2500) ** 0.1
         assert per["mega"] == math.floor((2500**0.9) * min_f)
+        # the tail domains ARE the min domain, so their quota product is
+        # boundary-exact in real math (50^0.9 * 50^0.1 = 50.0): a
+        # last-ulp difference between the JVM's pow and Python's flips
+        # floor(50.0) to 49 — exactly the best-effort hazard the
+        # docstring scopes — so assert the documented +/-1 envelope
+        # below the boundary instead of bit equality (ADVICE round 10)
         assert all(
-            v == math.floor((50**0.9) * min_f)
-            for k, v in per.items()
-            if k != "mega"
-        )
+            v in (49, 50) for k, v in per.items() if k != "mega"
+        ), per
 
     def test_tier_parity_at_non_half_alpha(self, spark, sf_dir):
         """ADVICE (round 9): the bit-for-bit tier-parity claim is scoped
