@@ -2661,13 +2661,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     15 single-green rows (the ten round-9 swaps plus the five round-8
     swaps) earn their second driver row from the round-10 scoring.
 
-    Round-11 plan: once CORRECTNESS_r10 lands green, every in-window
-    row is >= double-green and the full rotation freedom returns. With
-    the queue empty and no new queries planned, the default is to HOLD
-    again (drift-free window = every row re-scored each round); any
-    NEW query enters at the FRONT over a double-green displacement,
-    same discipline as every round."""
+    Round-11 rotation EXECUTED per the round-10 verdict (which
+    superseded the HOLD default recorded here last round): with
+    CORRECTNESS_r10 landing every in-window row >= double-green,
+    rotation freedom returned, and the ten OLDEST-evidence registry
+    queries — all r01-only, never re-scored by the driver since —
+    rotate into the scored window: keyword_search, events_daterange,
+    min_occurrence_filter, argmax_joinback, gaussian_smooth_weekly,
+    peak_lag, cross_source_alignment, customers_without_orders,
+    json_props, log_clip. Each displaces a row green in NINE OR TEN
+    consecutive driver rounds (>= 3 required by the eligibility rule;
+    re-verified programmatically against CORRECTNESS_r01-r10 at swap
+    time): bm25_topk (r02-r10), calendar_densify_daily (r01-r10),
+    net_exposure (r01-r10), first_last_per_group (r02-r10),
+    ann_cosine_topk (r01-r10), simhash (r01-r10), comention_parts
+    (r01-r10), exact_dedup_docs (r01-r10), lang_id (r01-r10),
+    stratified_sample_orders (r02-r10). Displaced families stay pinned
+    in-window — see the inline comments at each swap site. After this
+    swap the single-green count drops 29 -> 19; the remaining 19
+    r01-only rows are the round-12 rotation queue.
+
+    Round-12 plan: rotate 10 of the remaining 19 single-green rows in
+    (streaming_windowed_counts, pivot_composite_status,
+    last_purchase_ffill, count_distinct_having, collect_concat,
+    summary_stats, score_normalization, source_topn, quarterly_counts,
+    union_distinct_nations — registry order) once CORRECTNESS_r11
+    lands the round-11 rotations their second green row, same
+    displacement discipline."""
     return {
+        # -- tier 0: round-11 rotations (the r01-only evidence tail) --
+        # round-11 rotation (slot 1): keyword_search takes bm25_topk's
+        # slot (green r02-r10; the retrieval family stays pinned
+        # in-window by tfidf_top_terms, and keyword relevance itself by
+        # this entry).
+        "keyword_search": q_keyword_search,
+        # round-11 rotation (slot 2): events_daterange takes
+        # calendar_densify_daily's slot (green r01-r10; the
+        # calendar/rollup family stays pinned in-window by
+        # hit_count_monthly_topk, and the date-dimension spine by
+        # cross_source_alignment below).
+        "events_daterange": q_events_daterange,
+        # round-11 rotation (slot 3): min_occurrence_filter takes
+        # net_exposure's slot (green r01-r10; the join+agg analytics
+        # family stays pinned in-window by pricing_summary +
+        # hit_count_monthly_topk).
+        "min_occurrence_filter": q_min_occurrence_filter,
+        # round-11 rotation (slot 4): argmax_joinback takes
+        # first_last_per_group's slot (green r02-r10; the ordered
+        # per-group pick family stays pinned in-window by
+        # argmax_joinback itself — same W2 argmax shape — plus
+        # token_pack_buckets' pinned-order packing).
+        "argmax_joinback": q_argmax_joinback,
+        # round-11 rotation (slot 5): gaussian_smooth_weekly takes
+        # ann_cosine_topk's slot (green r01-r10; the similarity family
+        # stays pinned in-window by similarity_multiquery_rerank +
+        # semantic_dedup_auto).
+        "gaussian_smooth_weekly": q_gaussian_smooth_weekly,
+        # round-11 rotation (slot 6): peak_lag takes simhash's slot
+        # (green r01-r10; the signature-dedup family stays pinned
+        # in-window by minhash_lsh_candidates + ngram_jaccard_capped +
+        # winnow_fingerprints).
+        "peak_lag": q_peak_lag,
+        # round-11 rotation (slot 7): cross_source_alignment takes
+        # comention_parts's slot (green r01-r10; the pair/graph
+        # self-join family stays pinned in-window by
+        # neardup_canonical_clusters + neardup_keep_best).
+        "cross_source_alignment": q_cross_source_alignment,
+        # round-11 rotation (slot 8): customers_without_orders takes
+        # exact_dedup_docs's slot (green r01-r10; the dedup family
+        # stays pinned in-window by minhash_lsh_candidates +
+        # paragraph_dedup + line_dedup + contamination_bloom).
+        "customers_without_orders": q_customers_without_orders,
+        # round-11 rotation (slot 9): json_props takes lang_id's slot
+        # (green r01-r10; the text-analysis family stays pinned
+        # in-window by token_quality + script_profile + html_to_text).
+        "json_props": q_json_props,
+        # round-11 rotation (slot 10): log_clip takes
+        # stratified_sample_orders's slot (green r02-r10; the sampling
+        # family stays pinned in-window by training_shuffle +
+        # domain_mix_sample + domain_mix_temperature +
+        # cluster_safe_split_docs).
+        "log_clip": q_log_clip,
         # -- tier 1: newest rotations first (round-9 swaps + round-8 1G) --
         # round-9 rotation (slot 1): html_to_text takes
         # collect_list_ordered's slot (double-green r02-r08; the
@@ -2677,14 +2751,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screening_normalize": q_screening_normalize,
         "dual_role_workflow": q_dual_role_workflow,
         "neardup_canonical_clusters": q_neardup_canonical_clusters,
-        "net_exposure": q_net_exposure,
         "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
         # round-8 rotation (slot 2): tfidf_top_terms takes
         # knn_label_vote's slot (double-green r02-r07; the similarity
         # family stays pinned in-window by similarity_multiquery_rerank
         # + ann_cosine_topk).
         "tfidf_top_terms": q_tfidf_top_terms,
-        "first_last_per_group": q_first_last_per_group,
         # round-9 rotation (slot 2): script_profile takes
         # keyword_context_window's slot (double-green r02-r08; the
         # text-window family stays pinned in-window by token_quality +
@@ -2726,7 +2798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_sample_orders + cluster_safe_split_docs +
         # training_shuffle).
         "domain_blocklist_cap": q_domain_blocklist_cap,
-        "stratified_sample_orders": q_stratified_sample_orders,
         # round-9 rotation (slot 7): line_filter_clean takes
         # weighted_sample_orders's slot (double-green r02-r08; the
         # sampling family stays pinned in-window by
@@ -2763,7 +2834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 2: family representatives incl. the bench HEADLINE set --
         "pricing_summary": q_pricing_summary,
         "hit_count_monthly_topk": q_hit_count_monthly_topk,
-        "calendar_densify_daily": q_calendar_densify_daily,
         # round-3 rotation: the four new training-data-tier queries take
         # scored-window slots from four DOUBLE-green entries (r01+r02 hash
         # rows on record: weekly_zscore, dedup_keep_first, mode_event_type,
@@ -2779,7 +2849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the mixing family doubles up in-window during the swap round
         # with domain_mix_sample).
         "domain_mix_temperature": q_domain_mix_temperature,
-        "exact_dedup_docs": q_exact_dedup_docs,
         # round-8 rotation (slot 3): contamination_bloom takes
         # length_curriculum's slot (double-green r03-r07; the
         # curriculum/sampling family stays pinned in-window by
@@ -2804,17 +2873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher_repetition + compression_ratio).
         "quality_prune_per_source": q_quality_prune_per_source,
         "token_quality": q_token_quality,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "comention_parts": q_comention_parts,
-        "simhash": q_simhash,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         # round-8 rotation (slot 5): neardup_keep_best takes
         # embedding_neardup_pairs's slot (double-green r01-r07; the
         # near-dup pair family stays pinned in-window by
         # minhash_lsh_candidates + simhash + ngram_jaccard_capped).
         "neardup_keep_best": q_neardup_keep_best,
-        "lang_id": q_lang_id,
-        "bm25_topk": q_bm25_topk,
         # round-9 rotation (slot 10): bpe_pair_counts takes
         # hybrid_search_rrf's slot (double-green r02-r08; the retrieval
         # family stays pinned in-window by bm25_topk + tfidf_top_terms).
@@ -2843,34 +2907,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_pack_buckets + token_window_chunks).
         "line_dedup": q_line_dedup,
         # -- tier 3 (51+): green round-1 driver rows on record --
-        "keyword_search": q_keyword_search,
-        "events_daterange": q_events_daterange,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pivot_composite_status": q_pivot_composite_status,
         "last_purchase_ffill": q_last_purchase_ffill,
         "count_distinct_having": q_count_distinct_having,
         "collect_concat": q_collect_concat,
         "summary_stats": q_summary_stats,
-        "gaussian_smooth_weekly": q_gaussian_smooth_weekly,
         "score_normalization": q_score_normalization,
         "source_topn": q_source_topn,
         "quarterly_counts": q_quarterly_counts,
-        "customers_without_orders": q_customers_without_orders,
         "union_distinct_nations": q_union_distinct_nations,
         "quality_score": q_quality_score,
         "risk_level_mapping": q_risk_level_mapping,
-        "argmax_joinback": q_argmax_joinback,
-        "cross_source_alignment": q_cross_source_alignment,
         "date_parse_format": q_date_parse_format,
-        "log_clip": q_log_clip,
-        "json_props": q_json_props,
         "ann_lsh_buckets": q_ann_lsh_buckets,
-        "min_occurrence_filter": q_min_occurrence_filter,
         "dedup_joinback_labels": q_dedup_joinback_labels,
         "multi_source_daily_volumes": q_multi_source_daily_volumes,
         "fallback_coalesce_join": q_fallback_coalesce_join,
         "sector_rank": q_sector_rank,
-        "peak_lag": q_peak_lag,
         "skew_salted_join_segments": q_skew_salted_join_segments,
         # tail (all with double-green r01+r02 rows; rotated out round 3)
         "argmax_day_per_priority": q_argmax_day_per_priority,
@@ -2925,6 +2979,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_aggregate_daily": q_continuous_aggregate_daily,
         "profile_orders": q_profile_orders,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        # round-11 rotation: the ten displaced rows land here in the
+        # tail (bm25_topk r02-r10, calendar_densify_daily r01-r10,
+        # net_exposure r01-r10, first_last_per_group r02-r10,
+        # ann_cosine_topk r01-r10, simhash r01-r10, comention_parts
+        # r01-r10, exact_dedup_docs r01-r10, lang_id r01-r10,
+        # stratified_sample_orders r02-r10 — the deepest driver
+        # evidence in the registry) — all stay continuously checked by
+        # tools/verify_local.py and the bench HEADLINE set.
+        "bm25_topk": q_bm25_topk,
+        "calendar_densify_daily": q_calendar_densify_daily,
+        "net_exposure": q_net_exposure,
+        "first_last_per_group": q_first_last_per_group,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "simhash": q_simhash,
+        "comention_parts": q_comention_parts,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "lang_id": q_lang_id,
+        "stratified_sample_orders": q_stratified_sample_orders,
     }
 
 
