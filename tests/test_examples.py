@@ -176,6 +176,48 @@ def test_inflation_drivers_example_runs_and_is_byte_stable(spark, tmp_path):
     assert "vegaEmbed" in dash and "<ul class='tree'>" in dash
 
 
+def test_narrative_miner_example_runs_and_is_byte_stable(spark, tmp_path):
+    """SURVEY §3 Narrative_Miners end-to-end (the fourth and last
+    reference workflow skeleton to get a runnable example): label ->
+    weekly z-score + Gaussian smoothing per narrative and per source
+    (tool.py:34-69) -> cross-source ffill alignment (:79-88) -> peak/lag
+    insights (:694-719) -> source summary (:735-751) -> dashboard +
+    insights HTML + 3-sheet xlsx."""
+    import narrative_miner_migration as nex
+
+    p1 = nex.main(spark, str(tmp_path / "run1"))
+    p2 = nex.main(spark, str(tmp_path / "run2"))
+
+    for key in ("dashboard", "html", "xlsx"):
+        assert os.path.getsize(p1[key]) > 0
+        assert _digest(p1[key]) == _digest(p2[key]), key
+
+    dash = open(p1["dashboard"], encoding="utf-8").read()
+    assert "vegaEmbed" in dash
+    assert "Narrative prevalence" in dash and "Cross-source" in dash
+
+    html = open(p1["html"], encoding="utf-8").read()
+    # one section per source workbook, each carrying the W8 peak/lag
+    # fields and the top-narrative count (reference insights dict keys)
+    for src in ("news", "transcripts", "filings"):
+        assert f"<h2>{src}</h2>" in html
+    assert "<b>peak_week:</b>" in html and "<b>lag_days_vs_news:</b>" in html
+    assert "<b>top_narrative:</b>" in html
+    # the news series is its own lag reference: lag_days_vs_news == 0
+    import re
+
+    news_sec = html.split("<h2>news</h2>")[1].split("</section>")[0]
+    lag = re.search(r"<b>lag_days_vs_news:</b> (-?\d+)", news_sec)
+    assert lag and lag.group(1) == "0"
+
+    # xlsx: real zip, three sheets (summary / insights / aligned scores)
+    import zipfile
+
+    with zipfile.ZipFile(p1["xlsx"]) as z:
+        sheets = [n for n in z.namelist() if n.startswith("xl/worksheets/")]
+        assert len(sheets) == 3
+
+
 def test_regulatory_issues_example_runs_and_is_byte_stable(spark, tmp_path):
     """SURVEY §3 Report_Generator family end-to-end: two-source label ->
     per-(entity, topic) summarize + risk/uncertainty assessment (A13
