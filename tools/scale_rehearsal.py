@@ -601,6 +601,15 @@ def main() -> None:
                 row[f"r_{a}_{b}"] = round(r[b] / r[a], 2)
         err = {k: v for k, v in r.items() if k.startswith("err_")}
         row.update(err)
+        # a row with NO timing at any measured SF must say why (r10
+        # VERDICT: the artifact alone showed a hole, not a decision)
+        if not err and all(row.get(f"sf{sf}") is None for sf, _ in SFS):
+            row["skipped"] = (
+                "exempt-superlinear oracle tier, out of budget at these "
+                "SFs (BASELINE.md §D): " + EXEMPT_KNOWN_SUPERLINEAR[name]
+                if name in EXEMPT_KNOWN_SUPERLINEAR
+                else "not measured at these SFs"
+            )
         table.append(row)
 
     flagged, exempt_hits, floor_hits = compute_flags(table, results, steps)
