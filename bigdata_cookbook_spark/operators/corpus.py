@@ -93,9 +93,14 @@ def corpus_clean(
       The drop set is a SUBSET of the exact tier's (banding recall
       < 1 is the documented trade; verification guarantees no false
       drops), so accounting comparisons across tiers are one-sided by
-      construction. At the sf10 capstone scale the exact tier's
-      near-dup pass is the single largest marginal stage (105.6 s of
-      587 — BASELINE.md §J); this tier is the production answer.
+      construction. Measured recall on the real corpus at sf1
+      (tools/lsh_recall.py, BASELINE.md §K): drop recall 0.980 at
+      jaccard >= 0.5 and 1.0 at >= 0.7/0.8 with the defaults;
+      ``lsh_num_hashes=24`` is the recall knob (1.0 at every
+      threshold, 2x signature cost, verify stage unchanged). At the
+      sf10 capstone scale the exact tier's near-dup pass is the single
+      largest marginal stage (105.6 s of 587 — BASELINE.md §J); this
+      tier is the production answer.
     """
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
