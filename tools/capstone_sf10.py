@@ -61,7 +61,17 @@ def _tree_counts(root: str) -> dict[str, dict[str, int]]:
     return out
 
 
-def run_batch_capstone(spark, scratch: str) -> dict:
+def run_batch_capstone(spark, scratch: str, production: bool = False) -> dict:
+    """production=True flips the two switches a 100 TB run flips (r10
+    VERDICT item 2): near_dup="lsh" (MinHash band candidates + exact
+    verify — the linear funnel; requires jaccard_df_cap=None, the cap
+    applies only to the exact tier's inverted-index self-join) with
+    bloom_decontaminate kept True. Everything else identical to the
+    canonical run so the per-stage drop accounting is comparable; the
+    one expected difference is dropped_neardup (lsh drops are a
+    verified subset of the UNCAPPED exact tier's — one-sided by
+    construction) and the downstream stages' survivor-relative
+    counts."""
     from pyspark.sql import functions as F
 
     from bigdata_cookbook_spark.sources.testdata import load_table
@@ -119,12 +129,15 @@ def run_batch_capstone(spark, scratch: str) -> dict:
         dsir_target=dsir_target,
         dsir_keep_k=120_000,
         shard_bytes=32 << 20,
-        # the df-capped near-dup tier — REQUIRED at corpus scale per the
+        # production tier: the LSH near-dup funnel (cap must be None —
+        # the candidate verify is already bounded). Canonical tier: the
+        # df-capped exact form — REQUIRED at corpus scale per the
         # pretraining_pipeline docstring: the exact all-pairs form is
         # the documented quadratic oracle tier (SCALING.json exempt
         # list), and at sf10 its shingle-pair shuffle spill exceeds
         # local disk (measured: first run of this script died ENOSPC)
-        jaccard_df_cap=20,
+        near_dup="lsh" if production else "exact",
+        jaccard_df_cap=None if production else 20,
     )
     construct_wall = round(time.perf_counter() - t0, 1)
     ts_path = os.path.join(scratch, "training_set")
@@ -261,6 +274,14 @@ def main() -> None:
         if "batch" in phases:
             result["batch_pretraining_pipeline"] = run_batch_capstone(spark, scratch)
             print(json.dumps(result["batch_pretraining_pipeline"]), flush=True)
+        if "batch_production" in phases:
+            result["batch_pretraining_pipeline_production"] = run_batch_capstone(
+                spark, scratch, production=True
+            )
+            print(
+                json.dumps(result["batch_pretraining_pipeline_production"]),
+                flush=True,
+            )
         if "streaming" in phases:
             result["streaming_corpus_clean"] = run_streaming_capstone(spark, scratch)
             print(json.dumps(result["streaming_corpus_clean"]), flush=True)
