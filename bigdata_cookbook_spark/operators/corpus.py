@@ -172,6 +172,19 @@ def corpus_clean(
         cand = minhash_lsh_candidates(
             exact_kept, num_hashes=lsh_num_hashes, band_size=lsh_band_size
         )
+        # Materialize the candidate list once (lazy localCheckpoint —
+        # same precedent as graph.connected_components): the pair list
+        # itself is SMALL (bounded by banding collisions) but its
+        # lineage is the full MinHash banding DAG over the corpus, and
+        # the verify stage references it from three places (the
+        # candidate-doc corpus prune + both join sides) while the
+        # accounting pass and the kept/dropped splits each re-trigger
+        # it per action. Without this, the banding DAG re-executes
+        # multiplicatively: measured at the sf10 capstone, the
+        # dropped_neardup marginal was 491 s un-checkpointed vs the
+        # 46 s the isolated corpus_clean_lsh scaling row pays for one
+        # banding pass (BASELINE.md §K).
+        cand = cand.localCheckpoint(eager=False)
         pairs = jaccard_verify_pairs(
             exact_kept, cand, threshold=jaccard_threshold
         )
