@@ -131,6 +131,31 @@ def test_corpus_clean_lsh_near_dup_tier(spark, sf_dir):
     )
 
 
+def test_corpus_clean_lsh_candidates_checkpointed_once(spark, sf_dir):
+    """Round-11 pin: the LSH tier's candidate pair list must be
+    materialized (lazy localCheckpoint), not left as a lazy banding
+    DAG — the verify stage references it from three places and every
+    accounting action re-triggers it, which re-executed the banding
+    DAG multiplicatively at the sf10 capstone (491 s marginal vs 62 s
+    checkpointed, BASELINE.md section K). The checkpoint shows up as a
+    truncated ExistingRDD scan in the kept plan after an action, and
+    the banding lineage (the MinHashed band join) must NOT."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = corpus_clean(docs, near_dup="lsh")
+    # an action materializes the lazy checkpoint
+    lsh["dropped_neardup"].count()
+    plan = lsh["kept"]._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
+    # the banding DAG itself must be gone from the post-checkpoint
+    # lineage: the checkpoint truncates it to the opaque RDD scan, so
+    # the band/bucket columns of minhash_lsh_candidates never appear in
+    # the kept plan (they would if the lazy DAG were still inlined)
+    assert "band" not in plan.lower(), plan[:2000]
+
+
 def test_jaccard_verify_pairs_immune_to_duplicate_candidates(spark):
     """Round-10 self-review pin: a duplicated candidate pair must not
     inflate n_common through the expand join (jaccard could exceed 1
