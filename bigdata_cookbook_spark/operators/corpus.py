@@ -181,9 +181,10 @@ def corpus_clean(
         # accounting pass and the kept/dropped splits each re-trigger
         # it per action. Without this, the banding DAG re-executes
         # multiplicatively: measured at the sf10 capstone, the
-        # dropped_neardup marginal was 491 s un-checkpointed vs the
-        # 46 s the isolated corpus_clean_lsh scaling row pays for one
-        # banding pass (BASELINE.md §K).
+        # dropped_neardup marginal was 491 s un-checkpointed vs 62-68 s
+        # after; the isolated corpus_clean_lsh scaling row drops from
+        # 46.2 s (lazy DAG, banding re-run per reference) to 27.0 s
+        # first-run / 22.8 s steady (BASELINE.md §K).
         cand = cand.localCheckpoint(eager=False)
         pairs = jaccard_verify_pairs(
             exact_kept, cand, threshold=jaccard_threshold
