@@ -260,11 +260,16 @@ def main() -> None:
     spark = bench_session()
     spark.sparkContext.setLogLevel("ERROR")
     scratch = tempfile.mkdtemp(prefix="capstone_sf10_")
-    # SPARK_GRAFT_CAPSTONE_PHASES=batch,streaming — re-run one phase
-    # and merge into an existing artifact (each phase is ~15 min at
-    # sf10; no reason to pay for both when iterating on one)
+    # SPARK_GRAFT_CAPSTONE_PHASES=batch,batch_production,streaming —
+    # re-run one phase and merge into an existing artifact (each phase
+    # is ~15 min at sf10; no reason to pay for all when iterating on
+    # one). batch_production is in the default set so a bare
+    # regeneration never carries a stale production block next to
+    # fresh canonical rows.
     phases = set(
-        os.environ.get("SPARK_GRAFT_CAPSTONE_PHASES", "batch,streaming").split(",")
+        os.environ.get(
+            "SPARK_GRAFT_CAPSTONE_PHASES", "batch,batch_production,streaming"
+        ).split(",")
     )
     try:
         result = {"sf": 10, "sf_dir": SF10_DIR}

@@ -90,6 +90,11 @@ def main() -> None:
     cand = minhash_lsh_candidates(
         exact_kept, num_hashes=num_hashes, band_size=band_size
     )
+    # materialize the pair list once, exactly as corpus_clean's lsh
+    # tier does — without this the banding DAG re-executes through the
+    # verify stage's three references and lsh_tier_sec overstates the
+    # production tier's cost (recall values are unaffected either way)
+    cand = cand.localCheckpoint(eager=False)
     lsh_pairs = jaccard_verify_pairs(exact_kept, cand, threshold=t_min).cache()
     n_lsh = lsh_pairs.count()
     lsh_sec = time.time() - t0
