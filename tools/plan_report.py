@@ -164,10 +164,12 @@ EXCHANGE_CEILINGS = {
     "ngram_jaccard_capped": 6,
     # round 4 additions: gopher_repetition is the scan-shaped repetition
     # filter (its one exchange is the repartition spread); semantic_dedup
-    # is bucket-join (broadcast) + keep-rule anti-join (one hash exchange
-    # per anti-join side, AQE-coalesced)
+    # 2 -> 1 in round 11: the within-bucket prune moved from the
+    # bucket-join + keep-rule anti-join expression tier to one
+    # groupBy(bucket) applyInPandas GEMM kernel (guide §4.2) — the only
+    # exchange left is the bucket shuffle, each vector moves once
     "gopher_repetition": 1,
-    "semantic_dedup": 2,
+    "semantic_dedup": 1,
     # span_dedup: repartition spread, span-hash aggregate + keeper
     # join-back (one exchange per side of the span self-reference —
     # exchange reuse does not collapse across the join), reassemble
@@ -268,7 +270,13 @@ def summarize(plan: str) -> dict[str, object]:
     pushed_any = any(p.strip() for p in pushed)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     widths = [len(s.split(",")) if s else 0 for s in schemas]
-    python_eval = any("ArrowEvalPython" in n or "MapInPandas" in n or "BatchEvalPython" in n for n in nodes)
+    python_eval = any(
+        "ArrowEvalPython" in n
+        or "MapInPandas" in n
+        or "FlatMapGroupsInPandas" in n
+        or "BatchEvalPython" in n
+        for n in nodes
+    )
     # a BroadcastNestedLoopJoin is the deliberate tiny-broadcast cross
     # product (calendar spine x entity dim, corpus x query vectors) —
     # legitimate by construction. The unscalable shape is a NON-broadcast
