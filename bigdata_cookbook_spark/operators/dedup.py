@@ -983,7 +983,13 @@ def semantic_dedup(
     return _bucket_cosine_prune(b, id_col, threshold)
 
 
-def _bucket_cosine_prune(b: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _bucket_cosine_prune(
+    b: DataFrame,
+    id_col: str,
+    threshold: float,
+    row_block: int = 1024,
+    col_block: int = 8192,
+) -> DataFrame:
     """Shared within-bucket prune of the semantic dedup tiers: ``b`` is
     (id_col, __v array<double>, __n norm, bucket); drop any row whose
     cosine to a LOWER-id row of the same bucket reaches ``threshold``
@@ -1013,7 +1019,6 @@ def _bucket_cosine_prune(b: DataFrame, id_col: str, threshold: float) -> DataFra
     from pyspark.sql.types import StructType
 
     out_schema = StructType([b.schema[id_col], b.schema["bucket"]])
-    row_block, col_block = 1024, 8192
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -978,6 +978,66 @@ def test_semantic_dedup_auto_planes(spark):
     assert auto == pinned == est
 
 
+def test_bucket_cosine_prune_kernel_blocking_and_plan(spark):
+    """Round-11 GEMM-kernel internals of the semantic dedup prune: tiny
+    row/col blocks must agree with an unblocked brute-force pairwise
+    reference (ALL lower-id rows disqualify, kept or dropped), zero-norm
+    vectors drop via the NaN rule (matching the old expression tier's
+    NaN-greatest comparison), and the plan is one bucket exchange into
+    FlatMapGroupsInPandas with no join."""
+    import math
+
+    from bigdata_cookbook_spark.operators.dedup import _bucket_cosine_prune
+    from bigdata_cookbook_spark.plans.explain import explain_str
+
+    dim = 4
+    rows = []
+    for i in range(30):
+        v = [float((i * 13 + j * 7) % 9 - 4) for j in range(dim)]
+        rows.append((i, v, i % 2))
+    # two zero-norm vectors in bucket 0: id 30's cosine vs every earlier
+    # bucket-0 row is NaN (0/0) -> drops; id 31 likewise
+    rows.append((30, [0.0] * dim, 0))
+    rows.append((31, [0.0] * dim, 0))
+    b = spark.createDataFrame(
+        [
+            (i, v, math.sqrt(sum(x * x for x in v)), bkt)
+            for i, v, bkt in rows
+        ],
+        "vec_id long, __v array<double>, __n double, bucket int",
+    )
+    threshold = 0.3
+    out = _bucket_cosine_prune(
+        b, "vec_id", threshold, row_block=2, col_block=3
+    )
+    # capture the plan BEFORE executing: post-collect AQE explain prints
+    # final+initial sections and double-counts every node
+    plan = explain_str(out)
+    kept = {r["vec_id"]: r["bucket"] for r in out.collect()}
+
+    # brute-force reference: round-half-up(dot/(na*nb), 4) >= t, or NaN
+    def dropped(i, v, bkt):
+        for j, w, bk2 in rows:
+            if bk2 != bkt or j >= i:
+                continue
+            na = math.sqrt(sum(x * x for x in v))
+            nb = math.sqrt(sum(x * x for x in w))
+            if na * nb == 0.0:
+                return True  # NaN cosine -> drop, NaN-greatest rule
+            cos = sum(a * c for a, c in zip(v, w)) / (na * nb)
+            if math.floor(cos * 10.0**4 + 0.5) * 1e-4 >= threshold:
+                return True
+        return False
+
+    expect = {i: bkt for i, v, bkt in rows if not dropped(i, v, bkt)}
+    assert kept == expect
+    assert 30 not in kept and 31 not in kept
+    assert "FlatMapGroupsInPandas" in plan
+    # one Exchange node = two mentions in formatted output (tree + detail)
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
 def test_span_dedup_cross_document_removal(spark):
     from bigdata_cookbook_spark.operators.corpus import span_dedup
 
