@@ -551,6 +551,10 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates from MinHash(12 hashes) + LSH(6 bands × 2):
     pairs sharing any band bucket."""
     docs = load_table(spark, sf_dir, "documents")
+    # shingle explode + per-shingle md5 is a CPU-bound map battery, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11, measured
+    # 6.7 -> 2.5 s at sf1 where the cached scan is 2 partitions
+    docs = spread_for_cpu_bound(docs)
     return minhash_lsh_candidates(docs, num_hashes=12, band_size=2)
 
 
@@ -1631,6 +1635,10 @@ def q_sentence_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_tokens = 64
     docs = load_table(spark, sf_dir, "documents")
+    # the per-sentence aggregate fold is a CPU-bound HOF battery, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11,
+    # 9.5 -> ~1.2 s at sf1
+    docs = spread_for_cpu_bound(docs)
     sentences = F.transform(
         F.filter(
             F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(s)),
@@ -1850,6 +1858,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.functions.text import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
+    # the gram/md5/argmin selection is a CPU-bound HOF battery, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11, measured
+    # 11.3 -> 1.6 s at sf1 where the scan is 2 partitions
+    docs = spread_for_cpu_bound(docs)
     return winnow_fingerprints(docs, k=5, w=4)
 
 
@@ -1887,6 +1899,9 @@ def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.functions.text import html_to_text_expr
 
     docs = load_table(spark, sf_dir, "documents")
+    # regex-chain extraction is CPU-bound, so spread_for_cpu_bound
+    # (no-op on a wide scan): round 11, 2.7 -> ~0.4 s at sf1
+    docs = spread_for_cpu_bound(docs)
     html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
     return docs.select(
         "doc_id", html_to_text_expr(html).alias("text_extracted")
@@ -1968,6 +1983,9 @@ def q_line_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.functions.text import line_filter_exprs
 
     docs = load_table(spark, sf_dir, "documents")
+    # per-line regex rules are CPU-bound, so spread_for_cpu_bound
+    # (no-op on a wide scan): round 11, 3.1 -> ~0.4 s at sf1
+    docs = spread_for_cpu_bound(docs)
     d = F.col("doc_id")
     syn = F.concat_ws(
         "\n",
@@ -2024,6 +2042,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # the canonicalization regex chain is CPU-bound, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11
+    docs = spread_for_cpu_bound(docs)
     raw = docs.select("doc_id", _planted_url_expr().alias("url"))
     c = raw.withColumn("url_canonical", canonicalize_url_expr(F.col("url")))
     h = c.withColumn("host", url_host_expr(F.col("url_canonical")))
@@ -2154,6 +2175,11 @@ def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.selection import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
+    # the gram explode (fit) and the scoring fold are CPU-bound md5/HOF
+    # batteries, so spread_for_cpu_bound (no-op on a wide scan): round
+    # 11, 12.9 -> ~1.5 s at sf1. The scoring plan's only exchange is
+    # this round-robin spread, absent at scale.
+    docs = spread_for_cpu_bound(docs)
     target = docs.filter(F.col("lang") == "en")
     return dsir_select(
         docs, target, k=_DSIR_K, n_buckets=_DSIR_BUCKETS, mode="topk"
@@ -2176,6 +2202,9 @@ def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # same CPU-bound fit + scoring batteries as q_dsir_select_topk, same
+    # round-11 spread (no-op on a wide scan)
+    docs = spread_for_cpu_bound(docs)
     target = docs.filter(F.col("lang") == "en")
     lr = dsir_logratio_table(target, docs, n_buckets=_DSIR_BUCKETS)
     scores = dsir_scores_projected(docs, lr)
@@ -2337,6 +2366,10 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.functions.text import script_ratio_exprs
 
     docs = load_table(spark, sf_dir, "documents")
+    # per-script regexp_replace battery is CPU-bound, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11,
+    # 8.7 -> ~1.1 s at sf1
+    docs = spread_for_cpu_bound(docs)
     mixed = F.concat(F.col("text"), F.lit(_SCRIPT_SUFFIX))
     ratios = script_ratio_exprs(mixed)
     return docs.select(
@@ -2391,6 +2424,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # three regex token counters per doc are CPU-bound, so
+    # spread_for_cpu_bound (no-op on a wide scan): round 11
+    docs = spread_for_cpu_bound(docs)
     return docs.select(
         "doc_id",
         token_count_expr(F.col("text")).alias("n_tokens_ws"),
