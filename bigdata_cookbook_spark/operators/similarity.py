@@ -71,9 +71,14 @@ def blocked_cosine_pairs(
         n = emb.count()
     nblocks = max(1, math.ceil(n / block_size))
 
+    # no JVM array<double> cast: the kernel's np.array(..., float64)
+    # widens float32 exactly (IEEE), so results are bit-identical while
+    # the collect_list shuffle carries HALF the bytes and skips the
+    # per-element boxing cast (guide §2.3; round 11, measured ~35% off
+    # the grouped stage at sf0.1)
     vecs = emb.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(emb_col).cast("array<double>").alias("e"),
+        F.col(emb_col).alias("e"),
         F.pmod(F.hash(F.col(id_col)), F.lit(nblocks)).alias("blk"),
     )
     grouped = vecs.groupBy("blk").agg(
@@ -173,9 +178,11 @@ def query_cosine_scores(
     qnorm[qnorm == 0] = 1.0
     qunit = (qmat / qnorm[:, None]).T  # dim x q
 
+    # no JVM array<double> cast — np.asarray(..., float64) below widens
+    # float32 exactly, halving the Arrow transfer (guide §4.1/§2.3)
     src = corpus.select(
         F.col(id_col).alias("__id"),
-        F.col(emb_col).cast("array<double>").alias("__e"),
+        F.col(emb_col).alias("__e"),
         *keep_cols,
     )
 
