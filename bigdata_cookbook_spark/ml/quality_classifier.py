@@ -181,8 +181,22 @@ def quality_gate(
 ) -> DataFrame:
     """Score every document and keep those at or above ``threshold``
     (0.0 = the decision boundary; raise it for higher precision). A
-    map-only stage: filter fused into the scan, no shuffle."""
+    map-only stage: no shuffle of its own.
+
+    The score expression is anchored with a non-deterministic no-op
+    (``monotonically_increasing_id() * 0`` adds exactly 0) so the
+    optimizer can neither duplicate the fold into a pushed-down filter
+    nor push that filter below a caller's CPU-spread repartition.
+    Without the anchor, Catalyst substitutes the fold into the
+    predicate and pushes it under the exchange: the whole scoring fold
+    then runs at raw-scan parallelism AND a second time in the
+    projection above — measured 10.1 s vs 1.2 s at sf1 over a 2-split
+    scan spread to 32 cores (round 11; the guide §4.4 duplication, in
+    expression form). The anchor changes no value: x + 0 == x for
+    every double, and the filter semantics are unchanged."""
+    anchor = (F.monotonically_increasing_id() * F.lit(0)).cast("double")
     scored = docs.withColumn(
-        score_col, quality_score_expr(F.col(text_col), weights, intercept, salt)
+        score_col,
+        quality_score_expr(F.col(text_col), weights, intercept, salt) + anchor,
     )
     return scored.filter(F.col(score_col) >= threshold)
