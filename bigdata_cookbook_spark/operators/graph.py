@@ -219,10 +219,21 @@ def connected_components(
     escape hatch if a workload ever needs provable O(log^2 n) on
     adversarial topologies.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Pin the edge list ONCE before the loop: every round's neighbor
+    # join references it, and without the checkpoint the whole upstream
+    # candidate-generation DAG (e.g. the MinHash banding self-join) is
+    # lazily RE-EXECUTED per round — the same plan multiplication the
+    # round-10 corpus_clean LSH fix closed. Checkpointing the deduped
+    # directed list (half the symmetrized size) cut the sf1
+    # cluster_safe_split end-to-end fixpoint 117 s -> measured in
+    # OPTIMIZATION_r11.md; the loop's own labels checkpoint below was
+    # already doing this for the label lineage.
+    cand = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+    sym = cand.union(cand.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
     for _ in range(max_iter):
