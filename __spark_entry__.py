@@ -602,11 +602,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid search. TakeOrdered top-k, no global sort shuffle."""
     from bigdata_cookbook_spark.operators.retrieval import bm25_topk
 
-    # no defensive repartition: the base frame feeds two branches (hits
-    # + the stats aggregate), so a repartition would be recomputed per
-    # branch — two raw-text shuffles for a corpus this size; at scale
-    # scan parallelism comes from file splits (maxPartitionBytes)
-    docs = load_table(spark, sf_dir, "documents")
+    # round 11: the spread is affordable now — bm25_scores materializes
+    # its narrow tf table (lazy localCheckpoint), so the repartition +
+    # tokenize run ONCE, not once per branch (the old comment's reason
+    # for skipping it); at scale the spread is a no-op (file splits)
+    docs = spread_for_cpu_bound(load_table(spark, sf_dir, "documents"))
     return bm25_topk(docs, ["spark", "window", "merge"], k=20)
 
 
@@ -620,7 +620,9 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_cookbook_spark.operators.retrieval import bm25_scores, rrf_fuse
     from bigdata_cookbook_spark.operators.similarity import query_cosine_scores
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread affordable since round 11: bm25_scores checkpoints its
+    # narrow tf table, so the raw-text exchange is paid once
+    docs = spread_for_cpu_bound(load_table(spark, sf_dir, "documents"))
     lex = bm25_scores(docs, ["spark", "window", "merge"])
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     lex_r = (

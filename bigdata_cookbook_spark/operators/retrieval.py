@@ -5,11 +5,14 @@ reference query_builder.py Keyword/Any) to ranked retrieval: the
 standard first-stage ranker in front of embedding rerank (Q1/Q11), and
 the lexical half of hybrid search.
 
-Plan shape (round 3 — two shuffles total, no recomputed aggregates):
+Plan shape (round 3 — two shuffles total, no recomputed aggregates;
+round 11 — tokenize ONCE, period):
     scan -> tokenize ONCE -> per-term tf as column expressions
       (the query term set is a small literal, so tf_t is
        size(toks) - size(array_remove(toks, t)) — a narrow projection;
        no explode, no shuffle keyed by (doc, term) at all)
+    -> lazy localCheckpoint of that NARROW table (id, dl, tf0..tfk —
+       a few ints/doc, guide §8's "decision pass over small rows")
     -> corpus+term stats (N, avgdl, df per term) in ONE single-row
        conditional aggregate, broadcast back            [Exchange 1]
     -> hits explode (bounded: matching docs x |terms|) -> score
@@ -17,11 +20,16 @@ Plan shape (round 3 — two shuffles total, no recomputed aggregates):
 The earlier design aggregated tf per (doc, term) and then aggregated
 that again for df — Catalyst recomputed the whole explode+shuffle
 subtree for the second aggregate (8 exchanges measured). Expressing tf
-as per-term columns removes both shuffles; the only duplicated work
-left is the tokenize projection feeding the stats aggregate, which is
-a narrow scan-side pass (no shuffle), the declarative alternative to
-materializing with cache()/localCheckpoint — kept declarative so the
-operator stays a pure DataFrame transform with no hidden jobs.
+as per-term columns removes both shuffles. Round 11 closes the last
+duplicated work: the tokenize projection fed BOTH the stats aggregate
+(through the broadcast build job) and the hits path, so every corpus
+byte was read and analyzed twice. The narrow tf table is now
+materialized once (localCheckpoint, lazy — no job until the first
+action; same pattern as corpus.py's candidate list): at 100 TB this
+trades ~tens of bytes/doc of executor storage for a full second
+read+tokenize of the corpus. Non-fault-tolerant like every
+localCheckpoint — a lost executor re-fails the query; acceptable for
+a two-job query, same trade the CC fixpoint documents.
 At 100 TB the wide operations are: one tiny single-row aggregate and
 one sum keyed by doc id — both map-side combined and skew-free. An
 inverted-index layout (bucketed on term) is the next tier, per
@@ -110,6 +118,11 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     )
+    # materialize the narrow tf table ONCE (lazy: the stats broadcast
+    # build is the first action and pays it); without this the tokenize
+    # pass above re-executes for the hits branch — two full corpus
+    # reads for one query (module docstring, round-11 change)
+    base = base.localCheckpoint(eager=False)
 
     # one single-row aggregate carries the corpus stats (N, avgdl) AND
     # the per-term document frequencies — broadcast back to the hits
@@ -267,6 +280,12 @@ def tfidf_top_terms(
     term skew ("the") is absorbed by the map-side combines on both
     groupBys — the join sees each term once per document, and AQE
     handles residual join skew.
+
+    Round 11 (measured, left alone): a spread_for_cpu_bound on the
+    tokenize+explode side was A/B-tested at sf1 — 3.02 s unspread vs
+    3.19 s spread (paired min-of-4) — a wash, because the (doc, term)
+    exchange and the term join dominate, not the analyzer battery; the
+    spread's raw-text exchange buys nothing here. Kept unspread.
     """
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")

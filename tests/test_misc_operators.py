@@ -346,6 +346,37 @@ def test_bm25_hand_computed(spark):
     assert [r["rank"] for r in top] == [1, 2]
 
 
+def test_bm25_single_tokenize_pass_checkpoint(spark):
+    """Round-11 optimization pin: bm25_scores materializes its narrow
+    tf table (lazy localCheckpoint), so BOTH consumers — the stats
+    broadcast build and the hits path — read the SAME checkpointed RDD
+    and the tokenize projection appears nowhere in the physical plan
+    (it ran once, inside the checkpoint). Before the change the plan
+    carried two copies of the tokenize+array_remove battery — two full
+    corpus reads per query."""
+    from bigdata_cookbook_spark.operators.retrieval import bm25_scores
+    from bigdata_cookbook_spark.plans.explain import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"spark row {i}") for i in range(20)], "doc_id int, text string"
+    )
+    plan = explain_str(bm25_scores(docs, ["spark"]))
+    # the tokenize/tf battery is fully behind the checkpoint
+    assert "array_remove" not in plan, plan
+    # both branches scan the checkpointed RDD — two ExistingRDD scans,
+    # one shared MapPartitionsRDD (the localCheckpoint target); count
+    # the formatted detail entries ("(n) Scan ExistingRDD"), which list
+    # each node exactly once
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[\d+\]", plan))
+    assert len(rdd_ids) == 1, rdd_ids
+    # and the values are unchanged by the materialization
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert len(out) == 20
+
+
 def test_bm25_analyzer_punctuation_case(spark):
     """The retrieval analyzer makes "Spark," / "SPARK!" / "spark" one
     term, and a hyphenated query term contributes each analyzed word;
