@@ -2101,13 +2101,21 @@ def q_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cap = 40
-    docs = load_table(spark, sf_dir, "documents")
+    # round 11: spread the scan for the canonicalize/domain regex chain
+    # (no-op at cluster scale), and materialize the narrow (doc_id,
+    # domain, blocked) table with a lazy localCheckpoint — `d` feeds
+    # BOTH the rank path and the final join-back, so without it the
+    # regex chain re-executes per branch (same two-consumer shape as
+    # bm25_scores). Measured 5.06 -> 1.13 s at sf1 (noop, min-of-3,
+    # paired same-session runs).
+    docs = spread_for_cpu_bound(load_table(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         registered_domain_expr(
             url_host_expr(canonicalize_url_expr(_planted_url_expr()))
         ).alias("domain"),
     ).withColumn("blocked", F.col("domain") == F.lit("news-site.com"))
+    d = d.localCheckpoint(eager=False)
     bucket = (F.col("doc_id") % 16).cast("int")
     local = F.row_number().over(
         Window.partitionBy("domain", bucket).orderBy("doc_id")
@@ -2310,7 +2318,11 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_symbols_expr,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # round 11: spread the scan — the tokenize+explode battery feeding
+    # the word histogram otherwise runs at raw-scan width (single
+    # consumer, so no recompute concern); measured 1.42 -> 0.64 s sf1
+    # (noop, min-of-3, paired same-session runs)
+    docs = spread_for_cpu_bound(load_table(spark, sf_dir, "documents"))
     wf = word_freq_table(docs)
     syms = wf.select("freq", word_symbols_expr(F.col("word")).alias("symbols"))
     return (

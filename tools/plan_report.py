@@ -141,8 +141,10 @@ EXCHANGE_CEILINGS = {
     "dsir_select_topk": 1,  # round 11: +1 spread
     "dsir_gumbel_sample": 1,  # round 11: +1 spread
     # round 8: BPE pair statistics — word-histogram aggregate (map-side
-    # combine absorbs Zipf skew) + pair aggregate; top-k is TakeOrdered
-    "bpe_pair_counts": 2,
+    # combine absorbs Zipf skew) + pair aggregate; top-k is TakeOrdered.
+    # round 11: +1 spread exchange (local-only, see note above ceilings;
+    # plans/r11/bpe_pair_counts_{before,after}.txt) — 1.42 -> 0.64 s sf1
+    "bpe_pair_counts": 3,
     # 2 -> 6 in round 4: the registry query's eval set scales with the
     # corpus (doc_id % 7), so it now runs contamination_pairs'
     # broadcast_eval=False tier (round-3 ADVICE honesty item): both
