@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_cookbook_spark.functions.text import shingles_from_tokens, tokens_expr
+from bigdata_cookbook_spark.sources.testdata import spread_for_cpu_bound
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -350,10 +351,22 @@ def build_shingle_bloom(
     ``bits_per_item`` bits per distinct shingle (capped at ``max_bits``;
     12 bits/item at k=5 gives ~0.5% false positives, and saturating the
     cap only degrades prefilter selectivity, never correctness)."""
+    # round 11: the shingle battery (tokenize + gram build + hash) is
+    # CPU-bound and this builder runs TWO jobs over it (the count that
+    # sizes m, then the bit positions) — spread the eval scan
+    # (conditional; a no-op at cluster scale) and materialize the
+    # distinct hash set once with a localCheckpoint so the second job
+    # reads ~8 bytes/shingle instead of re-shingling. n_items, m and
+    # every bloom bit are unchanged. Measured 4.14 -> 2.66 s at sf1
+    # (min-of-3, 350k distinct shingles).
     sh = (
-        doc_shingles(eval_df, text_col, id_col, n, repartition=False)
+        doc_shingles(
+            spread_for_cpu_bound(eval_df), text_col, id_col, n,
+            repartition=False,
+        )
         .select(F.xxhash64("shingle").alias("sh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_items = sh.count()
     m = 2048

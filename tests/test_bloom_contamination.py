@@ -250,3 +250,53 @@ def test_contamination_report_tie_break_smallest_id(spark):
     row = contamination_report(docs, ev, n=8, threshold=0.5).collect()[0]
     assert row["n_flagged"] == 2 and row["max_containment"] == 1.0
     assert row["top_train_id"] == 4
+
+
+def test_bloom_build_bit_identical_to_reference(spark):
+    """Round-11 optimization pin: build_shingle_bloom spreads the eval
+    scan and materializes the distinct shingle-hash set once (lazy
+    localCheckpoint) so the m-sizing count and the bit-position job
+    share one shingle pass — and the RESULT may not move a bit: words,
+    m, k and n_items must equal a brute-force reference built from the
+    collected distinct hashes with the same xxhash64 re-keying."""
+    ev = _docs(
+        spark,
+        [(i, f"doc{i} alpha beta gamma delta epsilon zeta eta theta i{i}")
+         for i in range(25)],
+    )
+    bloom = build_shingle_bloom(ev, n=8, bits_per_item=12, n_hashes=5)
+
+    hashes = [
+        r.sh
+        for r in doc_shingles(ev, "text", "doc_id", 8, repartition=False)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .collect()
+    ]
+    assert bloom.n_items == len(hashes)
+    m = 2048
+    while m < 12 * max(len(hashes), 1):
+        m <<= 1
+    assert bloom.m == m
+    # reference bit positions via the same JVM xxhash64(sh, i) re-keying
+    pos_rows = (
+        spark.createDataFrame([(h,) for h in hashes], "sh long")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(F.col("sh"), F.lit(i)).bitwiseAND(
+                            F.lit(m - 1)
+                        )
+                        for i in range(5)
+                    ]
+                )
+            ).alias("p")
+        )
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        words[r.p >> 6] |= 1 << (r.p & 63)
+    signed = tuple(w - (1 << 64) if w >= 1 << 63 else w for w in words)
+    assert bloom.words == signed

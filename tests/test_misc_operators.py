@@ -377,6 +377,40 @@ def test_bm25_single_tokenize_pass_checkpoint(spark):
     assert len(out) == 20
 
 
+def test_tfidf_single_tokenize_pass_checkpoint(spark):
+    """Round-11 optimization pin: tfidf_top_terms materializes its
+    collapsed (doc, term, tf) table once (lazy localCheckpoint), so the
+    df aggregate and the join's left side read the SAME checkpointed
+    RDD — before the change the optimizer pruned tf's count from the
+    df branch (turning its pre-shuffle aggregate into a bare distinct),
+    ReuseExchange could not match the two subtrees, and the
+    tokenize+explode corpus pass ran twice."""
+    import re
+
+    from bigdata_cookbook_spark.operators.retrieval import tfidf_top_terms
+    from bigdata_cookbook_spark.plans.explain import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta word{i}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    plan = explain_str(tfidf_top_terms(docs, k=2))
+    # the tokenize+explode battery is fully behind the checkpoint: the
+    # two checkpoint consumers scan ONE shared localCheckpoint RDD (the
+    # third ExistingRDD scan is the column-pruned N count over the
+    # local-relation source), and explode appears at most once (inside
+    # the checkpointed subtree's own lineage, never duplicated)
+    cp_ids = re.findall(r"MapPartitionsRDD\[\d+\] at localCheckpoint", plan)
+    assert len(cp_ids) == 2, plan
+    assert len(set(cp_ids)) == 1, cp_ids
+    assert len(re.findall(r"explode", plan)) <= 1, plan
+    # and the values are unchanged by the materialization
+    rows = tfidf_top_terms(docs, k=2).collect()
+    assert {r["doc_id"] for r in rows} == set(range(20))
+    for r in rows:
+        assert r["rank"] in (1, 2)
+
+
 def test_bm25_analyzer_punctuation_case(spark):
     """The retrieval analyzer makes "Spark," / "SPARK!" / "spark" one
     term, and a hyphenated query term contributes each analyzed word;

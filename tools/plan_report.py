@@ -104,7 +104,11 @@ EXCHANGE_CEILINGS = {
     # the per-doc top-k window; the corpus-N crossJoin is the one-row
     # broadcast stats pattern (BM25's shape) — a BroadcastNestedLoopJoin
     # over a single-row side, never fact-fact.
-    "tfidf_top_terms": 5,
+    # round 11: 5 -> 3 — the collapsed (doc, term, tf) table is
+    # localCheckpointed once, so the df-aggregate branch no longer
+    # carries its own scan+explode+distinct exchange pair
+    # (plans/r11/tfidf_top_terms_{before,after}.txt; 2.26 -> 1.26 s sf1)
+    "tfidf_top_terms": 3,
     # round-6 second wave. contamination_bloom = the exact tier's
     # shuffle plan (its verify join) + the prefilter's flagged-id
     # distinct and semi-join; the k bloom PROBES themselves are
