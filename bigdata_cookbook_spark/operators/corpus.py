@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from bigdata_cookbook_spark.functions.text import quality_exprs
 from bigdata_cookbook_spark.operators.dedup import ngram_jaccard_pairs
+from bigdata_cookbook_spark.sources.testdata import spread_for_cpu_bound
 
 
 def corpus_clean(
@@ -102,6 +103,10 @@ def corpus_clean(
       largest marginal stage (105.6 s of 587 — BASELINE.md §J); this
       tier is the production answer.
     """
+    # round 11: spread the scan for the quality battery (token split +
+    # stopword fold per document; conditional — a no-op at cluster
+    # scale where file splits provide the parallelism)
+    docs = spread_for_cpu_bound(docs)
     feats = quality_exprs(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -143,8 +148,23 @@ def corpus_clean(
         )
         passed = passed.filter(rep_keep)
 
+    # round 11 (guide §3.3, the bm25/tfidf two-consumer fix applied to
+    # the pipeline spine): `passed` feeds the canon groupBy AND the
+    # keeper semi-join, and `exact_kept` feeds the near-dup tier's
+    # shingle index (twice, via the self-join) AND the final anti-join
+    # — without materialization the scan + quality battery + exact
+    # dedup re-execute once per consumer. Two lazy localCheckpoints
+    # truncate the lineage at both fan-out points: measured 5.40 ->
+    # 2.05 s at sf1 (fresh DataFrame per rep, exact tier; the spread
+    # above contributes only jointly with these — A/B'd separately).
+    # Storage trade at 100 TB: two materializations of the survivor
+    # corpus (MEMORY_AND_DISK); a production run that wants durability
+    # instead should stage the survivors through
+    # plans/checkpoint.stage_checkpoint — same pattern, parquet-backed.
+    passed = passed.localCheckpoint(eager=False)
     canon = passed.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = passed.join(canon.select("doc_id"), "doc_id", "left_semi")
+    exact_kept = exact_kept.localCheckpoint(eager=False)
     dropped_exact = passed.join(canon.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id"
     )

@@ -156,6 +156,36 @@ def test_corpus_clean_lsh_candidates_checkpointed_once(spark, sf_dir):
     assert "band" not in plan.lower(), plan[:2000]
 
 
+def test_corpus_clean_spine_checkpointed_no_rescans(spark, sf_dir):
+    """Round-11 optimization pin: corpus_clean materializes its spine
+    at both fan-out points (after the quality filter, after the
+    exact-dedup keeper join), so the kept plan reads checkpointed RDDs
+    and contains ZERO parquet scans — before the change the scan +
+    quality battery + exact dedup re-executed once per consumer (12
+    parquet scans in the kept plan at the registry configuration)."""
+    from bigdata_cookbook_spark.operators.corpus import corpus_clean
+    from bigdata_cookbook_spark.plans.explain import explain_str
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_clean(docs)
+    plan = explain_str(out["kept"])
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "localCheckpoint" in plan, plan[:2000]
+    # the kept plan reads ONE checkpoint (the exact-dedup keeper set;
+    # the quality-spine checkpoint sits inside its truncated lineage)
+    import re
+
+    cp_ids = set(re.findall(r"MapPartitionsRDD\[\d+\] at localCheckpoint", plan))
+    assert len(cp_ids) == 1, cp_ids
+    # the quality-spine checkpoint is visible where `passed` is
+    # consumed directly: the exact-drop accounting output
+    de_plan = explain_str(out["dropped_exact"])
+    assert "Scan parquet" not in de_plan, de_plan[:2000]
+    de_ids = set(re.findall(r"MapPartitionsRDD\[\d+\] at localCheckpoint", de_plan))
+    assert len(de_ids) == 1 and de_ids != cp_ids, (de_ids, cp_ids)
+
+
 def test_jaccard_verify_pairs_immune_to_duplicate_candidates(spark):
     """Round-10 self-review pin: a duplicated candidate pair must not
     inflate n_common through the expand join (jaccard could exceed 1
