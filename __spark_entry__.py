@@ -2484,7 +2484,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-local statistics). The filter tier must stay a scan at 100 TB."""
     from bigdata_cookbook_spark.functions.text import (
         repetition_keep_expr,
-        repetition_metrics_struct,
+        repetition_stats_kernel,
         tokens_expr,
     )
 
@@ -2492,26 +2492,34 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_cpu_bound(docs)
     toksed = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
-    ).where(F.size("toks") >= 10)
-    # ONE struct column with shared gram construction (2-grams built
-    # once, 3/4/5-grams derived incrementally, 10-grams by doubling the
-    # 5-grams), bound in its own select; the next projection extracts
-    # fields (cheap GetStructField — CollapseProject won't re-inline a
-    # multi-referenced expensive alias)
-    names = [f"top{n}gram_char_frac" for n in (2, 3, 4)] + [
-        f"dup{n}gram_char_frac" for n in (5, 10)
-    ]
-    withm = toksed.select(
-        "doc_id", repetition_metrics_struct(F.col("toks")).alias("__m")
     )
+    # round 11 (guide §4.2): the per-size gram statistics — exact
+    # INTEGER character counts — come from the Arrow-batched NumPy
+    # kernel (repetition_stats_kernel) instead of the interpreted
+    # array_sort + aggregate fold (HOFs are CodegenFallback; measured
+    # 4.8 -> 1.2 s at sf1). The size(toks) >= 10 row filter moved
+    # INSIDE the kernel (min_tokens=10, Python len of the same array —
+    # exact parity) so pushdown cannot duplicate the tokenize split
+    # below the spread exchange. Every division and ROUND stays a JVM
+    # expression below, so the metric VALUES are bit-identical to the
+    # expression tier (pytest-pinned against repetition_metrics_struct
+    # on randomized docs).
+    stats = repetition_stats_kernel(toksed, min_tokens=10)
+    metric = {}
+    for n in (2, 3, 4):
+        metric[f"top{n}gram_char_frac"] = F.round(
+            F.col(f"best_{n}") / F.nullif(F.col(f"tot_{n}"), F.lit(0)), 4
+        )
+    for n in (5, 10):
+        metric[f"dup{n}gram_char_frac"] = F.round(
+            F.col(f"dup_{n}") / F.nullif(F.col(f"tot_{n}"), F.lit(0)), 4
+        )
     # no orderBy: the driver compare is order-insensitive and a global
     # sort would add a pointless range exchange to a scan-shaped plan
-    return withm.select(
+    return stats.select(
         "doc_id",
-        *[F.col("__m")[k].alias(k) for k in names],
-        repetition_keep_expr(
-            {k: F.col("__m")[k] for k in names}
-        ).alias("keep"),
+        *[c.alias(k) for k, c in metric.items()],
+        repetition_keep_expr(metric).alias("keep"),
     )
 
 

@@ -725,6 +725,204 @@ def repetition_metrics_struct(
     return build(0, {})
 
 
+def repetition_stats_kernel(
+    toksed,
+    ns: tuple[int, ...] = (2, 3, 4, 5, 10),
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    min_tokens: int | None = None,
+):
+    """Per-document Gopher repetition INTEGER statistics — best / dup /
+    tot n-gram character counts per size — as one Arrow-batched
+    ``mapInPandas`` kernel (guide §4.2: hand whole batches to
+    vectorized native code), replacing the interpreted
+    ``array_sort`` + ``F.aggregate`` run-length fold of
+    ``_gram_char_stats`` that dominated the repetition tier's scan
+    (higher-order functions are CodegenFallback; measured ~4x on the
+    registry query at sf1).
+
+    Returns (id_col, best_{n}, dup_{n}, tot_{n} ... per n) — LONGS
+    only. The metric VALUES (``round(best/tot, 4)`` etc.) must keep
+    being computed in JVM expressions by the caller, so every division
+    and ROUND half-up happens exactly where the expression tier did it
+    and the oracle contract cannot drift: the kernel moves only
+    exact-integer character counting across the boundary
+    (equality of Python ``len``/``str`` with JVM
+    ``length``/``UTF8String`` equality: both count code points and
+    compare code-point sequences; tokens cannot contain the ``" "``
+    join delimiter, so id-tuple equality == joined-gram equality).
+
+    Algorithm per batch (all NumPy/pandas C paths, no per-row Python):
+    tokens of every document are concatenated and factorized to int
+    codes once; gram codes are built INCREMENTALLY per size (extend by
+    one token, re-ranked per level so products stay in int64; 10-grams
+    double the 5-grams) — the same shared-construction chain as
+    ``repetition_metrics_struct``; per-(doc, gram) counts come from one
+    sorted ``np.unique`` per size over (doc, gram-rank) keys; gram
+    char lengths are prefix-sum differences of token lengths. A row
+    with fewer than n tokens yields (0, 0, 0) for that n — identical
+    to the expression fold over an empty gram array, so the caller's
+    ``nullif(tot, 0)`` produces the same NULLs.
+
+    ``min_tokens`` drops rows with fewer tokens INSIDE the kernel
+    (Python ``len`` of the very same array a JVM ``size(toks) >= k``
+    filter would measure — exact parity by construction). Use it
+    instead of a pre-filter: predicate pushdown would otherwise push
+    the size filter below the CPU-spread exchange and evaluate the
+    tokenize split twice (once at raw-scan width under the filter,
+    once in the projection feeding the kernel).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark_ns = list(ns)
+    fields = [StructField(id_col, LongType())]
+    for n in spark_ns:
+        for stat in ("best", "dup", "tot"):
+            fields.append(StructField(f"{stat}_{n}", LongType()))
+    schema = StructType(fields)
+
+    # binding plan mirroring repetition_metrics_struct: base 2-grams,
+    # extend 3/4/5, double 5 -> 10
+    sizes = sorted(set(spark_ns))
+
+    def run(it):
+        for pdf in it:
+            d = len(pdf)
+            if d == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="int64") for f in fields}
+                )
+                continue
+            toks_arrs = [
+                np.asarray(a, dtype=object) for a in pdf[toks_col].values
+            ]
+            doc_lens = np.array([len(a) for a in toks_arrs], dtype=np.int64)
+            ids = pdf[id_col].values
+            if min_tokens is not None:
+                keep_m = doc_lens >= min_tokens
+                if not keep_m.all():
+                    toks_arrs = [
+                        a for a, k in zip(toks_arrs, keep_m) if k
+                    ]
+                    doc_lens = doc_lens[keep_m]
+                    ids = ids[keep_m]
+                    d = len(toks_arrs)
+                    if d == 0:
+                        yield pd.DataFrame(
+                            {
+                                f.name: pd.Series(dtype="int64")
+                                for f in fields
+                            }
+                        )
+                        continue
+            flat = (
+                np.concatenate(toks_arrs)
+                if len(toks_arrs) > 1
+                else toks_arrs[0]
+            )
+            t = len(flat)
+            out = {id_col: ids}
+            if t == 0:
+                z = np.zeros(d, dtype=np.int64)
+                for n in spark_ns:
+                    for stat in ("best", "dup", "tot"):
+                        out[f"{stat}_{n}"] = z
+                yield pd.DataFrame(out)
+                continue
+            codes, _u = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            tok_len = np.fromiter(
+                (len(s) for s in flat), dtype=np.int64, count=t
+            )
+            cum = np.concatenate(([0], np.cumsum(tok_len)))
+            starts = np.concatenate(([0], np.cumsum(doc_lens)))
+            doc_of = np.repeat(np.arange(d, dtype=np.int64), doc_lens)
+            # tokens remaining in the document from position i (incl. i)
+            rem = np.repeat(starts[1:], doc_lens) - np.arange(t)
+
+            def shifted(arr, k):
+                # arr[i + k], padded with 0 past the end (never read at
+                # a valid position: validity requires rem[i] >= n)
+                if k == 0:
+                    return arr
+                pad = np.zeros(k, dtype=np.int64)
+                return np.concatenate((arr[k:], pad))
+
+            def rerank(raw):
+                # compress level codes to 0..K-1 so products stay small
+                _uu, inv = np.unique(raw, return_inverse=True)
+                return inv.astype(np.int64), len(_uu)
+
+            level = {1: (codes, int(codes.max()) + 1)}
+            built = [1]
+            chain = []
+            for n in sizes:
+                if n in built:
+                    continue
+                if n % 2 == 0 and n // 2 in built:
+                    chain.append(("double", n))
+                    built.append(n)
+                else:
+                    cur = max(b for b in built if b < n)
+                    while cur < n:
+                        cur += 1
+                        chain.append(("extend", cur))
+                        built.append(cur)
+            for op, n in chain:
+                if op == "double":
+                    g, k = level[n // 2]
+                    raw = g * k + shifted(g, n // 2)
+                else:
+                    g, k = level[n - 1]
+                    kt = level[1][1]
+                    raw = g * kt + shifted(codes, n - 1)
+                level[n] = rerank(raw)
+
+            for n in spark_ns:
+                g, k = level[n]
+                valid = np.flatnonzero(rem >= n)
+                best = np.zeros(d, dtype=np.int64)
+                dup = np.zeros(d, dtype=np.int64)
+                tot = np.zeros(d, dtype=np.int64)
+                if len(valid):
+                    glen = cum[valid + n] - cum[valid] + (n - 1)
+                    docs_v = doc_of[valid]
+                    # weighted bincount sums are float64 — exact here
+                    # (per-doc char totals are far below 2^53)
+                    tot += np.bincount(
+                        docs_v, weights=glen, minlength=d
+                    ).astype(np.int64)
+                    key = docs_v * k + g[valid]
+                    _uk, first, counts = np.unique(
+                        key, return_index=True, return_counts=True
+                    )
+                    weight = counts * glen[first]
+                    docs_u = docs_v[first]
+                    # unique keys are (doc, rank)-sorted, so docs_u is
+                    # non-decreasing: segmented max via reduceat
+                    seg = np.flatnonzero(np.diff(docs_u)) + 1
+                    seg_starts = np.concatenate(([0], seg))
+                    best[docs_u[seg_starts]] = np.maximum.reduceat(
+                        weight, seg_starts
+                    )
+                    multi = counts > 1
+                    if multi.any():
+                        dup += np.bincount(
+                            docs_u[multi],
+                            weights=weight[multi],
+                            minlength=d,
+                        ).astype(np.int64)
+                out[f"best_{n}"] = best
+                out[f"dup_{n}"] = dup
+                out[f"tot_{n}"] = tot
+            yield pd.DataFrame(out)
+
+    return toksed.select(id_col, toks_col).mapInPandas(run, schema=schema)
+
+
 def let_bound(value: Column, body) -> Column:
     """Let-binding for column expressions: evaluate ``value`` ONCE per
     row and pass it to ``body`` as a bound lambda variable —

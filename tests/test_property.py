@@ -407,3 +407,97 @@ def test_repetition_metrics_null_below_precondition(spark):
     # compute and fail a threshold) — never True, never an error
     assert out[1]["keep"] is not True
     assert out[2]["keep"] is not None
+
+
+def test_repetition_stats_kernel_matches_expression_tier(spark):
+    """Round-11 optimization pin: the Arrow-batched NumPy kernel
+    (repetition_stats_kernel) must produce bit-identical INTEGER
+    best/dup/tot gram-char stats — and therefore bit-identical rounded
+    metrics — to the JVM expression tier (repetition_metrics_struct)
+    on randomized documents: heavy-dup and all-distinct extremes,
+    multi-char/Unicode tokens, several docs per Arrow batch (counting
+    isolation), and rows shorter than an n (0/0/0 -> NULL parity)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        repetition_metrics_struct,
+        repetition_stats_kernel,
+        tokens_expr,
+    )
+
+    rng = random.Random(4242)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "héllo", "naïve", "日本語"]
+    rows = []
+    for i in range(80):
+        eff = vocab[: rng.randint(1, len(vocab))]
+        rows.append(
+            (i, " ".join(rng.choice(eff) for _ in range(rng.randint(10, 45))))
+        )
+    # boundary rows: exactly 10 tokens (one 10-gram), near-duplicates
+    rows.append((900, " ".join(["aa"] * 10)))
+    rows.append((901, " ".join(f"t{j}" for j in range(10))))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toksed = df.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 10)
+
+    ns = (2, 3, 4, 5, 10)
+    names = [f"top{n}gram_char_frac" for n in ns] + [
+        f"dup{n}gram_char_frac" for n in ns
+    ]
+    # kernel path, rounded by the SAME JVM expressions the query uses
+    stats = repetition_stats_kernel(toksed, ns=ns)
+    kern_metrics = stats.select(
+        "doc_id",
+        *[
+            F.round(
+                F.col(f"best_{n}") / F.nullif(F.col(f"tot_{n}"), F.lit(0)), 4
+            ).alias(f"top{n}gram_char_frac")
+            for n in ns
+        ],
+        *[
+            F.round(
+                F.col(f"dup_{n}") / F.nullif(F.col(f"tot_{n}"), F.lit(0)), 4
+            ).alias(f"dup{n}gram_char_frac")
+            for n in ns
+        ],
+    )
+    kern = {r["doc_id"]: r for r in kern_metrics.collect()}
+
+    st = repetition_metrics_struct(F.col("toks"), top_ns=ns, dup_ns=ns)
+    expr = {
+        r["doc_id"]: r
+        for r in toksed.select("doc_id", st.alias("__m"))
+        .select("doc_id", *[F.col("__m")[k].alias(k) for k in names])
+        .collect()
+    }
+    assert set(kern) == set(expr) and len(kern) >= 80
+    for i in kern:
+        for k in names:
+            # exact double equality (or both NULL): both sides divide
+            # the same longs and round in the JVM
+            assert kern[i][k] == expr[i][k] or (
+                kern[i][k] is None and expr[i][k] is None
+            ), (i, k, kern[i][k], expr[i][k])
+
+    # the in-kernel min_tokens filter == a JVM size(toks) >= k filter:
+    # same surviving ids, same stats (Python len of the same array)
+    unfiltered = df.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    via_kernel = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_stats_kernel(
+            unfiltered, ns=ns, min_tokens=10
+        ).collect()
+    }
+    via_jvm_filter = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_stats_kernel(
+            unfiltered.where(F.size("toks") >= 10), ns=ns
+        ).collect()
+    }
+    assert via_kernel == via_jvm_filter
