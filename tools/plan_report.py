@@ -99,7 +99,11 @@ EXCHANGE_CEILINGS = {
     # picks SMJ at corpus scale — the keys are the exchanges already
     # counted). The keeper groupBy's map-side combine is the operator's
     # anti-skew contract.
-    "paragraph_dedup": 2,
+    # round 11: 2 -> 3 — totals now derive from the checkpointed
+    # paragraph table via a (id, pos)-int groupBy (one tiny exchange)
+    # instead of a third full corpus split scan
+    # (plans/r11/paragraph_dedup_{before,after}.txt)
+    "paragraph_dedup": 3,
     # round 6: tf groupBy, df groupBy, the term join's two sides, and
     # the per-doc top-k window; the corpus-N crossJoin is the one-row
     # broadcast stats pattern (BM25's shape) — a BroadcastNestedLoopJoin
@@ -187,7 +191,11 @@ EXCHANGE_CEILINGS = {
     # exchange reuse does not collapse across the join), reassemble
     # groupBy; the totals join broadcasts. All keys high-cardinality
     # span hashes / doc ids — the canonical exact-substring-dedup plan.
-    "span_dedup": 5,
+    # round 11: 5 -> 3 — the exploded span table is checkpointed once
+    # (keeper + join + totals all read it; totals = max(idx)+1 instead
+    # of a third tokenize scan), see
+    # plans/r11/span_dedup_{before,after}.txt
+    "span_dedup": 3,
     # round 5 additions: line_dedup's one exchange is the repartition
     # spread (split/array_distinct/join are all narrow);
     # compression_ratio likewise — the zlib work is the declared Arrow
