@@ -2377,17 +2377,38 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted per document; the DuckDB twin compiles from the same
     SCRIPT_RANGES table (range endpoints as literal characters — the
     Java-regex/RE2 portable spelling)."""
-    from bigdata_cookbook_spark.functions.text import script_ratio_exprs
+    from bigdata_cookbook_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_char_counts_kernel,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # per-script regexp_replace battery is CPU-bound, so
+    # per-script character counting is CPU-bound, so
     # spread_for_cpu_bound (no-op on a wide scan): round 11,
     # 8.7 -> ~1.1 s at sf1
     docs = spread_for_cpu_bound(docs)
-    mixed = F.concat(F.col("text"), F.lit(_SCRIPT_SUFFIX))
-    ratios = script_ratio_exprs(mixed)
-    return docs.select(
-        "doc_id", *[c.alias(f"r_{name}") for name, c in ratios.items()]
+    # round 11 (guide §4.2, continuation): the expression tier ran SIX
+    # regexp_replace string rebuilds per document just to count
+    # characters; the Arrow kernel counts all scripts in one decoded
+    # pass (exact integer counts; ranges and the Java \s base set come
+    # from the same tables, pytest-pinned bit-identical to the
+    # expression tier). Ratios + ROUND stay JVM expressions here, so
+    # values cannot drift. Measured 2.64 -> 0.75 s at sf1.
+    mixed = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_SCRIPT_SUFFIX)).alias("__t")
+    )
+    counts = script_char_counts_kernel(mixed)
+    return counts.select(
+        "doc_id",
+        *[
+            F.when(
+                F.col("c_base") > 0,
+                F.round(F.col(f"c_{name}") / F.col("c_base"), 4),
+            )
+            .otherwise(F.lit(None))
+            .alias(f"r_{name}")
+            for name, _ in SCRIPT_RANGES
+        ],
     )
 
 

@@ -1307,6 +1307,101 @@ def script_ratio_exprs(text: Column) -> dict[str, Column]:
     return out
 
 
+#: Java regex \s (what script_ratio_exprs' base count removes) is the
+#: ASCII set [ \t\n\x0B\f\r] — pinned here for the kernel twin. RE2's
+#: \s is the same set, so all three tiers agree.
+_JAVA_WS_CODEPOINTS: tuple[int, ...] = (9, 10, 11, 12, 13, 32)
+
+
+def _parse_char_ranges(rng: str) -> list[tuple[int, int]]:
+    """SCRIPT_RANGES pattern body ("A-Za-z", "一-鿿") -> inclusive
+    codepoint ranges. The table only ever contains X-Y runs."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < len(rng):
+        if i + 2 < len(rng) and rng[i + 1] == "-":
+            out.append((ord(rng[i]), ord(rng[i + 2])))
+            i += 3
+        else:
+            out.append((ord(rng[i]), ord(rng[i])))
+            i += 1
+    return out
+
+
+def script_char_counts_kernel(docs, text_col: str = "__t", id_col: str = "doc_id"):
+    """Per-script character COUNTS (exact longs) as one Arrow-batched
+    ``mapInPandas`` kernel — the §4.2 fast tier under
+    ``script_ratio_exprs``: the expression form runs two JVM regex
+    passes per script (6 ``regexp_replace`` string rebuilds per
+    document just to count characters); here every batch's documents
+    are joined once, decoded to a uint32 codepoint array
+    (``utf-32-le``), and each script is one vectorized range mask +
+    per-document prefix-sum difference. Counting semantics are
+    EXACTLY the expression tier's: ranges come from the same
+    SCRIPT_RANGES table (codepoint-inclusive, the same thing a Java
+    regex class ``[X-Y]`` matches), the base count is non-whitespace
+    with Java's ASCII ``\\s`` set (_JAVA_WS_CODEPOINTS), and both
+    ``length()`` and NumPy count code points. NULL text counts as
+    empty (base 0), which the caller's ``when(base > 0, ...)`` turns
+    into the same NULL ratios the expression tier yields.
+
+    Returns (id_col, c_<script>... , c_base) — ratios and ROUND stay
+    JVM expressions in the caller, so values cannot drift (the gopher
+    kernel's integer-only-boundary rule). Pinned bit-identical to the
+    expression tier by a property test."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ranges = {n: _parse_char_ranges(r) for n, r in SCRIPT_RANGES}
+    fields = (
+        [StructField(id_col, LongType())]
+        + [StructField(f"c_{n}", LongType()) for n, _ in SCRIPT_RANGES]
+        + [StructField("c_base", LongType())]
+    )
+    schema = StructType(fields)
+    ws = np.array(_JAVA_WS_CODEPOINTS, dtype=np.uint32)
+
+    def run(it):
+        for pdf in it:
+            texts = ["" if t is None else t for t in pdf[text_col].values]
+            n = len(texts)
+            out = {id_col: pdf[id_col].values}
+            if n == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="int64") for f in fields}
+                )
+                continue
+            joined = "\x00".join(texts)
+            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=n
+            )
+            # doc i spans [bounds[i], bounds[i+1]-2]; bounds[i+1]-1 is
+            # the \x00 separator (positions are computed from lens, so
+            # an embedded NUL character in a document stays counted as
+            # that document's own character)
+            bounds = np.concatenate(([0], np.cumsum(lens + 1)))
+
+            def segsum(mask):
+                c = np.concatenate(
+                    ([0], np.cumsum(mask.astype(np.int64)))
+                )
+                hi = np.minimum(bounds[1:] - 1, len(cp))
+                return c[hi] - c[bounds[:-1]]
+
+            out["c_base"] = segsum(~np.isin(cp, ws))
+            for name, rngs in ranges.items():
+                m = np.zeros(len(cp), dtype=bool)
+                for lo, hi in rngs:
+                    m |= (cp >= lo) & (cp <= hi)
+                out[f"c_{name}"] = segsum(m)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def script_ratio_sql(col_sql: str) -> dict[str, str]:
     """DuckDB twins of script_ratio_exprs, from the same range table."""
     base = f"length(regexp_replace({col_sql}, '\\s', '', 'g'))"

@@ -501,3 +501,68 @@ def test_repetition_stats_kernel_matches_expression_tier(spark):
         ).collect()
     }
     assert via_kernel == via_jvm_filter
+
+
+def test_script_counts_kernel_matches_expression_tier(spark):
+    """Round-11 optimization pin: script_char_counts_kernel's integer
+    counts, pushed through the SAME when/round JVM expressions the
+    query uses, must equal the regexp_replace expression tier exactly —
+    on mixed-script Unicode, empty, whitespace-only, embedded-NUL and
+    NULL rows, across several docs per Arrow batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_char_counts_kernel,
+        script_ratio_exprs,
+    )
+
+    rng = random.Random(31337)
+    pools = [
+        "abcXYZ", "0123", "А-бвГ".replace("-", ""), "例漢字語",
+        "ابجد", " \t\n", ".,;!?", "é±€",
+    ]
+    rows = []
+    for i in range(70):
+        s = "".join(
+            rng.choice(rng.choice(pools))
+            for _ in range(rng.randint(0, 60))
+        )
+        rows.append((i, s))
+    rows += [
+        (900, ""),
+        (901, "   \t\n  "),
+        (902, "with\x00nul\x00chars ab0"),
+        (903, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ratios = script_ratio_exprs(F.col("text"))
+    expr = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in df.select(
+            "doc_id", *[c.alias(f"r_{n}") for n, c in ratios.items()]
+        ).collect()
+    }
+
+    counts = script_char_counts_kernel(
+        df.select("doc_id", F.col("text").alias("__t"))
+    )
+    kern = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in counts.select(
+            "doc_id",
+            *[
+                F.when(
+                    F.col("c_base") > 0,
+                    F.round(F.col(f"c_{n}") / F.col("c_base"), 4),
+                )
+                .otherwise(F.lit(None))
+                .alias(f"r_{n}")
+                for n, _ in SCRIPT_RANGES
+            ],
+        ).collect()
+    }
+    assert expr == kern
