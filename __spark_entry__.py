@@ -1857,14 +1857,21 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs is GUARANTEED to produce an identical fingerprint in both.
     md5-hex ordering makes the selection itself engine-portable, so the
     oracle reproduces the argmin, not just the format."""
-    from bigdata_cookbook_spark.functions.text import winnow_fingerprints
+    from bigdata_cookbook_spark.functions.text import (
+        winnow_fingerprints_kernel,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # the gram/md5/argmin selection is a CPU-bound HOF battery, so
+    # the gram/md5/argmin selection is CPU-bound, so
     # spread_for_cpu_bound (no-op on a wide scan): round 11, measured
-    # 11.3 -> 1.6 s at sf1 where the scan is 2 partitions
+    # 11.3 -> 1.6 s at sf1 where the scan is 2 partitions. Continuation:
+    # the interpreted HOF window-argmin battery moved into the Arrow
+    # kernel twin (same md5 digests, same rightmost-tie/clamp rules,
+    # pytest-pinned row-identical) — 2.1 -> 0.9 s at sf1, and the plan
+    # loses the distinct exchange (per-doc uniqueness is structural in
+    # the kernel).
     docs = spread_for_cpu_bound(docs)
-    return winnow_fingerprints(docs, k=5, w=4)
+    return winnow_fingerprints_kernel(docs, k=5, w=4)
 
 
 def q_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:

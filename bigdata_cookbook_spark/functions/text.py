@@ -1516,6 +1516,118 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_kernel(
+    docs,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Arrow-batched twin of ``winnow_fingerprints`` — identical output
+    rows (pytest-pinned), built per guide §4.2: the expression tier's
+    window-argmin runs O(n_grams x w) interpreted struct comparisons
+    per document (HOFs are CodegenFallback); here the per-batch loop is
+    one md5 per gram (hashlib — the same digest the JVM computes, and
+    hex order == digest byte order, so comparisons agree) plus
+    vectorized NumPy window minima over (digest-hi, digest-lo, -pos)
+    with the same rightmost-tie and short-doc clamp rules.
+
+    Tokenization stays the JVM split (identical to the expression
+    tier); the kernel receives the token arrays. Selected gram indices
+    are globally unique (per-doc gram ranges are disjoint), so the
+    per-doc distinct is an ``np.unique`` — the output needs no Spark
+    ``distinct()`` exchange: one scan, zero shuffles."""
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("gram", StringType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            ids = pdf[id_col].values
+            toks_arrs = pdf["__t"].values
+            grams: list[str] = []
+            gl = np.zeros(len(toks_arrs), dtype=np.int64)
+            for di, arr in enumerate(toks_arrs):
+                # short/blank/null docs emit no grams — the in-kernel
+                # twin of the expression tier's size(toks) >= k filter
+                # (kept out of the JVM plan so pushdown cannot run the
+                # split twice, the gopher-kernel rule)
+                if arr is None:
+                    continue
+                t = list(arr)
+                n = len(t) - k + 1
+                if n <= 0:
+                    continue
+                gl[di] = n
+                for i in range(n):
+                    grams.append(" ".join(t[i : i + k]))
+            if not grams:
+                yield pd.DataFrame(
+                    {id_col: pd.Series(dtype="int64"),
+                     "gram": pd.Series(dtype="object")}
+                )
+                continue
+            digests = b"".join(
+                _md5(g.encode("utf-8")).digest() for g in grams
+            )
+            hl = np.frombuffer(digests, dtype=">u8").reshape(-1, 2)
+            hi, lo = hl[:, 0], hl[:, 1]
+            gstart = np.concatenate(([0], np.cumsum(gl)))
+            # gl == 0 marks a filtered (short/blank/null) doc: it gets
+            # ZERO windows — max(gl-(w-1), 1) would hand it one window
+            # whose clamped candidates read the PREVIOUS doc's grams
+            nw = np.where(gl > 0, np.maximum(gl - (w - 1), 1), 0)
+            total_w = int(nw.sum())
+            # global window start gram-index per window
+            doc_of_w = np.repeat(np.arange(len(gl)), nw)
+            wstart_base = np.repeat(gstart[:-1], nw)
+            woff = np.arange(total_w) - np.repeat(
+                np.concatenate(([0], np.cumsum(nw)))[:-1], nw
+            )
+            wstart = wstart_base + woff
+            # clamp candidate indices to the doc's last gram
+            last = np.repeat(gstart[1:] - 1, nw)
+            best = np.minimum(wstart, last)
+            bh, bl = hi[best], lo[best]
+            for j in range(1, w):
+                cand = np.minimum(wstart + j, last)
+                ch, cl = hi[cand], lo[cand]
+                # smaller digest wins; equal digest -> larger position
+                # (rightmost tie, matching min(struct(h, -pos)))
+                better = (
+                    (ch < bh)
+                    | ((ch == bh) & (cl < bl))
+                    | ((ch == bh) & (cl == bl) & (cand > best))
+                )
+                best = np.where(better, cand, best)
+                bh = np.where(better, ch, bh)
+                bl = np.where(better, cl, bl)
+            sel = np.unique(best)  # per-doc distinct (ranges disjoint)
+            doc_of_gram = np.repeat(np.arange(len(gl)), gl)
+            out_ids = ids[doc_of_gram[sel]]
+            out_grams = [grams[i] for i in sel]
+            yield pd.DataFrame({id_col: out_ids, "gram": out_grams})
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = docs.select(F.col(id_col), toks.alias("__t"))
+    return staged.mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------------------------
 # RefinedWeb-style line-wise correction filtering (Penedo et al. 2023 §3.2:
 # drop boilerplate/navigation/counter lines inside a document BEFORE the

@@ -566,3 +566,49 @@ def test_script_counts_kernel_matches_expression_tier(spark):
         ).collect()
     }
     assert expr == kern
+
+
+def test_winnow_kernel_matches_expression_tier(spark):
+    """Round-11 optimization pin: winnow_fingerprints_kernel must emit
+    EXACTLY the expression tier's (doc_id, gram) row set — same md5
+    digests, same rightmost-tie argmin, same short-doc clamp — on
+    random corpora with heavy gram repetition (tie pressure), docs
+    shorter than k (no rows), shorter than k+w-1 (single window),
+    blank/whitespace-only and NULL rows, and Unicode tokens."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_kernel,
+    )
+
+    rng = random.Random(555)
+    vocab = ["aa", "bb", "cc", "dd", "ALPHA", "héllo", "日本", "x"]
+    rows = []
+    for i in range(60):
+        eff = vocab[: rng.randint(1, len(vocab))]
+        rows.append(
+            (i, " ".join(rng.choice(eff) for _ in range(rng.randint(0, 30))))
+        )
+    rows += [
+        (900, "one two three four"),        # < k tokens: no rows
+        (901, "a b c d e"),                 # exactly k: one window
+        (902, "a b c d e f g"),             # < k+w-1: still one window
+        (903, ""),
+        (904, "   \t  "),
+        (905, None),
+        (906, " ".join(["dup"] * 20)),      # all grams identical: ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_rows = {
+        (r["doc_id"], r["gram"])
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    }
+    kern_rows = {
+        (r["doc_id"], r["gram"])
+        for r in winnow_fingerprints_kernel(df, k=5, w=4).collect()
+    }
+    assert kern_rows == expr_rows
+    assert any(d == 906 for d, _ in kern_rows)  # tie case produced a row

@@ -122,7 +122,10 @@ EXCHANGE_CEILINGS = {
     # the FACT side re-enters via broadcast only
     "quality_prune_per_source": 4,
     # round 7: the final distinct is the operator's only exchange
-    "winnow_fingerprints": 2,  # round 11: +1 spread
+    # round 11: +1 spread; continuation: 2 -> 1 — the Arrow kernel
+    # guarantees per-doc uniqueness structurally, so the distinct
+    # exchange is gone (plans/r11/winnow_fingerprints_{before,after}.txt)
+    "winnow_fingerprints": 1,
     # round 7: the pairs tier's shuffle plan (registry form runs
     # broadcast_eval=False: both shingle sides + the n_eval join
     # shuffle) + the per-eval aggregate and the left join back to the
