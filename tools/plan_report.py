@@ -180,7 +180,11 @@ EXCHANGE_CEILINGS = {
     # anti-join boundary — so the exchange count doubles vs the uncapped
     # form's shared lineage. Work stays linear (measured 28.4s -> 2.0s at
     # sf1); at corpus scale persist the capped index first (docstring).
-    "ngram_jaccard_capped": 6,
+    # round 11: 6 -> 4 — the raw shingle-hash table (16 B/row) is
+    # localCheckpointed once; the hot-shingle build and the anti-join
+    # read it instead of re-running the shingle battery
+    # (plans/r11/ngram_jaccard_capped_{before,after}.txt)
+    "ngram_jaccard_capped": 4,
     # round 4 additions: gopher_repetition is the scan-shaped repetition
     # filter (its one exchange is the repartition spread); semantic_dedup
     # 2 -> 1 in round 11: the within-bucket prune moved from the
