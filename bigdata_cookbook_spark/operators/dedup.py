@@ -139,8 +139,9 @@ def ngram_jaccard_pairs(
         # NARROW — 16 bytes/shingle — so one lazy localCheckpoint is
         # cheap at any scale and replaces the docstring's "stage the
         # index yourself" advice for the capped tier. Measured
-        # 1.81 -> 1.22 s at sf1 (ngram_jaccard_capped). The exact
-        # (df_cap=None) oracle tier is untouched.
+        # 1.71 -> 0.89 s at sf1 (ngram_jaccard_capped, fresh DataFrame
+        # per rep, paired min-of-3). The exact (df_cap=None) oracle
+        # tier is untouched.
         sh = sh.localCheckpoint(eager=False)
         hot = (
             sh.groupBy("shingle")
