@@ -51,7 +51,18 @@ DAY_US = 86_400_000_000
 
 
 def _rng(table: str, sf: float) -> np.random.Generator:
-    return np.random.default_rng(abs(hash((table, round(sf, 6), 42))) % (1 << 63))
+    # round 11 fix: the seed used to be abs(hash((table, sf, 42))) —
+    # Python's str hashing is salted per process (PYTHONHASHSEED), so
+    # the "deterministic" generator silently produced a DIFFERENT
+    # universe every run; cross-session capstone/scaling comparisons
+    # were same-distribution but not same-bytes (discovered when a
+    # regenerated sf10's stage drop counts drifted ~0.1%). md5 is
+    # process-stable, so regeneration is now byte-reproducible.
+    import hashlib
+
+    key = f"{table}|{round(sf, 6)}|42".encode()
+    seed = int.from_bytes(hashlib.md5(key).digest()[:8], "little") % (1 << 63)
+    return np.random.default_rng(seed)
 
 
 def _ts_us(base: str, us: np.ndarray) -> pa.Array:
