@@ -1629,45 +1629,33 @@ def q_sentence_budget_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece, and chunk concatenation reproducing the sentence stream
     verbatim — are engine-computed booleans the oracle pins TRUE.
     Exact chunking semantics are pinned by the Python-reference
-    property test (tests/test_misc_operators.py)."""
+    property test (tests/test_misc_operators.py).
+
+    Round 12 (guide §4.2, VERDICT r11 item 4): the interpreted
+    aggregate fold accumulated the growing chunk by repeated concat —
+    O(n^2) bytes per document — and the totals/assertion columns
+    re-counted every chunk + sentence through three more
+    regexp_extract_all passes; the query now runs the Arrow kernel
+    twin (sentence_budget_stats_kernel: compiled-regex counts once per
+    sentence, integer fold, strings assembled once on flush, only
+    (long,int,bool,bool) back over the boundary), property-pinned
+    against the expression tier incl. whitespace exotica
+    (tests/test_property.py). The expression tier stays the
+    contract/oracle form. Measured 1.00 -> 0.61 s at sf1 (min-of-3
+    fresh-plan noop runs, this round's host; the r11 record put the
+    expression tier at 2.2 s on a loaded host)."""
     from bigdata_cookbook_spark.functions.text import (
-        bpe_token_count_expr,
-        sentence_budget_chunks_expr,
+        sentence_budget_stats_kernel,
     )
 
     max_tokens = 64
     docs = load_table(spark, sf_dir, "documents")
-    # the per-sentence aggregate fold is a CPU-bound HOF battery, so
+    # the per-sentence count battery is CPU-bound, so
     # spread_for_cpu_bound (no-op on a wide scan): round 11,
     # 9.5 -> ~1.2 s at sf1
     docs = spread_for_cpu_bound(docs)
-    sentences = F.transform(
-        F.filter(
-            F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(s)),
-            lambda s: s != F.lit(""),
-        ),
-        lambda s: F.concat(s, F.lit(".")),
-    )
-    chunks = sentence_budget_chunks_expr(F.col("text"), max_tokens)
-    staged = docs.select(
-        "doc_id",
-        sentences.alias("__sents"),
-        chunks.alias("__chunks"),
-    )
-    total = F.aggregate(
-        "__sents", F.lit(0), lambda a, s: a + bpe_token_count_expr(s)
-    )
-    within = F.forall(
-        "__chunks",
-        lambda c: (bpe_token_count_expr(c) <= F.lit(max_tokens))
-        | (F.instr(c, " ") == 0),
-    )
-    coverage = F.array_join("__chunks", " ") == F.array_join("__sents", " ")
-    return staged.select(
-        "doc_id",
-        total.cast("int").alias("total_tokens"),
-        within.alias("within_budget"),
-        coverage.alias("coverage_exact"),
+    return sentence_budget_stats_kernel(
+        docs.select("doc_id", "text"), max_tokens
     )
 
 
@@ -2767,13 +2755,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     swap the single-green count drops 29 -> 19; the remaining 19
     r01-only rows are the round-12 rotation queue.
 
-    Round-12 plan: rotate 10 of the remaining 19 single-green rows in
-    (streaming_windowed_counts, pivot_composite_status,
-    last_purchase_ffill, count_distinct_having, collect_concat,
-    summary_stats, score_normalization, source_topn, quarterly_counts,
-    union_distinct_nations — registry order) once CORRECTNESS_r11
-    lands the round-11 rotations their second green row, same
-    displacement discipline."""
+    Round-12 rotation EXECUTED: the round-11 verdict (item 3) ordered
+    the four queries optimized in round 11 while outside the window —
+    bm25_topk (lazy tf checkpoint), hybrid_search_rrf (same),
+    span_dedup (exploded-table checkpoint + derived totals),
+    embedding_neardup_pairs (GEMM cast removal) — rotated in AHEAD of
+    the planned queue so the driver scores their round-11 plans, plus
+    the 10 planned single-green rows (streaming_windowed_counts,
+    pivot_composite_status, last_purchase_ffill, count_distinct_having,
+    collect_concat, summary_stats, score_normalization, source_topn,
+    quarterly_counts, union_distinct_nations — registry order). The 14
+    displaced rows are the deepest-evidence rows in the window, each
+    green in NINE OR MORE consecutive driver rounds (>= 3 required;
+    re-verified programmatically against CORRECTNESS_r01-r11 at swap
+    time): pricing_summary (r01-r11), hit_count_monthly_topk
+    (r01-r11), token_quality (r01-r11), minhash_lsh_candidates
+    (r01-r11), screening_normalize (r02-r11), dual_role_workflow
+    (r02-r11), neardup_canonical_clusters (r02-r11),
+    similarity_multiquery_rerank (r02-r11), token_pack_buckets
+    (r02-r11), sessionize (r02-r11), corpus_clean (r02-r11),
+    range_count_events_after_purchase (r02-r11), training_shuffle
+    (r03-r11), bpe_token_count (r03-r11). Displaced families stay
+    pinned in-window (see the inline comments at each swap site), and
+    six of the displaced (pricing_summary, hit_count_monthly_topk,
+    token_quality, minhash_lsh_candidates, sessionize,
+    similarity_multiquery_rerank) remain measured every round in the
+    bench HEADLINE set. The round-11 rotations ([r01, r11] evidence)
+    hold their slots. After this swap the single-green tail queue is
+    9 rows (quality_score .. skew_salted_join_segments) — the
+    round-13 rotation queue."""
     return {
         # -- tier 0: round-11 rotations (the r01-only evidence tail) --
         # round-11 rotation (slot 1): keyword_search takes bm25_topk's
@@ -2828,16 +2838,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain_mix_sample + domain_mix_temperature +
         # cluster_safe_split_docs).
         "log_clip": q_log_clip,
+        # -- tier 0b: round-12 rotations --
+        # round-12 rotation (slot 1, VERDICT r11 item 3): bm25_topk
+        # returns in-window so the driver scores its round-11 plan
+        # (lazy tf-table checkpoint); takes pricing_summary's slot
+        # (green r01-r11, ELEVEN consecutive rounds; the scan+agg
+        # family stays pinned in-window by summary_stats +
+        # count_distinct_having + quarterly_counts + the tier-0
+        # min_occurrence_filter, and pricing_summary itself stays
+        # measured every round in the bench HEADLINE set).
+        "bm25_topk": q_bm25_topk,
+        # round-12 rotation (slot 2, VERDICT r11 item 3):
+        # hybrid_search_rrf returns in-window so the driver scores its
+        # round-11 plan (shared tokenize-once checkpoint with bm25);
+        # takes hit_count_monthly_topk's slot (green r01-r11; the
+        # join+top-k family stays pinned in-window by source_topn +
+        # argmax_joinback, and the query stays in the bench HEADLINE).
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        # round-12 rotation (slot 3, VERDICT r11 item 3): span_dedup
+        # returns in-window so the driver scores its round-11 plan
+        # (exploded-table checkpoint + posexplode-derived totals);
+        # takes corpus_clean's slot (green r02-r11; the corpus-pipeline
+        # family stays pinned in-window by span_dedup itself +
+        # paragraph_dedup + line_dedup + line_filter_clean).
+        "span_dedup": q_span_dedup,
+        # round-12 rotation (slot 4, VERDICT r11 item 3):
+        # embedding_neardup_pairs returns in-window so the driver
+        # scores its round-11 plan (array<float> across the Arrow
+        # boundary, cast removed); takes similarity_multiquery_rerank's
+        # slot (green r02-r11; the similarity family stays pinned
+        # in-window by embedding_neardup_pairs itself +
+        # semantic_dedup_auto, and the rerank query stays in the bench
+        # HEADLINE set).
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        # round-12 rotation (slot 5): streaming_windowed_counts takes
+        # sessionize's slot (green r02-r11; the event-time-window /
+        # session family stays pinned in-window by
+        # streaming_windowed_counts itself + peak_lag, and sessionize
+        # stays in the bench HEADLINE set).
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        # round-12 rotation (slot 6): pivot_composite_status takes
+        # dual_role_workflow's slot (green r02-r11; the multi-role
+        # join/LLM-workflow family stays pinned in-window by
+        # contamination_report + cross_source_alignment).
+        "pivot_composite_status": q_pivot_composite_status,
+        # round-12 rotation (slot 7): last_purchase_ffill takes
+        # range_count_events_after_purchase's slot (green r02-r11; the
+        # temporal-join family stays pinned in-window by
+        # events_daterange + peak_lag).
+        "last_purchase_ffill": q_last_purchase_ffill,
+        # round-12 rotation (slot 8): count_distinct_having takes
+        # token_pack_buckets's slot (green r02-r11; the packing family
+        # stays pinned in-window by shard_pack_documents +
+        # sentence_budget_chunks + cluster_safe_split_docs).
+        "count_distinct_having": q_count_distinct_having,
+        # round-12 rotation (slot 9): collect_concat takes
+        # training_shuffle's slot (green r03-r11; the sampling family
+        # stays pinned in-window by domain_mix_sample +
+        # domain_mix_temperature + dsir_gumbel_sample).
+        "collect_concat": q_collect_concat,
+        # round-12 rotation (slot 10): summary_stats takes
+        # token_quality's slot (green r01-r11; the text-quality family
+        # stays pinned in-window by gopher_repetition + script_profile
+        # + line_filter_clean + compression_ratio, and token_quality
+        # stays in the bench HEADLINE set).
+        "summary_stats": q_summary_stats,
+        # round-12 rotation (slot 11): score_normalization takes
+        # screening_normalize's slot (green r02-r11; the normalization
+        # family stays pinned in-window by score_normalization itself
+        # + url_canonicalize).
+        "score_normalization": q_score_normalization,
+        # round-12 rotation (slot 12): source_topn takes
+        # minhash_lsh_candidates's slot (green r01-r11; the
+        # signature-dedup family stays pinned in-window by
+        # ngram_jaccard_capped + winnow_fingerprints +
+        # semantic_dedup_auto, and minhash_lsh_candidates stays in the
+        # bench HEADLINE set).
+        "source_topn": q_source_topn,
+        # round-12 rotation (slot 13): quarterly_counts takes
+        # neardup_canonical_clusters's slot (green r02-r11; the
+        # graph-CC family stays pinned in-window by
+        # cluster_safe_split_docs + neardup_keep_best).
+        "quarterly_counts": q_quarterly_counts,
+        # round-12 rotation (slot 14): union_distinct_nations takes
+        # bpe_token_count's slot (green r03-r11; the BPE family stays
+        # pinned in-window by bpe_pair_counts).
+        "union_distinct_nations": q_union_distinct_nations,
         # -- tier 1: newest rotations first (round-9 swaps + round-8 1G) --
         # round-9 rotation (slot 1): html_to_text takes
         # collect_list_ordered's slot (double-green r02-r08; the
         # ordered-collect agg family stays pinned in-window by
         # first_last_per_group + pricing_summary).
         "html_to_text": q_html_to_text,
-        "screening_normalize": q_screening_normalize,
-        "dual_role_workflow": q_dual_role_workflow,
-        "neardup_canonical_clusters": q_neardup_canonical_clusters,
-        "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
+        # (screening_normalize, dual_role_workflow,
+        # neardup_canonical_clusters, similarity_multiquery_rerank ->
+        # tail, round-12 rotation: each green r02-r11)
         # round-8 rotation (slot 2): tfidf_top_terms takes
         # knn_label_vote's slot (double-green r02-r07; the similarity
         # family stays pinned in-window by similarity_multiquery_rerank
@@ -2848,19 +2943,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-window family stays pinned in-window by token_quality +
         # sentence_budget_chunks).
         "script_profile": q_script_profile,
-        "token_pack_buckets": q_token_pack_buckets,
+        # (token_pack_buckets -> tail, round-12 rotation: green r02-r11)
         # round-9 rotation (slot 3): contamination_report takes
         # llm_cost_estimate's slot (double-green r02-r08; the LLM
         # family stays pinned in-window by dual_role_workflow +
         # token_pack_buckets).
         "contamination_report": q_contamination_report,
-        "sessionize": q_sessionize,
+        # (sessionize -> tail, round-12 rotation: green r02-r11; stays
+        # in the bench HEADLINE set)
         # round-9 rotation (slot 4): winnow_fingerprints takes
         # sliding_window_counts's slot (double-green r02-r08; the
         # streaming-window family stays pinned in-window by sessionize
         # + corpus_clean).
         "winnow_fingerprints": q_winnow_fingerprints,
-        "corpus_clean": q_corpus_clean,
+        # (corpus_clean -> tail, round-12 rotation: green r02-r11)
         "skew_salted_distinct_users": q_skew_salted_distinct_users,
         # round-5 rotation: ngram_jaccard_capped (the linear df-capped
         # near-dup tier, locally green at both SFs since round 4) takes
@@ -2877,7 +2973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal-join family stays pinned in-window by
         # range_count_events_after_purchase).
         "url_canonicalize": q_url_canonicalize,
-        "range_count_events_after_purchase": q_range_count_events_after_purchase,
+        # (range_count_events_after_purchase -> tail, round-12
+        # rotation: green r02-r11)
         # round-9 rotation (slot 6): domain_blocklist_cap takes
         # hash_split_documents's slot (double-green r02-r08; the
         # split/sampling family stays pinned in-window by
@@ -2918,15 +3015,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile profile stays continuously checked in the tail).
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         # -- tier 2: family representatives incl. the bench HEADLINE set --
-        "pricing_summary": q_pricing_summary,
-        "hit_count_monthly_topk": q_hit_count_monthly_topk,
+        # (pricing_summary, hit_count_monthly_topk -> tail, round-12
+        # rotation: each green r01-r11, the deepest evidence in the
+        # registry; both stay in the bench HEADLINE set)
         # round-3 rotation: the four new training-data-tier queries take
         # scored-window slots from four DOUBLE-green entries (r01+r02 hash
         # rows on record: weekly_zscore, dedup_keep_first, mode_event_type,
         # doc_fingerprint — all moved to the tail, families still pinned
         # in-window by topk/argmax/calendar (W), exact_dedup_docs (O2),
         # pricing/net_exposure (A), token_quality/lang_id (text)).
-        "training_shuffle": q_training_shuffle,
+        # (training_shuffle -> tail, round-12 rotation: green r03-r11)
         "domain_mix_sample": q_domain_mix_sample,
         # round-7 rotation (slot 3 of the plan documented last round):
         # domain_mix_temperature takes benchmark_contamination's slot
@@ -2950,7 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack_documents": q_shard_pack,
         # (ngram_jaccard_pairs -> tail on its r01+r02 green rows; near-dup
         # family stays pinned by minhash/simhash/embedding/clusters)
-        "bpe_token_count": q_bpe_token_count,
+        # (bpe_token_count -> tail, round-12 rotation: green r03-r11)
         # (argmax_day_per_priority -> tail on its r01+r02 green rows; the
         # W family stays pinned in-window by calendar_densify_daily)
         # round-8 rotation (slot 4): quality_prune_per_source takes
@@ -2958,8 +3056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality family stays pinned in-window by token_quality +
         # gopher_repetition + compression_ratio).
         "quality_prune_per_source": q_quality_prune_per_source,
-        "token_quality": q_token_quality,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        # (token_quality, minhash_lsh_candidates -> tail, round-12
+        # rotation: each green r01-r11; both stay in the bench
+        # HEADLINE set)
         # round-8 rotation (slot 5): neardup_keep_best takes
         # embedding_neardup_pairs's slot (double-green r01-r07; the
         # near-dup pair family stays pinned in-window by
@@ -2993,16 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_pack_buckets + token_window_chunks).
         "line_dedup": q_line_dedup,
         # -- tier 3 (51+): green round-1 driver rows on record --
-        "streaming_windowed_counts": q_streaming_windowed_counts,
-        "pivot_composite_status": q_pivot_composite_status,
-        "last_purchase_ffill": q_last_purchase_ffill,
-        "count_distinct_having": q_count_distinct_having,
-        "collect_concat": q_collect_concat,
-        "summary_stats": q_summary_stats,
-        "score_normalization": q_score_normalization,
-        "source_topn": q_source_topn,
-        "quarterly_counts": q_quarterly_counts,
-        "union_distinct_nations": q_union_distinct_nations,
+        # (the first ten r01-only rows rotated in-window round 12; the
+        # remaining nine below are the round-13 rotation queue)
         "quality_score": q_quality_score,
         "risk_level_mapping": q_risk_level_mapping,
         "date_parse_format": q_date_parse_format,
@@ -3047,10 +3138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_neardup_pairs r01-r07) — all stay continuously
         # checked by tools/verify_local.py.
         "knn_label_vote": q_knn_label_vote,
-        "span_dedup": q_span_dedup,
+        # (span_dedup, embedding_neardup_pairs rotated BACK in-window
+        # round 12 per the round-11 verdict — their round-11 plans need
+        # driver rows)
         "length_curriculum": q_length_curriculum,
         "source_quality_profile": q_source_quality_profile,
-        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         # round-9 rotation: the ten displaced rows land here in the
         # tail (each green r02-r08, seven consecutive driver rounds) —
         # all stay continuously checked by tools/verify_local.py. With
@@ -3064,7 +3156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_orders": q_weighted_sample_orders,
         "continuous_aggregate_daily": q_continuous_aggregate_daily,
         "profile_orders": q_profile_orders,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
+        # (hybrid_search_rrf, bm25_topk rotated BACK in-window round 12
+        # per the round-11 verdict — their round-11 plans need driver
+        # rows)
         # round-11 rotation: the ten displaced rows land here in the
         # tail (bm25_topk r02-r10, calendar_densify_daily r01-r10,
         # net_exposure r01-r10, first_last_per_group r02-r10,
@@ -3073,7 +3167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_sample_orders r02-r10 — the deepest driver
         # evidence in the registry) — all stay continuously checked by
         # tools/verify_local.py and the bench HEADLINE set.
-        "bm25_topk": q_bm25_topk,
         "calendar_densify_daily": q_calendar_densify_daily,
         "net_exposure": q_net_exposure,
         "first_last_per_group": q_first_last_per_group,
@@ -3083,6 +3176,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "lang_id": q_lang_id,
         "stratified_sample_orders": q_stratified_sample_orders,
+        # round-12 rotation: the fourteen displaced rows land here in
+        # the tail (pricing_summary r01-r11, hit_count_monthly_topk
+        # r01-r11, token_quality r01-r11, minhash_lsh_candidates
+        # r01-r11, screening_normalize r02-r11, dual_role_workflow
+        # r02-r11, neardup_canonical_clusters r02-r11,
+        # similarity_multiquery_rerank r02-r11, token_pack_buckets
+        # r02-r11, sessionize r02-r11, corpus_clean r02-r11,
+        # range_count_events_after_purchase r02-r11, training_shuffle
+        # r03-r11, bpe_token_count r03-r11 — nine-to-eleven consecutive
+        # green driver rounds each) — all stay continuously checked by
+        # tools/verify_local.py, and six remain measured every round in
+        # the bench HEADLINE set.
+        "pricing_summary": q_pricing_summary,
+        "hit_count_monthly_topk": q_hit_count_monthly_topk,
+        "token_quality": q_token_quality,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "screening_normalize": q_screening_normalize,
+        "dual_role_workflow": q_dual_role_workflow,
+        "neardup_canonical_clusters": q_neardup_canonical_clusters,
+        "similarity_multiquery_rerank": q_similarity_multiquery_rerank,
+        "token_pack_buckets": q_token_pack_buckets,
+        "sessionize": q_sessionize,
+        "corpus_clean": q_corpus_clean,
+        "range_count_events_after_purchase": q_range_count_events_after_purchase,
+        "training_shuffle": q_training_shuffle,
+        "bpe_token_count": q_bpe_token_count,
     }
 
 

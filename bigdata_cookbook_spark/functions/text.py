@@ -796,8 +796,14 @@ def repetition_stats_kernel(
                     {f.name: pd.Series(dtype="int64") for f in fields}
                 )
                 continue
+            # NULL token arrays (tokens_expr over NULL text) arrive as
+            # None; np.asarray(None) is 0-d and len() raises. Treat as
+            # an empty token list — min_tokens then filters the row,
+            # matching the expression tier's null propagation (the
+            # winnow-kernel guard rule).
             toks_arrs = [
-                np.asarray(a, dtype=object) for a in pdf[toks_col].values
+                np.asarray(a if a is not None else (), dtype=object)
+                for a in pdf[toks_col].values
             ]
             doc_lens = np.array([len(a) for a in toks_arrs], dtype=np.int64)
             ids = pdf[id_col].values
@@ -1109,6 +1115,143 @@ def sentence_budget_chunks_expr(
             st["cur"] == F.lit(""), st["cs"]
         ).otherwise(F.concat(st["cs"], F.array(st["cur"]))),
     )
+
+
+def sentence_budget_stats_kernel(
+    docs,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Arrow-batched twin of the sentence_budget_chunks QUERY form —
+    identical (id, total_tokens, within_budget, coverage_exact) rows
+    (pytest-pinned against the expression tier), built per guide §4.2:
+    the expression tier folds sentences through an interpreted
+    aggregate whose accumulator re-CONCATENATES the growing chunk
+    string on every step — O(n^2) bytes per document — and then
+    re-counts every chunk and sentence through three more
+    regexp_extract_all passes for the totals/assertion columns. Here
+    one compiled-regex pass per sentence computes the counts, the fold
+    runs over integers (chunk strings are assembled once, on flush),
+    and only (long, int, bool, bool) rows cross back over the Arrow
+    boundary.
+
+    Exact-parity rules replicated from the expression tier (each
+    pinned by the property test's whitespace-exotica rows):
+
+    - sentence split: ``split(text, '\\.')`` keeps every fragment,
+      ``trim`` strips SPACES ONLY (0x20 — not tabs/newlines), empty
+      fragments drop, survivors get a trailing '.' — Python twin
+      ``frag.strip(' ')``;
+    - token counts: ``len(re.findall(BPE_TOKEN_PATTERN, s.lower()))``
+      — the pattern is by construction Java/RE2/Python-identical
+      (explicit whitespace class, no \\s), leftmost-first alternation
+      agrees across engines, and lower() parity is the bpe_token_count
+      precedent;
+    - word split of an oversized sentence: Java ``\\s`` is
+      ``[ \\t\\n\\x0B\\f\\r]`` (NOT Python's Unicode \\s), and a
+      leading separator emits a leading EMPTY word that the fold's
+      concat_ws visibly keeps as a trailing space — the kernel uses
+      the explicit class and replicates the empty-word arithmetic;
+    - NULL text propagates to NULL/NULL/NULL exactly as the
+      expression tier's NULL-array fold does.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mx = int(max_tokens)
+    pat = _re.compile(BPE_TOKEN_PATTERN)
+    java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("total_tokens", IntegerType()),
+            StructField("within_budget", BooleanType()),
+            StructField("coverage_exact", BooleanType()),
+        ]
+    )
+
+    def cnt(s: str) -> int:
+        return len(pat.findall(s.lower()))
+
+    def word_pieces(s: str) -> list[str]:
+        # twin of the expression tier's word fold, INCLUDING the
+        # empty-word concat_ws behavior on leading Java-\s separators
+        ps: list[str] = []
+        pw, pn = "", 0
+        for w in java_ws.split(s.strip(" ")):
+            wn = cnt(w)
+            if pn + wn > mx and pw != "":
+                ps.append(pw)
+                pw, pn = w, wn
+            else:
+                pw = w if pw == "" else pw + " " + w
+                pn += wn
+        if pw != "":
+            ps.append(pw)
+        return ps
+
+    def run(it):
+        for pdf in it:
+            ids = pdf[id_col].values
+            out_tot: list[int | None] = []
+            out_within: list[bool | None] = []
+            out_cov: list[bool | None] = []
+            for t in pdf[text_col].values:
+                if t is None:
+                    out_tot.append(None)
+                    out_within.append(None)
+                    out_cov.append(None)
+                    continue
+                sents = []
+                for frag in t.split("."):
+                    s = frag.strip(" ")
+                    if s:
+                        sents.append(s + ".")
+                scnt = [cnt(s) for s in sents]
+                cs: list[str] = []
+                cur, n = "", 0
+                for s, sn in zip(sents, scnt):
+                    if sn > mx:
+                        if cur != "":
+                            cs.append(cur)
+                        cs.extend(word_pieces(s))
+                        cur, n = "", 0
+                    elif n + sn > mx:
+                        if cur != "":
+                            cs.append(cur)
+                        cur, n = s, sn
+                    else:
+                        cur = s if cur == "" else cur + " " + s
+                        n += sn
+                if cur != "":
+                    cs.append(cur)
+                out_tot.append(sum(scnt))
+                out_within.append(
+                    all(cnt(c) <= mx or " " not in c for c in cs)
+                )
+                out_cov.append(" ".join(cs) == " ".join(sents))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "total_tokens": pd.array(out_tot, dtype="Int32"),
+                    "within_budget": pd.array(out_within, dtype="boolean"),
+                    "coverage_exact": pd.array(out_cov, dtype="boolean"),
+                }
+            )
+
+    staged = docs.select(F.col(id_col), F.col(text_col))
+    return staged.mapInPandas(run, schema)
 
 
 # regex steps of the HTML -> text extraction, shared verbatim by the
@@ -1533,10 +1676,17 @@ def winnow_fingerprints_kernel(
     with the same rightmost-tie and short-doc clamp rules.
 
     Tokenization stays the JVM split (identical to the expression
-    tier); the kernel receives the token arrays. Selected gram indices
-    are globally unique (per-doc gram ranges are disjoint), so the
-    per-doc distinct is an ``np.unique`` — the output needs no Spark
-    ``distinct()`` exchange: one scan, zero shuffles."""
+    tier); the kernel receives the token arrays. The expression tier
+    ends in a ``distinct()`` over (id, gram) STRINGS, so selected
+    positions are not enough: the same k-gram occurring at two
+    positions >= w apart in one doc can win two windows, and both
+    selections name the same output row. The kernel therefore dedupes
+    (id, gram-string) pairs per batch — sound because each doc's
+    grams all derive from one input row and hence live in one batch —
+    and the output needs no Spark ``distinct()`` exchange: one scan,
+    zero shuffles. (Parity with the global distinct() additionally
+    assumes ``id_col`` is unique per row, which every caller
+    guarantees.)"""
     from hashlib import md5 as _md5
 
     import numpy as np
@@ -1617,11 +1767,18 @@ def winnow_fingerprints_kernel(
                 best = np.where(better, cand, best)
                 bh = np.where(better, ch, bh)
                 bl = np.where(better, cl, bl)
-            sel = np.unique(best)  # per-doc distinct (ranges disjoint)
+            sel = np.unique(best)  # distinct selected positions
             doc_of_gram = np.repeat(np.arange(len(gl)), gl)
-            out_ids = ids[doc_of_gram[sel]]
-            out_grams = [grams[i] for i in sel]
-            yield pd.DataFrame({id_col: out_ids, "gram": out_grams})
+            out = pd.DataFrame(
+                {
+                    id_col: ids[doc_of_gram[sel]],
+                    "gram": [grams[i] for i in sel],
+                }
+            )
+            # distinct (id, gram) by STRING, matching the expression
+            # tier's distinct(): two selected positions can carry the
+            # same gram text when it repeats >= w apart in a doc
+            yield out.drop_duplicates(ignore_index=True)
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     staged = docs.select(F.col(id_col), toks.alias("__t"))

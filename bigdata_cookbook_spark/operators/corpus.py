@@ -828,9 +828,15 @@ def paragraph_dedup(
     import re as _re
 
     pat = _re.escape(sep)  # F.split takes a regex; sep is a literal
+    # coalesce NULL text to '': split(NULL) is NULL and posexplode
+    # would emit no rows, silently dropping the doc from the output —
+    # the totals below derive from this exploded table, so every input
+    # doc must contribute at least one paragraph row
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat)
+        ).alias("pos", "para"),
     )
     # round 11 (guide §3.3, the span_dedup fix): `paras` feeds the
     # keeper groupBy AND the join's left side, and totals re-split the

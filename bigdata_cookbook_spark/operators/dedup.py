@@ -1039,7 +1039,20 @@ def _bucket_cosine_prune(
     floor(x*1e4 + 0.5) is ROUND_HALF_UP at the only decision boundary
     (threshold > 0), and NaN cosines (zero-norm vectors) drop, matching
     Spark's NaN-greatest comparison semantics. Kernel memory is bounded
-    by ROW_BLOCK x COL_BLOCK sims tiles plus the bucket's vectors."""
+    by ROW_BLOCK x COL_BLOCK sims tiles plus the bucket's vectors.
+
+    Float-boundary caveat: floor(x*1e4+0.5) rounds negative halves
+    toward +inf (F.round's HALF_UP rounds away from zero), and BLAS
+    summation order can differ from an interpreted fold in the last
+    ulp — parity with the expression tier is therefore guaranteed only
+    for threshold > 0 (asserted below) and holds empirically at every
+    4dp boundary the oracle corpus exercises."""
+    if not threshold > 0:
+        raise ValueError(
+            f"_bucket_cosine_prune requires threshold > 0 (got "
+            f"{threshold}): the floor(x*1e4+0.5) HALF_UP twin diverges "
+            "from F.round for negative halves"
+        )
     from pyspark.sql.types import StructType
 
     out_schema = StructType([b.schema[id_col], b.schema["bucket"]])

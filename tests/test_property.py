@@ -438,6 +438,10 @@ def test_repetition_stats_kernel_matches_expression_tier(spark):
     # boundary rows: exactly 10 tokens (one 10-gram), near-duplicates
     rows.append((900, " ".join(["aa"] * 10)))
     rows.append((901, " ".join(f"t{j}" for j in range(10))))
+    # NULL/blank text: tokens_expr yields NULL — the kernel must treat
+    # the None array as empty (guard), not crash the Arrow batch
+    rows.append((902, None))
+    rows.append((903, "   "))
 
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     toksed = df.select(
@@ -602,13 +606,113 @@ def test_winnow_kernel_matches_expression_tier(spark):
         (906, " ".join(["dup"] * 20)),      # all grams identical: ties
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    expr_rows = {
+    # sorted multisets, not sets: the oracle harness hashes the sorted
+    # multiset of rows, so duplicate (doc_id, gram) emissions (same
+    # gram string winning two windows >= w apart) must be pinned too
+    expr_rows = sorted(
         (r["doc_id"], r["gram"])
         for r in winnow_fingerprints(df, k=5, w=4).collect()
-    }
-    kern_rows = {
+    )
+    kern_rows = sorted(
         (r["doc_id"], r["gram"])
         for r in winnow_fingerprints_kernel(df, k=5, w=4).collect()
-    }
+    )
     assert kern_rows == expr_rows
     assert any(d == 906 for d, _ in kern_rows)  # tie case produced a row
+
+
+def test_sentence_budget_stats_kernel_matches_expression_tier(spark):
+    """Round-12 optimization pin: sentence_budget_stats_kernel must
+    emit identical (doc_id, total_tokens, within_budget,
+    coverage_exact) rows to the expression-tier query form it
+    replaced — on randomized sentence corpora plus the exact-parity
+    edge rows: NULL/empty/blank text, tabs and Java-\\s exotica
+    (\\x0b) INSIDE sentences (word-split + coverage semantics),
+    leading/trailing separators, oversized sentences and oversized
+    single words, and several budgets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_cookbook_spark.functions.text import (
+        bpe_token_count_expr,
+        sentence_budget_chunks_expr,
+        sentence_budget_stats_kernel,
+    )
+
+    rng = random.Random(777)
+    words = ["the", "cat", "sat", "supercalifragilistic", "a1b2", "x",
+             "don't", "héllo", "日本", "co-op", "42", "12345"]
+    rows = []
+    for i in range(60):
+        n_sent = rng.randint(0, 6)
+        sents = []
+        for _ in range(n_sent):
+            k = rng.randint(0, 14)
+            sents.append(" ".join(rng.choice(words) for _ in range(k)))
+        rows.append((i, ". ".join(sents)))
+    rows += [
+        (900, None),
+        (901, ""),
+        (902, "   "),
+        (903, "..."),
+        (904, ". . ."),
+        (905, "no period at all just words"),
+        (906, "word " * 50 + "."),                       # oversized sentence
+        (907, "a\tb\tc d. next\x0bone here. ok."),       # Java \s inside
+        (908, "\tleading tab. trailing tab\t."),          # trim is SPACE-only
+        (909, "one two three. " * 10),
+        (910, "supercalifragilisticexpialidocious" * 4 + "."),  # lone word
+        (911, "Mixed CASE. With, punct! inside. ok."),
+        (912, " .x. .y.  . z ."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for mx in (3, 8, 64):
+        sentences = F.transform(
+            F.filter(
+                F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(s)),
+                lambda s: s != F.lit(""),
+            ),
+            lambda s: F.concat(s, F.lit(".")),
+        )
+        chunks = sentence_budget_chunks_expr(F.col("text"), mx)
+        staged = df.select(
+            "doc_id", sentences.alias("__sents"), chunks.alias("__chunks")
+        )
+        total = F.aggregate(
+            "__sents", F.lit(0), lambda a, s: a + bpe_token_count_expr(s)
+        )
+        within = F.forall(
+            "__chunks",
+            lambda c: (bpe_token_count_expr(c) <= F.lit(mx))
+            | (F.instr(c, " ") == 0),
+        )
+        coverage = F.array_join("__chunks", " ") == F.array_join(
+            "__sents", " "
+        )
+        expr_rows = {
+            r["doc_id"]: (
+                r["total_tokens"], r["within_budget"], r["coverage_exact"]
+            )
+            for r in staged.select(
+                "doc_id",
+                total.cast("int").alias("total_tokens"),
+                within.alias("within_budget"),
+                coverage.alias("coverage_exact"),
+            ).collect()
+        }
+        kern_rows = {
+            r["doc_id"]: (
+                r["total_tokens"], r["within_budget"], r["coverage_exact"]
+            )
+            for r in sentence_budget_stats_kernel(df, mx).collect()
+        }
+        assert kern_rows == expr_rows, (
+            mx,
+            {k: (kern_rows[k], expr_rows[k])
+             for k in kern_rows if kern_rows[k] != expr_rows[k]},
+        )
+    # the exotica rows actually exercised the interesting branches
+    assert expr_rows[907][2] is not None
+    assert expr_rows[900] == (None, None, None)
