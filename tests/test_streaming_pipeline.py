@@ -490,6 +490,119 @@ def test_semantic_incremental_first_arrival_wins(spark):
     assert {r.vec_id for r in r3["dropped"].collect()} == {200}
 
 
+def test_semantic_incremental_kernel_expression_twin(spark):
+    """Round-12 cogroup GEMM kernel (guide §4.2): the dropped set must
+    equal the pre-kernel interpreted-expression form — bucket join on
+    (__a_bucket == bucket) & (__a_id < id), round(dot/(na*nb),4) >=
+    threshold — on batches with and without persisted state, the plan
+    must be the cogroup (no join, no distinct exchange), zero-norm
+    vectors must drop like the batch tier's NaN rule, and
+    threshold <= 0 must be rejected (the floor HALF_UP twin caveat)."""
+    import numpy as np
+
+    from bigdata_cookbook_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+        srp_bucket_expr,
+        srp_planes,
+    )
+
+    def expr_dropped(batch, state, threshold, n_planes, dim):
+        planes = srp_planes(dim, n_planes, 0x5EED)
+        v = F.col("embedding").cast("array<double>")
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        b = batch.select(
+            F.col("vec_id"),
+            v.alias("vec"),
+            norm.alias("norm"),
+            srp_bucket_expr(v, planes).alias("bucket"),
+        )
+        earlier = b
+        if state is not None:
+            earlier = earlier.unionByName(
+                state.select("vec_id", "vec", "norm", "bucket")
+            )
+        a = earlier.select(
+            F.col("vec_id").alias("__a_id"),
+            F.col("vec").alias("__a_v"),
+            F.col("norm").alias("__a_n"),
+            F.col("bucket").alias("__a_bucket"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("__a_v"), F.col("vec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = F.round(dot / (F.col("__a_n") * F.col("norm")), 4)
+        return (
+            b.join(
+                a,
+                (F.col("__a_bucket") == F.col("bucket"))
+                & (F.col("__a_id") < F.col("vec_id")),
+            )
+            .where(cos >= F.lit(threshold))
+            .select("vec_id")
+            .distinct()
+        )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(240):
+        if i % 6 == 5:
+            # near-identical twin of the previous row: guaranteed drops
+            rows.append((i, rows[-1][1]))
+        else:
+            rows.append((i, [float(x) for x in rng.standard_normal(12)]))
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = full.where("vec_id < 120")
+    b2 = full.where("vec_id >= 120")
+
+    # no state (self-cogroup: pins the alias fix — without fresh
+    # expression ids the analyzer prunes the right side's columns)
+    r1 = semantic_dedup_incremental(b1, None, threshold=0.3, n_planes=3, dim=12)
+    got1 = sorted(r.vec_id for r in r1["dropped"].collect())
+    want1 = sorted(
+        r.vec_id for r in expr_dropped(b1, None, 0.3, 3, 12).collect()
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    # with state
+    st = spark.createDataFrame(r1["new_state"].toPandas())
+    r2 = semantic_dedup_incremental(b2, st, threshold=0.3, n_planes=3, dim=12)
+    got2 = sorted(r.vec_id for r in r2["dropped"].collect())
+    want2 = sorted(r.vec_id for r in expr_dropped(b2, st, 0.3, 3, 12).collect())
+    assert got2 == want2 and len(got2) > 0
+
+    # plan shape: one cogroup kernel, no join / no distinct exchange
+    plan = r2["dropped"]._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Join" not in plan
+
+    # zero-norm batch row with an earlier same-bucket row: NaN cosine
+    # drops (the batch tier's rule; the old expression form raised
+    # under ANSI instead — kernel parity is with the batch tier)
+    zb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rz = semantic_dedup_incremental(zb, None, threshold=0.9, n_planes=1, dim=4)
+    zdrop = {r.vec_id for r in rz["dropped"].collect()}
+    kept_batch = {
+        r.vec_id
+        for r in semantic_dedup(
+            zb, threshold=0.9, n_planes=1, dim=4
+        ).collect()
+    }
+    assert zdrop == {0, 1} - kept_batch
+
+    with pytest.raises(ValueError, match="threshold > 0"):
+        semantic_dedup_incremental(zb, None, threshold=0.0, n_planes=1, dim=4)
+
+
 def test_incremental_all_stages_combined(spark, docs):
     """span + LSH near-dup + semantic + repetition all on at once: the
     kwargs wire together, every delta key is present, and the kept set
