@@ -760,6 +760,10 @@ def span_dedup_incremental(
             F.col("span_hash").alias("__k"), F.col("span").alias("__s")
         )
         keeper = keeper.join(st, ["__k", "__s"], "left_anti")
+    # round 12 (guide §3.3): keeper feeds BOTH the surviving-span join
+    # and the new_spans state delta — materialize once (see the
+    # paragraph twin's note)
+    keeper = keeper.localCheckpoint(eager=False)
     kept = (
         spans.join(
             keeper,
@@ -959,6 +963,12 @@ def paragraph_dedup_incremental(
             F.col("para_hash").alias("__k"), F.col("para").alias("__p")
         )
         keeper = keeper.join(st, ["__k", "__p"], "left_anti")
+    # round 12 (guide §3.3): keeper feeds BOTH the surviving-paragraph
+    # join and the new_paras state delta — without materialization the
+    # batch explode + group + state anti-join re-execute per consumer
+    # (the foreachBatch sink reads rewritten and new_paras as separate
+    # actions)
+    keeper = keeper.localCheckpoint(eager=False)
     kept_eligible = (
         eligible.join(
             keeper,

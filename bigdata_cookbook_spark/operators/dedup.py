@@ -811,9 +811,14 @@ def incremental_lsh_candidates(
     on the state side; nothing re-aggregates the accumulated state.
     """
     key_cols = [f"k{j}" for j in range(band_size)]
+    # round 12 (guide §3.3): the banded signatures feed FOUR consumers
+    # (both sides of the within-batch self-join, the state replacement
+    # anti-probe, and the new-state union) — without materialization the
+    # shingle + 12-hash MinHash battery re-executes per consumer. One
+    # lazy localCheckpoint of the batch-sized signature table.
     banded = minhash_band_buckets(
         new_docs, text_col, id_col, n, num_hashes, band_size
-    )
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     key_eq = F.lit(True)
@@ -1222,12 +1227,17 @@ def semantic_dedup_incremental(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
+    # round 12 (guide §3.3): b feeds THREE consumers — the cogroup's
+    # batch side, the earlier-side union, and the new_state delta —
+    # and its lineage (the SRP plane battery + norm fold over the
+    # batch) would otherwise re-execute per consumer. One lazy
+    # localCheckpoint of the batch-sized projection.
     b = batch_emb.select(
         F.col(id_col),
         v.alias("vec"),
         norm.alias("norm"),
         srp_bucket_expr(v, planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     earlier = b
     if srp_state is not None:
         earlier = earlier.unionByName(

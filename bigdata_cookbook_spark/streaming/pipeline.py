@@ -300,13 +300,27 @@ def incremental_corpus_clean(
         # whose kept text falls under half the original drop whole,
         # booked as dropped_line_filter. No state, no delta.
         lf = line_filter_exprs(F.col("text"))
+        # Round 12 (guide §3.3 — the batch capstone's spine-checkpoint
+        # fix ported to the incremental tier): this function returns
+        # ~15 frames that the foreachBatch sink consumes as SEPARATE
+        # actions (9 parquet writes + the drop-log union), and with a
+        # fully lazy chain every action re-executed the WHOLE stage
+        # chain from the batch scan — the same plan multiplication the
+        # round-11 batch fix closed (142 -> 42 s at the sf10 capstone).
+        # Lazy localCheckpoints at every fan-out node below make the
+        # chain execute once per batch; each frame is batch-sized
+        # (MEMORY_AND_DISK), freed when the micro-batch's DataFrames
+        # are dropped. Parity with the batch pipeline is value-exact
+        # (materialization changes no rows) and stays pinned by the
+        # streaming-parity suite. Measured on the 3-batch all-stages-on
+        # example (sf0.001): see OPTIMIZATION_r12.md.
         staged = batch_docs.select(
             "doc_id",
             lf["text_clean"].alias("__clean"),
             lf["doc_keep"].alias("__keep"),
             "lang",
             "source",
-        )
+        ).localCheckpoint(eager=False)
         dropped_line = staged.filter(~F.col("__keep")).select("doc_id")
         batch_docs = staged.filter(F.col("__keep")).select(
             "doc_id", F.col("__clean").alias("text"), "lang", "source"
@@ -335,7 +349,12 @@ def incremental_corpus_clean(
         if dsir_normalize:
             n = F.size(gram_array_expr(F.col("text")))
             score = F.when(n > 0, score / n).otherwise(F.lit(0.0))
-        staged = batch_docs.withColumn("__dsir", score)
+        # fan-out: dropped_dsir + the surviving spine (§3.3, see the
+        # line-filter note above) — and the DSIR gram scoring is the
+        # expensive part worth running once
+        staged = batch_docs.withColumn("__dsir", score).localCheckpoint(
+            eager=False
+        )
         dropped_dsir = staged.filter(
             F.col("__dsir") < dsir_threshold
         ).select("doc_id")
@@ -367,6 +386,9 @@ def incremental_corpus_clean(
                 "lang",
                 "source",
             )
+            # fan-out: the span stage consumes this spine twice (its
+            # own split + the join-back) — §3.3, see line-filter note
+            .localCheckpoint(eager=False)
         )
         new_paras = pr["new_paras"]
 
@@ -401,6 +423,8 @@ def incremental_corpus_clean(
         new_spans = sp["new_spans"]
 
     feats = quality_exprs(F.col("text"))
+    # fan-out: passed + dropped_quality both read the scored battery
+    # (§3.3, see line-filter note)
     scored = batch_docs.select(
         "doc_id",
         "text",
@@ -408,7 +432,7 @@ def incremental_corpus_clean(
         "source",
         feats["n_tokens"].alias("n_tokens"),
         feats["stopword_ratio"].alias("stopword_ratio"),
-    )
+    ).localCheckpoint(eager=False)
     quality_ok = (
         (F.col("lang") == lang)
         & (F.col("n_tokens") >= min_tokens)
@@ -430,10 +454,15 @@ def incremental_corpus_clean(
         )
 
         rep_keep = repetition_keep_all_expr(F.col("text"))
-        dropped_quality = dropped_quality.unionByName(
-            passed.filter(~rep_keep).select("doc_id")
+        # stage the verdict column so the gram-stats battery runs once,
+        # not once per side of the keep/drop split (§3.3 + §2.3)
+        rep_staged = passed.withColumn("__rep", rep_keep).localCheckpoint(
+            eager=False
         )
-        passed = passed.filter(rep_keep)
+        dropped_quality = dropped_quality.unionByName(
+            rep_staged.filter(~F.col("__rep")).select("doc_id")
+        )
+        passed = rep_staged.filter(F.col("__rep")).drop("__rep")
 
     # exact tier: within-batch canonical (min doc_id per text), then
     # anti-join against the persisted hash state — incremental_exact_dedup's
@@ -445,6 +474,10 @@ def incremental_corpus_clean(
     )
     if seen_hashes is not None:
         exact_kept = exact_kept.join(seen_hashes, "text_hash", "left_anti")
+    # the widest fan-out on the spine: dropped_exact, new_hashes, the
+    # shingle index, the LSH signing, and the kept anti-join all read
+    # exact_kept (§3.3, see line-filter note)
+    exact_kept = exact_kept.localCheckpoint(eager=False)
     dropped_exact = passed.join(
         exact_kept.select("doc_id"), "doc_id", "left_anti"
     ).select("doc_id")
@@ -452,7 +485,10 @@ def incremental_corpus_clean(
 
     # near-dup tier: within-batch pairs (drop the larger side) PLUS
     # batch-vs-state pairs (drop the batch side — first arrival wins)
-    batch_idx = _batch_shingle_index(exact_kept, ngram_n)
+    # fan-out: candidate verification + the new_shingles delta (§3.3)
+    batch_idx = _batch_shingle_index(exact_kept, ngram_n).localCheckpoint(
+        eager=False
+    )
     new_buckets = None
     if near_dup == "lsh":
         from bigdata_cookbook_spark.operators.dedup import (
@@ -467,10 +503,13 @@ def incremental_corpus_clean(
             band_size=lsh_band_size,
         )
         batch_ids = exact_kept.select("doc_id")
+        # lineage = the banding DAG + the verify joins; consumed by the
+        # kept anti-join AND the drop log (§3.3 — the batch tier's
+        # candidate-list checkpoint precedent)
         near_losers = _verify_candidates(
             lsh["candidates"], batch_idx, shingle_state, batch_ids,
             jaccard_threshold,
-        )
+        ).localCheckpoint(eager=False)
         # append-only delta: just this batch's band rows (see docstring
         # for the ingest-once assumption vs lsh["buckets"]'s replacement)
         new_buckets = (
@@ -489,7 +528,12 @@ def incremental_corpus_clean(
             near_losers = within.unionByName(cross).distinct()
         else:
             near_losers = within.distinct()
-    kept = exact_kept.join(near_losers, "doc_id", "left_anti")
+        near_losers = near_losers.localCheckpoint(eager=False)
+    # kept feeds contamination/prune/semantic AND the final output
+    # select (§3.3, see line-filter note)
+    kept = exact_kept.join(near_losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     # state keeps EVERY exact-kept doc (incl. near-dup losers): they stay
     # valid pair sources for future batches — the parity condition with
     # corpus_clean, whose pair set is computed over all exact-kept docs
@@ -543,8 +587,11 @@ def incremental_corpus_clean(
                 exclude_self=False,
                 broadcast_eval=broadcast_eval,
             )
+        # fan-out: the kept anti-join + the drop log (§3.3)
         contaminated = (
-            raw.select(F.col("train_id").alias("doc_id")).distinct()
+            raw.select(F.col("train_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
         out["dropped_contaminated"] = contaminated
@@ -557,9 +604,11 @@ def incremental_corpus_clean(
         # pruned against the snapshot's thresholds, map-side. Same
         # stage position as the batch capstone: after decontamination,
         # before the semantic stage.
+        # fan-out: the dropped_quality_prune anti-join + the surviving
+        # spine (§3.3)
         pruned = quality_prune(
             kept, "n_tokens", "source", thresholds=prune_thresholds
-        )
+        ).localCheckpoint(eager=False)
         out["dropped_quality_prune"] = kept.join(
             pruned.select("doc_id"), "doc_id", "left_anti"
         ).select("doc_id")
@@ -572,20 +621,25 @@ def incremental_corpus_clean(
         # only post-contamination survivors with embedding coverage
         # enter the stage (the batch pipeline's rule); uncovered docs
         # pass through
+        # fan-out inside semantic_dedup_incremental: the dim probe +
+        # the SRP/norm projection both read this join (§3.3)
         surv_emb = embeddings_df.join(
             kept.select(F.col("doc_id").alias("vec_id")),
             "vec_id",
             "left_semi",
-        )
+        ).localCheckpoint(eager=False)
         sem = semantic_dedup_incremental(
             surv_emb,
             srp_state,
             threshold=semantic_threshold,
             n_planes=semantic_n_planes,
         )
+        # fan-out: the kept anti-join + the drop log — and the lineage
+        # is the cogroup GEMM kernel, the priciest node in the chain
+        # (§3.3)
         dropped_semantic = sem["dropped"].select(
             F.col("vec_id").alias("doc_id")
-        )
+        ).localCheckpoint(eager=False)
         kept = kept.join(dropped_semantic, "doc_id", "left_anti")
         out["dropped_semantic"] = dropped_semantic
         out["new_embeddings"] = sem["new_state"]
