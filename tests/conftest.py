@@ -11,6 +11,41 @@ from bigdata_cookbook_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Round 12 (VERDICT r11 item 1): the suite grew past the driver's
+# pytest window (VERIFY_r11 tests_ok:false was a capture TIMEOUT at
+# ~70% with zero failure marks, not a failure). The remedy the verdict
+# ordered: a fast default profile + a full profile, WITHOUT deleting
+# coverage — every test stays collected; the slowest tier (marked
+# @pytest.mark.full: multi-minute end-to-end example pipelines and
+# streaming batteries whose assertions are intrinsically
+# wall-clock-heavy, e.g. run-twice byte-stability and full
+# restart/maintenance cycles) is skipped by default and runs under
+# SPARK_GRAFT_FULL_TESTS=1. The full profile is executed and recorded
+# every round at close-out (OPTIMIZATION_r12.md); the fast profile is
+# what the driver's bounded-window gate runs.
+FULL_PROFILE = bool(os.environ.get("SPARK_GRAFT_FULL_TESTS"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: slow end-to-end tier; skipped unless SPARK_GRAFT_FULL_TESTS=1 "
+        "(fast default profile keeps the driver's pytest gate inside its "
+        "time window — VERDICT r11 item 1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if FULL_PROFILE:
+        return
+    skip_full = pytest.mark.skip(
+        reason="full-profile tier (set SPARK_GRAFT_FULL_TESTS=1); "
+        "run at every round close-out"
+    )
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip_full)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -8,6 +8,8 @@ import hashlib
 import os
 import sys
 
+import pytest
+
 sys.path.insert(
     0,
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"),
@@ -21,6 +23,8 @@ def _digest(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
+@pytest.mark.full  # multi-minute double-run tier (VERDICT r11 item 1);
+# byte-stability runs every close-out under SPARK_GRAFT_FULL_TESTS=1
 def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     p1 = example.main(spark, str(tmp_path / "run1"))
     p2 = example.main(spark, str(tmp_path / "run2"))
@@ -46,6 +50,8 @@ def test_thematic_screener_example_runs_and_is_byte_stable(spark, tmp_path):
     assert spec["data"]["values"]
 
 
+@pytest.mark.full  # multi-minute double-run tier (VERDICT r11 item 1);
+# byte-stability runs every close-out under SPARK_GRAFT_FULL_TESTS=1
 def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path):
     import json
 
@@ -82,6 +88,8 @@ def test_pretraining_pipeline_example_runs_and_is_deterministic(spark, tmp_path)
     assert dash.count("vegaEmbed('#panel") == 5
 
 
+@pytest.mark.full  # multi-minute double-run tier (VERDICT r11 item 1);
+# byte-stability runs every close-out under SPARK_GRAFT_FULL_TESTS=1
 def test_incremental_ingest_example_runs(spark, tmp_path):
     import json
 
@@ -141,6 +149,8 @@ def test_election_network_monitor_example_runs_and_is_byte_stable(spark, tmp_pat
     assert dot.startswith("graph g {") and " -- " in dot
 
 
+@pytest.mark.full  # multi-minute double-run tier (VERDICT r11 item 1);
+# byte-stability runs every close-out under SPARK_GRAFT_FULL_TESTS=1
 def test_inflation_drivers_example_runs_and_is_byte_stable(spark, tmp_path):
     """SURVEY §3.3 Tracking_Inflation_Drivers end-to-end: taxonomy ->
     search -> leaf-label -> per-(theme, topic) map-reduce summarize ->
@@ -218,6 +228,8 @@ def test_narrative_miner_example_runs_and_is_byte_stable(spark, tmp_path):
         assert len(sheets) == 3
 
 
+@pytest.mark.full  # multi-minute double-run tier (VERDICT r11 item 1);
+# byte-stability runs every close-out under SPARK_GRAFT_FULL_TESTS=1
 def test_regulatory_issues_example_runs_and_is_byte_stable(spark, tmp_path):
     """SURVEY §3 Report_Generator family end-to-end: two-source label ->
     per-(entity, topic) summarize + risk/uncertainty assessment (A13

@@ -1,9 +1,10 @@
-"""Dump .explain("formatted") for declared queries into plans/r11/.
+"""Dump .explain("formatted") for declared queries into plans/<round>/.
 
 Usage: python tools/opt_plan_dump.py <suffix> [query,query,...]
+       SPARK_GRAFT_PLANS_ROUND=r12 (default) picks the output subdir.
 
-Writes plans/r11/<query>_<suffix>.txt for every named query (default:
-the bench HEADLINE set) — the before/after plan evidence the round-11
+Writes plans/<round>/<query>_<suffix>.txt for every named query (default:
+the bench HEADLINE set) — the before/after plan evidence the round's
 optimization report points at. Plans are captured from the DECLARED
 query form (queries()[name]) over $SPARK_GRAFT_SF_DIR (default sf0.1),
 i.e. exactly what the driver's oracle re-runs, with the same session
@@ -27,7 +28,8 @@ def main() -> None:
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r11")
+                           "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = bench.bench_session()
     spark.sparkContext.setLogLevel("ERROR")
