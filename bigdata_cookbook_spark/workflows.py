@@ -44,8 +44,17 @@ def thematic_screener(
         chunk_ids = hits.select("sentence_id").distinct()
         chunks = chunks.join(chunk_ids, "sentence_id", "left_semi")
     mode = "watchlist" if watchlist else "discovery"
-    screening = normalize_screening(documents, chunks, entities, mode=mode, watchlist=watchlist)
-    labeled = llm_label_stage(screening, backend)
+    # Round 12 (guide §3.3): the returned dict's four frames are
+    # consumed as SEPARATE actions by callers (the migration example
+    # materializes all four), and labeled's lineage contains the
+    # backend mapInPandas — the single most expensive node of any real
+    # deployment (an LLM call per unique key). Without materialization
+    # every consumer re-ran normalize + the backend stage. Lazy
+    # localCheckpoints at both fan-out nodes; values unchanged.
+    screening = normalize_screening(
+        documents, chunks, entities, mode=mode, watchlist=watchlist
+    ).localCheckpoint(eager=False)
+    labeled = llm_label_stage(screening, backend).localCheckpoint(eager=False)
     clean = labeled.filter(~F.col("label").isin("", "unassigned", "unclear", "U"))
     by_company = pivot_composite(
         clean,
@@ -75,7 +84,10 @@ def dual_role_analysis(
     (W1), weekly net-exposure time series (J9+A12), co-mention network
     (J8)."""
     screening = normalize_screening(documents, chunks, entities, mode="discovery")
-    labeled = llm_label_stage(screening, backend)
+    # §3.3: labeled fans out to providers/users/top/weekly/network + the
+    # returned frame — six consumers of the backend stage (see the
+    # thematic_screener note)
+    labeled = llm_label_stage(screening, backend).localCheckpoint(eager=False)
     providers = labeled.filter(F.col("label") == "P")
     users = labeled.filter(F.col("label").isin("A", "N"))
 
@@ -159,9 +171,11 @@ def report_generator(
     risk_levels = risk_levels or {"P": 3, "A": 2, "N": 1}
 
     screening = normalize_screening(documents, chunks, entities, mode="discovery")
+    # §3.3: labeled fans out to filings/news/volumes + the returned
+    # frame (see the thematic_screener note)
     labeled = llm_label_stage(screening, backend).filter(
         ~F.col("label").isin("", "unassigned", "unclear", "U")
-    )
+    ).localCheckpoint(eager=False)
 
     # L5 per (entity, label) from the two document populations
     filings = labeled.filter(F.col("document_type").isin("filings", "transcripts"))
@@ -193,6 +207,9 @@ def report_generator(
         .withColumn(
             "summary", F.coalesce("filings_summary", "news_summary")
         )
+        # §3.3: consumed by the report join AND returned — and the
+        # lineage holds both hierarchical-summarize backends
+        .localCheckpoint(eager=False)
     )
 
     # A13 risk mapping + A10 score = n_docs / mean(n_docs)
@@ -239,9 +256,11 @@ def board_monitoring(
     hits = frame.filter(pred.to_column())
 
     # O4: first chunk hit per document wins
+    # §3.3: doc_hits fans out to annotated/quarterly/top_sources + the
+    # returned frame — four consumers of the variation-query scan
     doc_hits = hits.dropDuplicates(["document_id"]).select(
         "document_id", "timestamp_utc", "source_id", "document_type"
-    )
+    ).localCheckpoint(eager=False)
     annotated = doc_hits.join(
         doc_level_annotations(chunks, entities), "document_id", "left"
     )
