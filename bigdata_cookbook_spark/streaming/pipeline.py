@@ -485,10 +485,13 @@ def incremental_corpus_clean(
 
     # near-dup tier: within-batch pairs (drop the larger side) PLUS
     # batch-vs-state pairs (drop the batch side — first arrival wins)
-    # fan-out: candidate verification + the new_shingles delta (§3.3)
-    batch_idx = _batch_shingle_index(exact_kept, ngram_n).localCheckpoint(
-        eager=False
-    )
+    # batch_idx (the exploded shingle index) is the LARGEST frame in the
+    # chain (~|tokens| rows per doc) and its two consumers recompute it
+    # as a pure projection explode off the checkpointed exact_kept — so
+    # it is deliberately NOT checkpointed: storing it costs more block
+    # serialization than the shuffle-free recompute (measured at the
+    # sf10 capstone; §3.3's trade works the other way here)
+    batch_idx = _batch_shingle_index(exact_kept, ngram_n)
     new_buckets = None
     if near_dup == "lsh":
         from bigdata_cookbook_spark.operators.dedup import (
