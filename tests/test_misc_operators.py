@@ -664,6 +664,42 @@ def test_char_bigram_perplexity_matches_two_pass_form(spark):
         assert new[k].perplexity == old[k].perplexity, k
 
 
+def test_minhash_lsh_candidates_matches_bucket_self_join(spark, sf_dir):
+    """Round-12 parity pin: the groupBy + positional pair-expansion form
+    of minhash_lsh_candidates must emit EXACTLY the pair set of the
+    bucket self-join it replaced (same banded table, join on
+    band+key columns with doc_a < doc_b, distinct)."""
+    from bigdata_cookbook_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+    from bigdata_cookbook_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+
+    banded = minhash_band_buckets(docs, "text", "doc_id", 3, 12, 2)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ref = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+    assert all(x < y for x, y in got)
+
+
 def test_corpus_clean_decontamination_stage(spark, sf_dir):
     """corpus_clean(eval_df=...) drops contaminated survivors LAST and
     accounts for them. The stage must NOT be a no-op: when the eval set
